@@ -1,38 +1,67 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001;
+``queries()``/``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 for the driver's DuckDB-oracle correctness loop at sf0.01.
+
+The real implementation lives in ``firebase_realtime_database_backup_spark/``;
+this module only aggregates the per-module registries.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from firebase_realtime_database_backup_spark.registry import Registry
+
+
+def _registry() -> Registry:
+    from firebase_realtime_database_backup_spark.operators import relational
+
+    reg = Registry()
+    reg.merge(relational.REG)
+    for modname in ("dedup", "similarity", "text", "multimodal"):
+        try:
+            mod = __import__(
+                f"firebase_realtime_database_backup_spark.operators.{modname}",
+                fromlist=["REG"],
+            )
+            reg.merge(mod.REG)
+        except ImportError:
+            pass
+    for modname in (
+        "firebase_realtime_database_backup_spark.functions.scalar",
+        "firebase_realtime_database_backup_spark.streaming.windows",
+        "firebase_realtime_database_backup_spark.sources.tree",
+    ):
+        try:
+            mod = __import__(modname, fromlist=["REG"])
+            reg.merge(mod.REG)
+        except ImportError:
+            pass
+    return reg
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from firebase_realtime_database_backup_spark.operators.relational import (
+        flagship_revenue,
+    )
+
+    return flagship_revenue(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(_registry().queries)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twin for every SQL-expressible query in ``queries()``."""
+    return dict(_registry().oracles)

@@ -1,0 +1,62 @@
+"""Catalog for the driver's test tables and snapshot datasets.
+
+The reference has no catalog at all — its only "table discovery" is the
+``shallow=true`` child listing (src/BackupProcessor.php:82-89) and the
+``metadata.json`` manifest (src/BackupProcessor.php:49-51).  Here, parquet
+footers + directory layout are the catalog; this module is a thin typed
+veneer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: The ten driver-generated tables (TESTDATA.md).  Star schema:
+#: lineitem → orders → customer → nation → region; lineitem → part;
+#: lineitem → supplier → nation.  `events` is stream-shaped;
+#: `documents`/`embeddings` back the LLM-data operators.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables that stay broadcast-sized at ANY scale factor (their
+#: cardinality is fixed or near-fixed in TPC-H-style scaling).  `customer`,
+#: `part`, `supplier` scale with SF and must NOT be blanket-broadcast.
+BROADCAST_SAFE = frozenset({"region", "nation"})
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan of one test table.
+
+    Filters and projections applied downstream reach this scan via
+    Catalyst pushdown (verify with .explain → PushedFilters/ReadSchema);
+    never pre-collect or pre-filter here.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: read_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for spark.sql() use."""
+    for name in TABLES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,686 @@
+"""Relational operator surface: scans, filters, joins, aggregations,
+windows, sorts, set ops.
+
+The reference implements none of these (SURVEY.md §2.B) — its only set
+operation is the degenerate key anti-join `array_diff_key`
+(src/RestoreProcessor.php:99), mapped here to a real `left_anti` join.
+Everything in this module is pure Catalyst: declarative DataFrame plans
+that get predicate pushdown, column pruning, join selection, partial
+aggregation, and whole-stage codegen for free.
+
+Scale notes (100 TB):
+- Fact-fact joins (lineitem ⋈ orders) shuffle on the join key; both sides
+  arrive hash-partitioned, AQE handles skew splitting.
+- `region`/`nation` are broadcast unconditionally (fixed cardinality at
+  any SF).  `part`/`supplier`/`customer` scale with SF; they are joined
+  shuffle-side unless explicitly hinted for a known-small deployment.
+- Aggregations rely on Spark's automatic partial (map-side) aggregation;
+  high-cardinality group keys (custkey) go straight to hash-agg with
+  spill; no driver-side collection anywhere.
+- All floats rounded at the output edge only (oracle hash stability),
+  never inside the aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from firebase_realtime_database_backup_spark.catalog import read_table
+from firebase_realtime_database_backup_spark.registry import Registry
+
+REG = Registry()
+
+
+def oround(expr: str, n: int = 2) -> str:
+    """DuckDB-side ROUND that replicates Spark's double-rounding bit-for-bit.
+
+    Spark rounds doubles via the *shortest decimal representation*
+    (java BigDecimal.valueOf(d) == new BigDecimal(Double.toString(d)),
+    then setScale(n, HALF_UP)); DuckDB's ROUND(double, n) works on the
+    binary value via float multiply, so e.g. the double nearest to
+    101423.835 (binary ...834999999990687) rounds to .84 in Spark
+    (shortest repr is "101423.835") but .83 in raw-binary terms.
+
+    DuckDB's CAST(double AS VARCHAR) happens to produce exactly the Java
+    shortest repr, and its DECIMAL ROUND is HALF_UP — so
+    VARCHAR → DECIMAL → ROUND reproduces Spark exactly (verified on
+    .xx5-boundary and 17-digit cases).
+    """
+    return f"ROUND(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,{n + 16})), {n})::DOUBLE"
+
+
+# ---------------------------------------------------------------------------
+# Flagship: scan + filter + 4 equi-joins (2 broadcast) + hash agg + sort
+# ---------------------------------------------------------------------------
+
+@REG.query(
+    "flagship_revenue",
+    oracle=f"""
+    SELECT r_name, l_returnflag,
+           {oround("SUM(l_extendedprice * (1 - l_discount))")} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey  = o_orderkey
+    JOIN customer ON o_custkey   = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY r_name, l_returnflag
+    ORDER BY revenue DESC
+    """,
+)
+def flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by region x returnflag (SURVEY.md §7.1).
+
+    Plan shape to verify with .explain("formatted"): parquet scans with
+    PushedFilters on l_shipdate + ReadSchema pruned to used columns;
+    lineitem⋈orders and ⋈customer as shuffle joins; nation/region as
+    BroadcastHashJoin; partial+final HashAggregate; TakeOrdered for the
+    final sort.
+    """
+    lineitem = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "l_returnflag")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scan / filter / project
+# ---------------------------------------------------------------------------
+
+@REG.query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {oround("SUM(l_quantity)")}                                       AS sum_qty,
+           {oround("SUM(l_extendedprice)")}                                  AS sum_base_price,
+           {oround("SUM(l_extendedprice * (1 - l_discount))")}               AS sum_disc_price,
+           {oround("SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))")} AS sum_charge,
+           {oround("AVG(l_quantity)")}                                       AS avg_qty,
+           {oround("AVG(l_extendedprice)")}                                  AS avg_price,
+           {oround("AVG(l_discount)", 4)}                                    AS avg_disc,
+           COUNT(*)                                                          AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style full-scan aggregate — the map-side-combine stress
+    test: 8 aggregates over 2 low-cardinality keys means partial
+    aggregation collapses each input partition to a handful of rows
+    before the (tiny) shuffle."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@REG.query(
+    "filter_pushdown_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+      AND l_quantity BETWEEN 10 AND 20
+      AND l_returnflag = 'R'
+    """,
+)
+def filter_pushdown_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-range + predicate filter with projection — the Spark analog of
+    the reference's server-side page query {orderBy:"$key", startAt,
+    limitToFirst} (src/BackupProcessor.php:162-169), which was its only
+    pushdown.  All three predicates reach the parquet scan
+    (PushedFilters) and ReadSchema carries exactly 7 columns.
+
+    net_price is left unrounded: identical IEEE-754 op order in Spark
+    and DuckDB yields bit-identical doubles, strictly safer for the
+    hash compare than engine-specific rounding."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_shipdate").between(
+            F.lit("1997-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+        & F.col("l_quantity").between(10, 20)
+        & (F.col("l_returnflag") == "R")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+@REG.query(
+    "join_inner_equi",
+    oracle=f"""
+    SELECT c_mktsegment, o_orderstatus,
+           COUNT(*) AS n_orders,
+           {oround("SUM(o_totalprice)")} AS total_value
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, o_orderstatus
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain equi inner join; both sides shuffle-partition on the key
+    (sort-merge or shuffled-hash per AQE's runtime choice)."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+    )
+
+
+@REG.query(
+    "join_left_outer",
+    oracle=f"""
+    SELECT c_custkey, c_mktsegment,
+           COUNT(o_orderkey) AS n_orders,
+           {oround("COALESCE(SUM(o_totalprice), 0.0)")} AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (n_orders = 0)."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@REG.query(
+    "join_right_outer",
+    oracle="""
+    SELECT c_custkey,
+           COUNT(o_orderkey) AS n_orders
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"), "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@REG.query(
+    "join_full_outer",
+    oracle="""
+    WITH cust_per_nation AS (
+      SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+      FROM customer GROUP BY c_nationkey
+    ), supp_per_nation AS (
+      SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(c.n_customers, 0) AS n_customers,
+           COALESCE(s.n_suppliers, 0) AS n_suppliers
+    FROM cust_per_nation c FULL OUTER JOIN supp_per_nation s
+      ON c.nationkey = s.nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides (nations having only
+    customers or only suppliers survive with zero-filled counts).
+    Pre-aggregating before the outer join keeps the shuffled sides tiny —
+    at 100 TB this is the difference between joining billions of rows and
+    joining 25."""
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    c = customer.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    s = supplier.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return c.join(s, "nationkey", "full").select(
+        F.col("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@REG.query(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: customers having at least one big order.  Existence
+    check without duplication — no fan-out, right side reduced to
+    distinct keys by the semi-join operator itself."""
+    customer = read_table(spark, sf_dir, "customer")
+    big = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@REG.query(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no orders at all — the Spark form of the
+    reference's only set operation, `array_diff_key($data, $splitData)`
+    removing already-written keys (src/RestoreProcessor.php:99)."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@REG.query(
+    "join_broadcast_dim",
+    oracle=f"""
+    SELECT p_brand,
+           COUNT(*) AS n_items,
+           {oround("SUM(l_quantity)")} AS total_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 20
+    GROUP BY p_brand
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join: fact table never shuffles; the
+    filtered dim ships to every executor.  The broadcast() hint is load-
+    bearing at scale — without it a 100 TB lineitem would shuffle on
+    l_partkey.  (part grows with SF; the p_size filter keeps the
+    broadcast side bounded, and AQE would demote the hint if it did
+    not.)"""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+@REG.query(
+    "join_range_residual",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_late_ship
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderpriority
+    """,
+)
+def join_range_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi join with a range residual predicate (shipped >90 days after
+    order).  The equi key drives partitioning; the range condition is
+    evaluated as a cheap post-join filter inside the same stage."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        li.join(
+            orders,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_ship"))
+    )
+
+
+@REG.query(
+    "join_theta_bnl",
+    oracle="""
+    SELECT s_suppkey, COUNT(*) AS n_cheaper_parts
+    FROM supplier JOIN part ON p_retailprice < s_acctbal
+    GROUP BY s_suppkey
+    """,
+)
+def join_theta_bnl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure theta (non-equi) join → broadcast nested loop.  Only valid
+    when one side is broadcast-small; at scale prefer banded rewrites
+    (bucketize the range into equi keys) — see similarity.py for that
+    pattern applied to LSH."""
+    supplier = read_table(spark, sf_dir, "supplier")
+    part = read_table(spark, sf_dir, "part")
+    return (
+        supplier.join(F.broadcast(part), F.col("p_retailprice") < F.col("s_acctbal"))
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_cheaper_parts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+@REG.query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active_customers,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (Spark expands to a two-phase plan)."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@REG.query("agg_approx_count_distinct")  # no oracle: HLL sketches differ across engines
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB path for
+    distinct counts: one pass, fixed memory, no distinct-expansion
+    shuffle.  Rows-only check (DuckDB's approx sketch differs)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@REG.query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT r_name, n_name,
+           {oround("SUM(c_acctbal)")} AS total_balance,
+           COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup region → nation → grand total."""
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    return joined.rollup("r_name", "n_name").agg(
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@REG.query(
+    "agg_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {oround("AVG(o_totalprice)")} AS avg_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over two low-cardinality dimensions."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+@REG.query(
+    "window_ranking",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn,
+             RANK()       OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC) AS rnk,
+             DENSE_RANK() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC) AS drnk,
+             NTILE(4)     OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS quartile
+      FROM customer
+    ) WHERE rn <= 10
+    """,
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile; top-10 per segment.
+    row_number and ntile use a unique sort key (tie-break on c_custkey)
+    so results are deterministic; rank/dense_rank depend only on the
+    value being ranked, so ties are safe."""
+    customer = read_table(spark, sf_dir, "customer")
+    w_unique = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    w_value = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"))
+    return (
+        customer.select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.row_number().over(w_unique).alias("rn"),
+            F.rank().over(w_value).alias("rnk"),
+            F.dense_rank().over(w_value).alias("drnk"),
+            F.ntile(4).over(w_unique).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 10)
+    )
+
+
+@REG.query(
+    "window_lag_lead",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           {oround("o_totalprice")} AS price,
+           {oround("COALESCE(LAG(o_totalprice) OVER w, 0.0)")}  AS prev_price,
+           {oround("COALESCE(LEAD(o_totalprice) OVER w, 0.0)")} AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over each customer's order history (unique sort key:
+    orderdate then orderkey)."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2).alias("prev_price"),
+        F.round(F.coalesce(F.lead("o_totalprice").over(w), F.lit(0.0)), 2).alias("next_price"),
+    )
+
+
+@REG.query(
+    "window_running_frame",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           {oround('''SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')} AS running_spend,
+           {oround('''AVG(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)''')} AS moving_avg_3
+    FROM orders
+    """,
+)
+def window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frames: running cumulative sum + 3-row moving
+    average.  ROWS (not RANGE) over a unique key keeps the frame
+    deterministic."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_spend"),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 2).alias("moving_avg_3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / top-k / set ops
+# ---------------------------------------------------------------------------
+
+@REG.query(
+    "sort_topk",
+    oracle=f"""
+    SELECT o_orderkey, {oround("o_totalprice")} AS price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    heaps + driver merge, no global sort shuffle.  Unique tie-break
+    (o_orderkey) makes the cut deterministic."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+@REG.query(
+    "set_union_all",
+    oracle="""
+    SELECT party_key, party_name, party_role FROM (
+      SELECT c_custkey AS party_key, c_name AS party_name, 'customer' AS party_role
+      FROM customer WHERE c_acctbal > 5000
+      UNION ALL
+      SELECT s_suppkey AS party_key, s_name AS party_name, 'supplier' AS party_role
+      FROM supplier WHERE s_acctbal > 5000
+    )
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName of two conformed projections (bag semantics)."""
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    c = customer.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("party_key"),
+        F.col("c_name").alias("party_name"),
+        F.lit("customer").alias("party_role"),
+    )
+    s = supplier.filter(F.col("s_acctbal") > 5000).select(
+        F.col("s_suppkey").alias("party_key"),
+        F.col("s_name").alias("party_name"),
+        F.lit("supplier").alias("party_role"),
+    )
+    return c.unionByName(s)
+
+
+@REG.query(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers appearing in both finished and open orders (set
+    semantics — intersect dedups)."""
+    orders = read_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.intersect(o)
+
+
+@REG.query(
+    "set_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: all customers minus big spenders."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    all_c = customer.select(F.col("c_custkey").alias("custkey"))
+    big = orders.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return all_c.subtract(big)
