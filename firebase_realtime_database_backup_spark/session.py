@@ -77,6 +77,11 @@ def get_spark(
         # parquet timestamp[ns] (events.ts) reads: truncate to micros
         # identically everywhere.
         "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+        # Spark 4 rejects INT64 TIMESTAMP(NANOS) parquet outright; read
+        # nanos as long and let catalog.read_table normalize to a micros
+        # timestamp (integer div — double division loses precision at
+        # ns-epoch magnitude).
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
         # --- quieter local runs ---
         "spark.ui.enabled": os.environ.get("SPARK_GRAFT_UI", "false"),
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
