@@ -1,0 +1,326 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Four escalating strategies over `documents`:
+
+1. exact         — hash group-by on the dedup key (one shuffle).
+2. minhash LSH   — k=16 signature, 4 bands x 4 rows; docs sharing a band
+                   key become candidate pairs; candidates verified with
+                   exact Jaccard.  The LSH band join replaces the O(n²)
+                   pair space with an equi join — THE scale move.
+3. simhash       — 16-bit sign-of-weighted-sum fingerprint; equal
+                   fingerprints → duplicate clusters, map-only + one agg.
+4. n-gram Jaccard — exact pairwise verification via shingle-set join
+                   (bounded subset; the all-pairs fallback LSH avoids).
+
+The oracle-checked variants use deterministic dictionary shingle-ids and
+explicit affine hash families ((a*sid + b) mod p) so DuckDB reproduces
+them integer-for-integer.  The production-scale variant of (2) is
+pyspark.ml's MinHashLSH (open vocabulary, hashingTF ids, no dictionary)
+— registered rows-only since its hash family isn't reproducible in SQL.
+
+Reference tie-in: the reference's only dedup is dropping the re-fetched
+page-boundary cursor row, `array_slice($data, 1)`
+(src/BackupProcessor.php:195-197) — generalized here to real content
+dedup; its Spark analog `dropDuplicates` appears in dedup_exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from firebase_realtime_database_backup_spark.catalog import read_table
+from firebase_realtime_database_backup_spark.operators.text import (
+    SHINGLE_SQL_CTE,
+    doc_shingle_ids,
+)
+from firebase_realtime_database_backup_spark.registry import Registry
+
+REG = Registry()
+
+# MinHash parameters (shared by Spark and oracle sides).
+MINHASH_K = 16
+MINHASH_P = 10007
+BANDS = 4
+ROWS_PER_BAND = 4
+BAND_WEIGHTS = (1, 31, 961, 29791)  # 31^(i % 4)
+JACCARD_THRESHOLD = 0.6
+
+
+@REG.query(
+    "dedup_exact",
+    oracle="""
+    SELECT lang, source,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           COUNT(*) AS group_size
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by key: one hash aggregation picks a deterministic
+    representative (min doc_id) per group and counts collapsed rows.
+    Equivalent row-level form is dropDuplicates([key...]), which keeps
+    an arbitrary row — min-per-group is the deterministic variant.  At
+    100 TB this is a single key-shuffle with map-side partial agg."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, i, mh): k=16 affine minhashes over shingle-id sets."""
+    dshingle = doc_shingle_ids(spark, sf_dir)
+    ks = spark.range(MINHASH_K).select(F.col("id").cast("long").alias("i"))
+    return (
+        dshingle.crossJoin(F.broadcast(ks))
+        .select(
+            "doc_id",
+            "i",
+            (
+                ((2 * F.col("i") + 3) * F.col("sid").cast("long") + (5 * F.col("i") + 7))
+                % MINHASH_P
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+@REG.query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {SHINGLE_SQL_CTE},
+    ks AS (SELECT UNNEST(RANGE(0, {MINHASH_K})) AS i),
+    hashes AS (
+      SELECT doc_id, i,
+             MIN(((2*i + 3) * CAST(sid AS BIGINT) + (5*i + 7)) % {MINHASH_P}) AS mh
+      FROM dshingle, ks
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {ROWS_PER_BAND} AS band,
+             CAST(SUM(mh * CASE i % {ROWS_PER_BAND}
+                             WHEN 0 THEN {BAND_WEIGHTS[0]}
+                             WHEN 1 THEN {BAND_WEIGHTS[1]}
+                             WHEN 2 THEN {BAND_WEIGHTS[2]}
+                             ELSE {BAND_WEIGHTS[3]} END) AS BIGINT) AS band_key
+      FROM hashes GROUP BY doc_id, i // {ROWS_PER_BAND}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cands c
+      JOIN dshingle x ON x.doc_id = c.doc_a
+      JOIN dshingle y ON y.doc_id = c.doc_b AND y.sid = x.sid
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           sa.sz + sb.sz - i.n_common AS n_union,
+           CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) AS jaccard
+    FROM inter i
+    JOIN doc_sizes sa ON sa.doc_id = i.doc_a
+    JOIN doc_sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
+
+    Pipeline: shingle sets → 16 affine minhashes → 4 band keys/doc →
+    self-equi-join on (band, band_key) → candidate pairs → shingle-join
+    verification.  Every step is a shuffle on a bounded key; the pair
+    space never materializes beyond hash-collision candidates.  At
+    100 TB, band keys are the partition keys and skewed bands (giant
+    dup clusters) are exactly what AQE skew-join splits."""
+    dshingle = doc_shingle_ids(spark, sf_dir).cache()
+    sig = _minhash_signatures(spark, sf_dir)
+    band_weight = (
+        F.when(F.col("i") % ROWS_PER_BAND == 0, BAND_WEIGHTS[0])
+        .when(F.col("i") % ROWS_PER_BAND == 1, BAND_WEIGHTS[1])
+        .when(F.col("i") % ROWS_PER_BAND == 2, BAND_WEIGHTS[2])
+        .otherwise(BAND_WEIGHTS[3])
+    )
+    bands = sig.groupBy(
+        "doc_id", (F.col("i") / ROWS_PER_BAND).cast("long").alias("band")
+    ).agg(F.sum(F.col("mh") * band_weight).cast("long").alias("band_key"))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    x = dshingle.alias("x")
+    y = dshingle.alias("y")
+    inter = (
+        cands.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(y, (F.col("y.doc_id") == F.col("doc_b")) & (F.col("y.sid") == F.col("x.sid")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = dshingle.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")).alias("n_union"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+@REG.query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {SHINGLE_SQL_CTE},
+    hashed AS (
+      SELECT doc_id, sid,
+             (CAST(sid AS BIGINT) * 2654435761) % 2147483648 AS h
+      FROM dshingle
+    ),
+    bits AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (h // POWER(2, j)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hashed, (SELECT UNNEST(RANGE(0, 16)) AS j)
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN POWER(2, j)::BIGINT ELSE 0 END) AS BIGINT)
+             AS simhash16
+    FROM bits
+    GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document: each bit is the sign of
+    the ±1-weighted sum over the doc's shingle hashes.  Map-only + two
+    bounded aggregations; near-dups then cluster by fingerprint equality
+    (or small Hamming distance via bit_count(a XOR b)).  The cheapest
+    scalable near-dup signal: no pair join at all."""
+    dshingle = doc_shingle_ids(spark, sf_dir)
+    hashed = dshingle.select(
+        "doc_id",
+        ((F.col("sid").cast("long") * F.lit(2654435761)) % F.lit(2147483648)).alias("h"),
+    )
+    js = spark.range(16).select(F.col("id").cast("long").alias("j"))
+    bits = (
+        hashed.crossJoin(F.broadcast(js))
+        .select(
+            "doc_id",
+            "j",
+            F.expr(
+                "CASE WHEN (h div CAST(power(2.0, j) AS BIGINT)) % 2 = 1"
+                " THEN 1 ELSE -1 END"
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("w").alias("s"))
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("simhash16")
+    )
+
+
+@REG.query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {SHINGLE_SQL_CTE}
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           COUNT(*) AS n_common,
+           CAST(COUNT(*) AS DOUBLE)
+             / (sa.sz + sb.sz - COUNT(*)) AS jaccard
+    FROM dshingle x
+    JOIN dshingle y ON x.sid = y.sid AND x.doc_id < y.doc_id
+    JOIN doc_sizes sa ON sa.doc_id = x.doc_id
+    JOIN doc_sizes sb ON sb.doc_id = y.doc_id
+    WHERE x.doc_id <= 200 AND y.doc_id <= 200
+    GROUP BY x.doc_id, y.doc_id, sa.sz, sb.sz
+    HAVING CAST(COUNT(*) AS DOUBLE) / (sa.sz + sb.sz - COUNT(*)) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs sharing ≥1 shingle (bounded
+    to doc_id ≤ 200 — the all-pairs fallback is what LSH exists to
+    avoid; this operator is the ground-truth verifier)."""
+    dshingle = doc_shingle_ids(spark, sf_dir).filter(F.col("doc_id") <= 200).cache()
+    sizes = dshingle.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    x = dshingle.alias("x")
+    y = dshingle.alias("y")
+    pairs = (
+        x.join(y, (F.col("x.sid") == F.col("y.sid")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= 0.3)
+
+
+@REG.query("dedup_minhash_ml")  # rows-only: ml hash family not SQL-reproducible
+def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-scale MinHashLSH via pyspark.ml: HashingTF shingles
+    (open vocabulary — no dictionary, no global window) →
+    MinHashLSH.approxSimilarityJoin.  Seeded and deterministic within
+    Spark, but the hash family isn't reproducible in DuckDB SQL →
+    rows-only check; dedup_minhash_lsh above is the oracle-checked
+    twin."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from firebase_realtime_database_backup_spark.operators.text import doc_shingles
+
+    sh = doc_shingles(spark, sf_dir)
+    docs = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(docs).filter(F.expr("size(shingles) > 0"))
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.4, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.col("jaccard_dist"),
+        )
+    )

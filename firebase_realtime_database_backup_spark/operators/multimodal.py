@@ -1,0 +1,166 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, processed
+with Arrow-batched pandas UDFs over `mapInPandas`.
+
+Design (the 100 TB contract):
+- Media lives as a `binary` column next to typed metadata columns —
+  never as paths the executors re-fetch row-by-row.  Parquet stores the
+  bytes inline (or as references for >2 GB objects); partition pruning
+  and predicate pushdown on the *metadata* columns decide which binary
+  bytes are ever read.
+- All per-item compute (decode, resize, frame-sample, feature-extract)
+  runs inside `mapInPandas`: Arrow batches in, Arrow batches out, one
+  Python worker per core, zero per-row pickling.  Batch size is capped
+  by spark.sql.execution.arrow.maxRecordsPerBatch so a batch of large
+  blobs still fits in worker memory.
+- Real codec libraries (PIL/ffmpeg/soundfile) are NOT in this
+  container; `decode_image` below is therefore a clearly-marked stub
+  (NotImplementedError) and `fake_decode_fixed_raster` is the
+  deterministic stand-in used by queries/tests.  The Spark-side
+  plumbing — schema, batching, UDF signatures — is real and tested.
+
+The test corpus has no true media column, so queries materialize one:
+`binary_payload = encode(documents.text, 'utf-8')`.  ASCII text makes
+byte arithmetic reproducible in the DuckDB oracle (OCTET_LENGTH /
+UNICODE), giving the pandas-UDF path a hash-checkable twin — rare for
+UDF code, and exactly why the fake features are defined byte-wise.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from firebase_realtime_database_backup_spark.catalog import read_table
+from firebase_realtime_database_backup_spark.registry import Registry
+
+REG = Registry()
+
+FRAME_STRIDE = 16  # frame-sampling stride in bytes
+
+
+def decode_image(payload: bytes) -> "object":
+    """Decode an image payload to an HxWxC array.  STUB: image codecs
+    are not available in this container; the deterministic stand-in is
+    fake_decode_fixed_raster()."""
+    raise NotImplementedError(
+        "image codecs unavailable in this environment; "
+        "use fake_decode_fixed_raster for tests"
+    )
+
+
+def fake_decode_fixed_raster(payload: bytes, side: int = 8) -> list[int]:
+    """Deterministic fake 'decode': project the byte stream onto a fixed
+    side*side raster by repeating/truncating.  Stands in for a real
+    decoder so the Spark plumbing (schema, batching) is exercised."""
+    n = side * side
+    if not payload:
+        return [0] * n
+    reps = (n + len(payload) - 1) // len(payload)
+    return list((payload * reps)[:n])
+
+
+MEDIA_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("first_byte", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("frame_checksum", LongType()),
+    ]
+)
+
+
+def _media_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: byte-level 'feature extraction' per payload —
+    size, leading byte, strided frame sample count + checksum."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        n_bytes = payloads.str.len().astype("int64")
+        first_byte = payloads.map(lambda b: b[0] if len(b) else -1).astype("int32")
+        n_frames = payloads.map(
+            lambda b: (len(b) + FRAME_STRIDE - 1) // FRAME_STRIDE
+        ).astype("int64")
+        checksum = payloads.map(lambda b: int(sum(b[::FRAME_STRIDE])) % 65536).astype(
+            "int64"
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": n_bytes,
+                "first_byte": first_byte,
+                "n_frames": n_frames,
+                "frame_checksum": checksum,
+            }
+        )
+
+
+@REG.query(
+    "multimodal_media_features",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT)                    AS n_bytes,
+           CAST(UNICODE(SUBSTRING(text, 1, 1)) AS INT)           AS first_byte,
+           CAST((OCTET_LENGTH(ENCODE(text)) + {FRAME_STRIDE} - 1) // {FRAME_STRIDE} AS BIGINT)
+                                                                 AS n_frames,
+           CAST(SUM(UNICODE(SUBSTRING(text, p, 1))) % 65536 AS BIGINT)
+                                                                 AS frame_checksum
+    FROM documents,
+         UNNEST(RANGE(1, OCTET_LENGTH(ENCODE(text)) + 1, {FRAME_STRIDE})) AS r(p)
+    GROUP BY doc_id, text
+    """,
+)
+def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction through the real pandas-UDF
+    plumbing (mapInPandas, Arrow batches).  The oracle recomputes the
+    byte-wise features in SQL — possible because the fake payload is
+    ASCII (byte == codepoint), which is the whole point of the fake."""
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return payloads.mapInPandas(_media_features, MEDIA_FEATURE_SCHEMA)
+
+
+RASTER_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("raster", ArrayType(IntegerType())),
+        StructField("raster_mean_x100", LongType()),
+    ]
+)
+
+
+def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rasters = pdf["payload"].map(fake_decode_fixed_raster)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "raster": rasters,
+                "raster_mean_x100": rasters.map(
+                    lambda r: int(sum(r) * 100 // len(r))
+                ).astype("int64"),
+            }
+        )
+
+
+@REG.query("multimodal_fake_decode")  # rows-only: stub decoder, no SQL twin
+def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake decode → fixed 8x8 raster + mean.  Exercises
+    the array-returning UDF path (the shape a real image decoder
+    produces).  Rows-only: the byte-repetition fake is deliberately not
+    re-implemented in SQL."""
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return payloads.mapInPandas(_fake_decode_batch, RASTER_SCHEMA)

@@ -1,0 +1,256 @@
+"""Similarity search over embedding columns (`array<float>`, dim 64).
+
+Three tiers:
+
+1. `sim_cosine_topk`  — exact brute-force cosine top-k: broadcast the
+   (small) query set against the full corpus scan; per-query top-k via
+   window.  The O(corpus x queries) baseline — map-only over the corpus,
+   no corpus shuffle, so it scales to 100 TB of vectors provided the
+   query set stays broadcast-sized.
+2. `sim_lsh_buckets`  — deterministic random-hyperplane LSH: 8 signs →
+   8-bit bucket id per vector.  Map-only; the bucket id becomes the
+   partition/join key for ANN.
+3. `sim_ann_lsh`      — ANN top-k: join queries to candidates on bucket
+   equality, exact cosine only within buckets.  Replaces the all-pairs
+   space with an equi join (same move as dedup's banded MinHash).
+
+Everything is computed in float64 with identical left-to-right fold
+order in Spark (`zip_with` + `aggregate`) and DuckDB
+(`list_dot_product` over `DOUBLE[]`), which makes cosine scores
+bit-identical across engines — verified — so even the top-k cut is
+deterministic and oracle-checkable with no rounding at all.
+
+The hyperplanes are a deterministic LCG keyed by (plane, dim):
+v[p][d] = ((1103515245*(p*64+d) + 12345) mod 2^31)/2^31 - 0.5 —
+reproducible integer arithmetic in both engines, no RNG state.
+
+pyspark.ml's BucketedRandomProjectionLSH is the packaged alternative;
+it is registered rows-only (`sim_brp_lsh_ml`) since its internal RNG
+isn't SQL-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from firebase_realtime_database_backup_spark.catalog import read_table
+from firebase_realtime_database_backup_spark.registry import Registry
+
+REG = Registry()
+
+DIM = 64
+N_PLANES = 8
+N_QUERIES = 5  # queries = vec_id < 5
+TOP_K = 5
+
+#: SQL expression for the deterministic hyperplane p as a DOUBLE[] list
+#: (1-based d to match DuckDB list indexing; Spark uses the same d).
+def _plane_sql(p: str) -> str:
+    return (
+        f"[(( (1103515245 * (({p}) * {DIM} + d) + 12345) % 2147483648) "
+        f"/ 2147483648.0 - 0.5) FOR d IN RANGE(1, {DIM + 1})]"
+    )
+
+
+_DOT = "LIST_DOT_PRODUCT(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+def _spark_plane(p: str) -> "F.Column":
+    """array<double> hyperplane; p is a SQL expression for the plane index."""
+    return F.expr(
+        f"transform(sequence(1, {DIM}), d -> "
+        f"((1103515245 * (CAST(({p}) AS BIGINT) * {DIM} + d) + 12345) % 2147483648)"
+        f" / 2147483648.0 - 0.5)"
+    )
+
+
+def _dot(a, b) -> "F.Column":
+    """Left-to-right fold dot product in float64 (matches DuckDB's
+    list_dot_product exactly)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _cosine(a, b) -> "F.Column":
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+@REG.query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+    ),
+    scored AS (
+      SELECT q.q_id, c.c_id,
+             {_DOT.format(a="q.qe", b="c.ce")}
+               / (SQRT({_DOT.format(a="q.qe", b="q.qe")})
+                  * SQRT({_DOT.format(a="c.ce", b="c.ce")})) AS cosine
+      FROM q, c
+      WHERE q.q_id <> c.c_id
+    )
+    SELECT q_id, c_id, cosine, CAST(rk AS INT) AS rk FROM (
+      SELECT q_id, c_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, c_id) AS rk
+      FROM scored
+    ) WHERE rk <= {TOP_K}
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k (tier 1; see module docstring).
+    The corpus side is a straight scan — broadcast(queries) keeps it
+    shuffle-free until the tiny per-query top-k window."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").cast("array<double>").alias("ce")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", _cosine(F.col("qe"), F.col("ce")).alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("c_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "c_id", "cosine", "rk")
+    )
+
+
+@REG.query(
+    "sim_lsh_buckets",
+    oracle=f"""
+    WITH planes AS (
+      SELECT p, {_plane_sql("p")} AS v
+      FROM (SELECT UNNEST(RANGE(0, {N_PLANES})) AS p)
+    ),
+    signs AS (
+      SELECT e.vec_id, pl.p,
+             CASE WHEN {_DOT.format(a="pl.v", b="e.embedding")} >= 0
+                  THEN CAST(POWER(2, pl.p) AS BIGINT) ELSE 0 END AS bit
+      FROM embeddings e, planes pl
+    )
+    SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS bucket
+    FROM signs GROUP BY vec_id
+    """,
+)
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (tier 2): 8 dot-product
+    signs packed into an 8-bit bucket.  Pure map + one per-vector agg —
+    at 100 TB this runs in the scan with no shuffle of vector data."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    planes = spark.range(N_PLANES).select(
+        F.col("id").cast("long").alias("p"), _spark_plane("id").alias("v")
+    )
+    signs = (
+        emb.crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id",
+            F.when(
+                _dot(F.col("v"), F.col("embedding").cast("array<double>")) >= 0,
+                F.pow(F.lit(2.0), F.col("p")).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bit"),
+        )
+    )
+    return signs.groupBy("vec_id").agg(F.sum("bit").cast("bigint").alias("bucket"))
+
+
+@REG.query(
+    "sim_ann_lsh",
+    oracle=f"""
+    WITH planes AS (
+      SELECT p, {_plane_sql("p")} AS v
+      FROM (SELECT UNNEST(RANGE(0, {N_PLANES})) AS p)
+    ),
+    buckets AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+             CAST(SUM(CASE WHEN {_DOT.format(a="pl.v", b="e.embedding")} >= 0
+                           THEN CAST(POWER(2, pl.p) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM embeddings e, planes pl
+      GROUP BY e.vec_id, CAST(e.embedding AS DOUBLE[])
+    ),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.bucket,
+             {_DOT.format(a="q.emb", b="c.emb")}
+               / (SQRT({_DOT.format(a="q.emb", b="q.emb")})
+                  * SQRT({_DOT.format(a="c.emb", b="c.emb")})) AS cosine
+      FROM buckets q JOIN buckets c
+        ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT q_id, c_id, bucket, cosine, CAST(rk AS INT) AS rk FROM (
+      SELECT q_id, c_id, bucket, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, c_id) AS rk
+      FROM scored
+    ) WHERE rk <= {TOP_K}
+    """,
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via LSH buckets (tier 3): exact cosine evaluated only
+    for candidates sharing the query's bucket — the all-pairs space
+    becomes an equi join on bucket id.  Recall < 1 by construction
+    (vectors in other buckets are invisible); raise N_PLANES groups /
+    use multi-probe for recall, exactly the IVF trade-off."""
+    buckets = sim_lsh_buckets(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    be = buckets.join(emb, "vec_id")
+    q = be.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("bucket"), F.col("emb").alias("qe")
+    )
+    c = be.select(
+        F.col("vec_id").alias("c_id"), F.col("bucket").alias("c_bucket"),
+        F.col("emb").alias("ce"),
+    )
+    scored = (
+        q.join(c, (F.col("bucket") == F.col("c_bucket")) & (F.col("q_id") != F.col("c_id")))
+        .select("q_id", "c_id", "bucket", _cosine(F.col("qe"), F.col("ce")).alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("c_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "c_id", "bucket", "cosine", "rk")
+    )
+
+
+@REG.query("sim_brp_lsh_ml")  # rows-only: ml RNG not SQL-reproducible
+def sim_brp_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packaged alternative: pyspark.ml BucketedRandomProjectionLSH
+    approx nearest neighbors (Euclidean buckets).  Seeded/deterministic
+    inside Spark; rows-only check."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0,
+        numHashTables=4, seed=42,
+    )
+    model = lsh.fit(emb)
+    pairs = model.approxSimilarityJoin(emb, emb, 1.5, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.col("dist"),
+        )
+    )

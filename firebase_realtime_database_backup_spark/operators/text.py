@@ -1,0 +1,302 @@
+"""Text-analysis operators for a training-data pipeline: token stats,
+language ID, quality scoring, document fingerprinting.
+
+All pure Catalyst column algebra — tokenization is `split`, scoring is
+arithmetic, fingerprints are integer polynomial hashes.  No Python in
+the row path anywhere.
+
+Scale notes (100 TB):
+- The shingle/token *dictionary* (distinct + global row_number) is only
+  used where a DuckDB oracle needs deterministic integer ids; the
+  dictionary is vocabulary-sized, not corpus-sized, so the single-
+  partition window is bounded.  The open-vocabulary scale path replaces
+  dictionary ids with `xxhash64(token)` — no global ordering, no
+  bottleneck — and is what dedup's MinHashLSH variant uses.
+- Everything else is embarrassingly parallel per-document map work that
+  whole-stage-codegen executes in one pass over the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from firebase_realtime_database_backup_spark.catalog import read_table
+from firebase_realtime_database_backup_spark.registry import Registry
+
+REG = Registry()
+
+# --- shared shingle machinery (used by dedup.py too) ---------------------
+
+#: DuckDB CTE fragment producing (doc_id, sid) distinct 3-gram-shingle ids
+#: plus per-doc set sizes.  Mirrors doc_shingle_ids() below exactly.
+SHINGLE_SQL_CTE = """
+  toks AS (
+    SELECT doc_id, STRING_SPLIT(text, ' ') AS tok_arr FROM documents
+  ),
+  shingles AS (
+    SELECT doc_id, ARRAY_TO_STRING(tok_arr[i:i+2], ' ') AS shingle
+    FROM toks, UNNEST(RANGE(1, LEN(tok_arr) - 1)) AS r(i)
+  ),
+  vocab AS (
+    SELECT shingle, ROW_NUMBER() OVER (ORDER BY shingle) AS sid
+    FROM (SELECT DISTINCT shingle FROM shingles)
+  ),
+  dshingle AS (
+    SELECT DISTINCT s.doc_id, v.sid FROM shingles s JOIN vocab v USING (shingle)
+  ),
+  doc_sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dshingle GROUP BY doc_id)
+"""
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — one row per word-3-gram occurrence."""
+    docs = read_table(spark, sf_dir, "documents")
+    shingle_arr = F.expr(
+        """
+        CASE WHEN size(split(text, ' ')) < 3 THEN array()
+             ELSE transform(sequence(1, size(split(text, ' ')) - 2),
+                            i -> concat_ws(' ', slice(split(text, ' '), i, 3)))
+        END
+        """
+    )
+    return docs.select("doc_id", F.explode(shingle_arr).alias("shingle"))
+
+
+def shingle_vocab(shingles: DataFrame) -> DataFrame:
+    """(shingle, sid): deterministic dense integer ids, lexicographic.
+
+    Bounded single-partition window (vocabulary-sized input); open-vocab
+    scale path is xxhash64(shingle) with no dictionary at all.
+    """
+    return (
+        shingles.select("shingle")
+        .distinct()
+        .withColumn("sid", F.row_number().over(Window.orderBy("shingle")))
+    )
+
+
+def doc_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sid) distinct — the set representation used by MinHash /
+    SimHash / Jaccard.  Twin of SHINGLE_SQL_CTE's `dshingle`."""
+    sh = doc_shingles(spark, sf_dir)
+    return sh.join(shingle_vocab(sh), "shingle").select("doc_id", "sid").distinct()
+
+
+# --- language-ID marker lists (tiny n-gram/stopword heuristic) -----------
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "fast", "slow", "big", "small"),
+    "de": ("der", "die", "und", "nicht", "klein"),
+    "es": ("el", "los", "y", "no", "grande"),
+    "fr": ("le", "les", "et", "ne", "petit"),
+    "zh": ("de0", "shi0", "bu0"),  # romanized placeholders
+}
+#: Fixed precedence for argmax ties (score desc, then this order).
+LANG_ORDER = ("en", "de", "es", "fr", "zh")
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+@REG.query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id, lang,
+           LEN(STRING_SPLIT(text, ' '))                            AS n_tokens,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z0-9]+')) AS INT) AS n_tokens_re,
+           CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS INT) AS n_unique,
+           LENGTH(REPLACE(text, ' ', ''))                          AS n_chars_nospace,
+           CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+             / LEN(STRING_SPLIT(text, ' '))                        AS type_token_ratio
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, regex tokens (BPE-ish atom
+    pattern), unique count, type/token ratio.  One codegen'd pass."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias("n_tokens_re"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.length(F.regexp_replace("text", " ", "")).alias("n_chars_nospace"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("type_token_ratio"),
+    )
+
+
+def _lang_scores(toks):
+    """Distinct-hit score per language as a dict of Columns."""
+    return {
+        lang: F.size(
+            F.array_intersect(
+                F.array_distinct(toks), F.array(*[F.lit(w) for w in words])
+            )
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+@REG.query(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS true_lang,
+        {", ".join(
+            "CAST(LEN(LIST_INTERSECT(LIST_DISTINCT(STRING_SPLIT(text, ' ')), "
+            + _sql_list(words) + f")) AS INT) AS score_{lang}"
+            for lang, words in LANG_MARKERS.items()
+        )}
+      FROM documents
+    )
+    SELECT doc_id, true_lang,
+           score_en, score_de, score_es, score_fr, score_zh,
+           CASE
+             WHEN score_en = 0 AND score_de = 0 AND score_es = 0
+              AND score_fr = 0 AND score_zh = 0 THEN 'und'
+             WHEN score_en >= score_de AND score_en >= score_es
+              AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+             WHEN score_de >= score_es AND score_de >= score_fr
+              AND score_de >= score_zh THEN 'de'
+             WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+             WHEN score_fr >= score_zh THEN 'fr'
+             ELSE 'zh'
+           END AS pred_lang
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by marker-word hits (distinct-token intersection with
+    per-language lists), argmax with fixed precedence en>de>es>fr>zh and
+    'und' when no list hits.  A real lang-id just swaps in bigger lists /
+    char n-grams; the dataflow (map-only scoring, no shuffle) is the
+    point."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    s = _lang_scores(toks)
+    pred = F.when(
+        (s["en"] == 0) & (s["de"] == 0) & (s["es"] == 0) & (s["fr"] == 0) & (s["zh"] == 0),
+        "und",
+    )
+    remaining = list(LANG_ORDER)
+    for lang in LANG_ORDER[:-1]:
+        remaining.remove(lang)
+        cond = None
+        for other in remaining:
+            c = s[lang] >= s[other]
+            cond = c if cond is None else (cond & c)
+        pred = pred.when(cond, lang)
+    pred = pred.otherwise(LANG_ORDER[-1])
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        *[s[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+        pred.alias("pred_lang"),
+    )
+
+
+@REG.query(
+    "text_quality_score",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS n_tokens,
+             CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE) AS n_unique,
+             CAST(LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+                  ['the', 'a', 'of', 'and', 'to'])) AS DOUBLE) AS n_stop_types,
+             CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           n_unique / n_tokens                    AS uniq_ratio,
+           n_stop_types / n_unique                AS stop_ratio,
+           n_chars / n_tokens                     AS avg_tok_len,
+           LEAST(n_tokens / 64.0, 1.0) * 0.4
+             + (n_unique / n_tokens) * 0.4
+             + (1.0 - n_stop_types / n_unique) * 0.2 AS quality
+    FROM feats
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length saturation + lexical diversity +
+    stopword-type penalty.  Weights fixed; arithmetic written in the
+    same op order as the oracle so doubles match bit-for-bit."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")])
+    feats = docs.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("double").alias("n_unique"),
+        F.size(F.array_intersect(toks, stop)).cast("double").alias("n_stop_types"),
+        F.length(F.regexp_replace("text", " ", "")).cast("double").alias("n_chars"),
+    )
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_unique") / F.col("n_tokens")).alias("uniq_ratio"),
+        (F.col("n_stop_types") / F.col("n_unique")).alias("stop_ratio"),
+        (F.col("n_chars") / F.col("n_tokens")).alias("avg_tok_len"),
+        (
+            F.least(F.col("n_tokens") / 64.0, F.lit(1.0)) * 0.4
+            + (F.col("n_unique") / F.col("n_tokens")) * 0.4
+            + (F.lit(1.0) - F.col("n_stop_types") / F.col("n_unique")) * 0.2
+        ).alias("quality"),
+    )
+
+
+@REG.query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH {SHINGLE_SQL_CTE},
+    positioned AS (
+      SELECT t.doc_id, r.i AS pos, v.sid
+      FROM toks t, UNNEST(RANGE(1, LEN(t.tok_arr) - 1)) AS r(i), vocab v
+      WHERE v.shingle = ARRAY_TO_STRING(t.tok_arr[r.i:r.i+2], ' ')
+    )
+    SELECT doc_id,
+           CAST(SUM(CAST(pos AS BIGINT) * sid) % 1000000007 AS BIGINT) AS fp_poly,
+           CAST(BIT_XOR(CAST(sid * 2654435761 % 2147483648 AS BIGINT)) AS BIGINT)
+             AS fp_xor,
+           COUNT(*) AS n_shingles
+    FROM positioned
+    GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash-style document fingerprint over positioned 3-gram
+    shingles: position-weighted polynomial sum mod prime + an order-free
+    XOR of Knuth-multiplicative shingle hashes.  Fingerprint equality is
+    the cheap first-stage duplicate signal; dedup.py's MinHash handles
+    near-misses."""
+    docs = read_table(spark, sf_dir, "documents")
+    shingle_arr = F.expr(
+        """
+        CASE WHEN size(split(text, ' ')) < 3 THEN array()
+             ELSE transform(sequence(1, size(split(text, ' ')) - 2),
+                            i -> concat_ws(' ', slice(split(text, ' '), i, 3)))
+        END
+        """
+    )
+    positioned = docs.select(
+        "doc_id", F.posexplode(shingle_arr).alias("pos0", "shingle")
+    ).withColumn("pos", F.col("pos0") + 1)
+    vocab = shingle_vocab(doc_shingles(spark, sf_dir))
+    joined = positioned.join(vocab, "shingle")
+    return joined.groupBy("doc_id").agg(
+        (F.sum(F.col("pos").cast("long") * F.col("sid")) % F.lit(1000000007))
+        .cast("bigint")
+        .alias("fp_poly"),
+        F.expr("bit_xor(CAST(sid * 2654435761 % 2147483648 AS BIGINT))").alias("fp_xor"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    )
