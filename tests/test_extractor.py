@@ -1,0 +1,169 @@
+"""Extractor tests against the fake Firebase REST server (FIXTURES.md §2):
+page-boundary exactness, AIMD halving/growth, go-deeper descent, deep
+chains, unicode keys, randomized roundtrips.
+
+Semantics under test come from the reference:
+- boundary dedup        src/BackupProcessor.php:195-197
+- AIMD halving/growth   src/BackupProcessor.php:171,182-189
+- go-deeper             src/BackupProcessor.php:173-179
+- bounded shallow retry src/BackupProcessor.php:80-87
+"""
+
+import random
+
+import pytest
+
+from firebase_realtime_database_backup_spark.sources.firebase import (
+    FakeFirebase,
+    FirebaseExtractor,
+    FirebaseTransportError,
+    extract,
+)
+from firebase_realtime_database_backup_spark.sources.tree import tree_to_dict
+
+
+def extract_dict(tree: dict, **kw) -> tuple[dict, FirebaseExtractor]:
+    """Run the extractor over a fake server; reassemble rows to a dict."""
+    fake = FakeFirebase(tree, **{k: v for k, v in kw.items() if k.startswith(("max_payload", "flaky"))})
+    ex = FirebaseExtractor(
+        fake,
+        **{k: v for k, v in kw.items() if k in ("max_ipp", "root_start_ipp")},
+    )
+    rows = list(ex.iter_rows())
+    assert len({(p, k) for p, k, *_ in rows}) == len(rows), "duplicate (path,key) rows"
+    root: dict = {}
+    import json
+
+    paths = {p for p, *_ in rows}
+    for p, k, vj, _ in sorted(rows, key=lambda r: (r[3], r[0], r[1])):
+        node = root
+        if p not in ("", "/"):
+            for seg in p.strip("/").split("/"):
+                node = node.setdefault(seg, {})
+        v = json.loads(vj)
+        if isinstance(v, dict) and ((p.rstrip("/") or "") + "/" + k) in paths:
+            node.setdefault(k, {})
+        else:
+            node[k] = v
+    return root, ex
+
+
+@pytest.mark.parametrize("n", [1, 4, 5, 6, 50])
+def test_flat_wide_page_boundaries(n):
+    """Page sizes around the ipp boundary: every key exactly once
+    (last-page detection + exclusive cursors)."""
+    tree = {f"k{str(i).zfill(4)}": i for i in range(n)}
+    got, ex = extract_dict(tree, max_ipp=5, root_start_ipp=5)
+    assert got == tree
+    assert ex.stats.rows == n
+
+
+def test_boundary_dedup_no_duplicates_many_pages():
+    tree = {f"-N{str(i).zfill(5)}": {"v": i} for i in range(57)}
+    got, ex = extract_dict(tree, max_ipp=10, root_start_ipp=10)
+    assert got == tree
+    assert ex.stats.rows == 57
+    assert ex.stats.pages >= 6
+
+
+def test_aimd_halving_and_go_deeper_hot_node():
+    """A hot subtree forces halving to MIN_IPP then descent; small
+    siblings still come through the parent pages."""
+    hot = {f"g{str(i).zfill(4)}": "x" * 50 for i in range(200)}
+    tree = {"a": 1, "b": 2, "hot": hot, "z": 3}
+    got, ex = extract_dict(tree, max_payload_bytes=2000)
+    assert got == tree
+    assert ex.stats.halvings > 0
+    assert ex.stats.go_deepers >= 1
+
+
+def test_deep_chain_descends_iteratively():
+    """50-level single-child chain with an oversized payload at every
+    level: go-deeper all the way down, no recursion depth involved."""
+    leaf = {"payload": "y" * 500}
+    tree = leaf
+    for i in reversed(range(50)):
+        tree = {f"lvl{str(i).zfill(2)}": tree}
+    got, ex = extract_dict(tree, max_payload_bytes=600)
+    assert got == tree
+    # descends until the remaining subtree fits the payload budget
+    # (~12 bytes of JSON wrapper per level around a 500-byte leaf)
+    assert ex.stats.go_deepers >= 40
+
+
+def test_aimd_growth_after_successes():
+    tree = {f"k{str(i).zfill(4)}": i for i in range(400)}
+    fake = FakeFirebase(tree)
+    ex = FirebaseExtractor(fake, max_ipp=1000, root_start_ipp=8)
+    assert tree == dict_of(ex)
+    assert ex.stats.growths > 0  # 8 → grows after 5 successful pages
+
+
+def dict_of(ex: FirebaseExtractor) -> dict:
+    import json
+
+    return {k: json.loads(vj) for _, k, vj, _ in ex.iter_rows()}
+
+
+def test_unicode_and_awkward_keys():
+    tree = {"héllo": 1, "用户": {"x": "中文值"}, "a b": True, "-Nzz": [1, 2, 3]}
+    got, _ = extract_dict(tree)
+    assert got == tree
+
+
+def test_mixed_leaf_types_preserved():
+    tree = {
+        "s": "str",
+        "i": 42,
+        "f": 2.5,
+        "b": False,
+        "arr": [1, "two", 3.0],
+        "nested": {"deep": {"leaf": "v"}},
+    }
+    got, _ = extract_dict(tree)
+    assert got == tree
+
+
+def test_shallow_retry_bounded():
+    tree = {"a": {"big": "x" * 500}}
+    fake = FakeFirebase(tree, max_payload_bytes=100, flaky_shallow_failures=3)
+    ex = FirebaseExtractor(fake)
+    rows = list(ex.iter_rows())  # 3 failures < 10 retries → succeeds
+    assert rows
+    assert ex.stats.shallow_retries == 3
+
+    fake2 = FakeFirebase(tree, max_payload_bytes=100, flaky_shallow_failures=25)
+    ex2 = FirebaseExtractor(fake2)
+    with pytest.raises(FirebaseTransportError):
+        list(ex2.iter_rows())
+
+
+def gen_tree(rng: random.Random, depth: int, fanout: int):
+    if depth == 0 or rng.random() < 0.3:
+        return rng.choice(
+            [rng.randint(0, 10**6), "w" + str(rng.randint(0, 999)), True, 2.5, [1, 2]]
+        )
+    return {
+        f"n{rng.randint(0, 10**4):05d}": gen_tree(rng, depth - 1, fanout)
+        for _ in range(rng.randint(1, fanout))
+    }
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 7])
+def test_randomized_roundtrip(seed):
+    rng = random.Random(seed)
+    tree = {
+        f"t{i:03d}": gen_tree(rng, depth=4, fanout=6) for i in range(rng.randint(2, 8))
+    }
+    got, _ = extract_dict(tree, max_payload_bytes=700)
+    assert got == tree
+
+
+def test_parallel_extract_to_dataframe(spark):
+    tree = {
+        "users": {f"u{i:03d}": {"name": f"user{i}", "score": i} for i in range(40)},
+        "config": {"version": 3, "flags": {"beta": True}},
+        "counter": 17,
+    }
+    df = extract(spark, FakeFirebase(tree), parallelism=4)
+    assert tree_to_dict(df) == tree

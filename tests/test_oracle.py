@@ -1,0 +1,28 @@
+"""Full registry ↔ DuckDB oracle gate at sf0.001 (fast local replica of
+the driver's CORRECTNESS check; the driver runs sf0.01)."""
+
+from firebase_realtime_database_backup_spark import verify
+
+
+def test_all_queries_match_oracle(spark):
+    results = verify.run_all(spark, "/root/testdata/sf0.001")
+    failures = [r for r in results if not r.ok]
+    assert not failures, [f"{r.name}: {r.details}" for r in failures]
+    assert len(results) >= 45
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"r_name", "l_returnflag", "revenue", "n_items"} == set(df.columns)
+
+
+def test_every_oracle_has_query(spark):
+    import __spark_entry__ as entrymod
+
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 45
