@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect, no count()-only column pruning shortcuts).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # relational core
+    "flagship_revenue",
+    "pricing_summary",
+    "join_inner_equi",
+    "join_broadcast_dim",
+    "join_left_anti",
+    "agg_rollup",
+    "window_running_frame",
+    "sort_topk",
+    # scalar / json
+    "json_from_json_struct",
+    "scalar_string_funcs",
+    # streaming (batch mode)
+    "stream_window_tumbling",
+    "stream_window_session",
+    # LLM-data operators
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_fingerprint",
+    "multimodal_media_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from firebase_realtime_database_backup_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="frdb-spark-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    import __spark_entry__ as entry
+
+    queries = entry.queries()
+
+    # warmup: session JIT + file listing + footer reads, not measured
+    from firebase_realtime_database_backup_spark.catalog import TABLES, read_table
+
+    for name in TABLES:
+        read_table(spark, sf_dir, name).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -40,6 +40,22 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_engine_conf(spark: SparkSession) -> None:
+    """Set the runtime-settable confs the engine's semantics depend on,
+    for sessions NOT built by session.get_spark (e.g. a harness passes
+    its own).  Spark 4 rejects INT64 TIMESTAMP(NANOS) parquet unless
+    nanosAsLong is on; UTC keeps timestamp rendering deterministic.
+    """
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this deployment — session factory owns it
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan of one test table.
 
@@ -49,6 +65,8 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        ensure_engine_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # events.ts is parquet timestamp[ns], read as raw nanos

@@ -1,0 +1,190 @@
+"""Event-time windowed aggregations: tumbling, sliding, session — defined
+ONCE as batch-compatible transformations and reused verbatim under
+Structured Streaming (`stream_events` + `as_stream`), so batch results
+are the oracle for stream results by construction (SURVEY.md §7.6).
+
+The reference has no streaming at all (SURVEY.md §2.B); this is part of
+the engine's extension surface mandated by the north star.  Batch mode
+is DuckDB-oracle-checked; stream-vs-batch parity is pytest-checked
+(tests/test_streaming.py); late-data semantics (watermarks) exist only
+in stream mode and are documented, not oracle-checked.
+
+Scale notes (100 TB / unbounded):
+- Tumbling/sliding windows are hash aggregations on (window, keys) —
+  partial aggregation applies, state size is windows x keys, bounded by
+  the watermark horizon in stream mode.
+- Session windows are Spark's native session_window (merging state
+  store); the batch twin is the classic gaps-and-islands rewrite the
+  DuckDB oracle uses.
+- Always aggregate with a watermark in production streams — without it
+  state grows forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from firebase_realtime_database_backup_spark.catalog import read_table
+from firebase_realtime_database_backup_spark.operators.relational import oround
+from firebase_realtime_database_backup_spark.registry import Registry
+
+REG = Registry()
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+# --- transformations (batch AND streaming) --------------------------------
+
+def tumbling_counts(events: DataFrame, width: str = "10 minutes") -> DataFrame:
+    w = F.window("ts", width)
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    w = F.window("ts", width, slide)
+    return (
+        events.groupBy(w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.unix_millis(F.col("w.start")).alias("window_start_ms"), "n_events")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    w = F.session_window("ts", gap)
+    return (
+        events.groupBy(w.alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --- streaming entry points ----------------------------------------------
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """readStream over a directory of events parquet (file source — the
+    test/local stand-in for Kafka; swap `format` in production)."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+
+
+def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Late-data horizon: rows later than max(event time) - delay are
+    dropped from open aggregations and their state reclaimed."""
+    return events.withWatermark("ts", delay)
+
+
+def run_stream_to_memory(
+    agg: DataFrame, query_name: str, mode: str = "complete"
+):
+    """Drive a streaming aggregation into an in-memory table (tests)."""
+    return (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# --- oracle-checked batch queries ----------------------------------------
+
+@REG.query(
+    "stream_window_tumbling",
+    oracle=f"""
+    SELECT EPOCH_MS(TIME_BUCKET(INTERVAL 10 MINUTE, ts)) AS window_start_ms,
+           event_type,
+           COUNT(*) AS n_events,
+           {oround("SUM(value)")} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling windows per event type (batch mode of the
+    exact transformation the streaming pipeline runs)."""
+    return tumbling_counts(read_table(spark, sf_dir, "events"))
+
+
+@REG.query(
+    "stream_window_sliding",
+    oracle="""
+    WITH b AS (
+      SELECT EPOCH_MS(TIME_BUCKET(INTERVAL 5 MINUTE, ts)) AS tb, ts FROM events
+    ),
+    assigned AS (
+      SELECT w AS window_start_ms
+      FROM b, UNNEST([b.tb, b.tb - 300000]) AS u(w)
+      WHERE EPOCH_MS(ts) >= w AND EPOCH_MS(ts) < w + 600000
+    )
+    SELECT window_start_ms, COUNT(*) AS n_events
+    FROM assigned
+    GROUP BY window_start_ms
+    """,
+)
+def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 (each event lands in 2 windows;
+    the oracle materializes both candidate starts per event)."""
+    return sliding_counts(read_table(spark, sf_dir, "events"))
+
+
+@REG.query(
+    "stream_window_session",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL
+                  OR EPOCH_US(ts) - EPOCH_US(prev_ts) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           EPOCH_MS(MIN(ts)) AS session_start_ms,
+           COUNT(*) AS n_events,
+           {oround("SUM(value)")} AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap session windows per user.  Spark: native
+    session_window (streaming-capable merging state); oracle: the
+    gaps-and-islands rewrite — lag + cumulative new-session flags.
+    Session semantics: a session extends while consecutive events are
+    < gap apart; window.start = first event's time."""
+    return session_counts(read_table(spark, sf_dir, "events"))

@@ -1,0 +1,101 @@
+"""Structured Streaming parity + watermark semantics.
+
+Parity strategy (SURVEY.md §7.6): the SAME transformation function runs
+in batch (DuckDB-oracle-checked) and under readStream; stream output
+must equal batch output on identical input.  Late-data drop is asserted
+with a two-file source processed one file per micro-batch.
+"""
+
+import os
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from firebase_realtime_database_backup_spark.catalog import read_table
+from firebase_realtime_database_backup_spark.streaming.windows import (
+    run_stream_to_memory,
+    session_counts,
+    sliding_counts,
+    stream_events,
+    tumbling_counts,
+    with_watermark,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """sf0.001 events re-materialized with µs timestamps (the stream
+    schema) in a streamable directory."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    read_table(spark, "/root/testdata/sf0.001", "events").coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(d)
+    return d
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize(
+    "transform", [tumbling_counts, sliding_counts, session_counts],
+    ids=["tumbling", "sliding", "session"],
+)
+def test_stream_batch_parity(spark, events_dir, transform):
+    batch = transform(spark.read.parquet(events_dir))
+    name = f"parity_{transform.__name__}"
+    q = run_stream_to_memory(transform(stream_events(spark, events_dir)), name)
+    q.awaitTermination(120)
+    got = spark.table(name)
+    assert _sorted_rows(got) == _sorted_rows(batch)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """An event older than the watermark horizon must not reopen its
+    closed window (append mode, one file per micro-batch)."""
+    d = str(tmp_path / "late_events")
+    os.makedirs(d)
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    # batch 1: window 10:00 gets 3 events; 10:20 event advances the
+    # watermark to 10:10, closing [10:00, 10:10)
+    write_file(
+        [(1, t(1), 1, "click", 1.0, "{}"), (2, t(4), 1, "click", 1.0, "{}"),
+         (3, t(9), 1, "click", 1.0, "{}"), (4, t(20), 1, "click", 1.0, "{}")]
+    )
+    stream = spark.readStream.schema(schema).parquet(d)
+    agg = (
+        with_watermark(stream, "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_millis(F.col("w.start")).alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_test")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1 fully processed, watermark 10:10
+        # batch 2: a LATE event for the closed 10:00 window + on-time event
+        write_file([(5, t(5), 1, "late", 1.0, "{}"), (6, t(30), 1, "click", 1.0, "{}")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r.ws: r.n for r in spark.table("late_test").collect()}
+    ws_1000 = 1704103200000  # 2024-01-01 10:00 UTC
+    assert rows.get(ws_1000) == 3, (
+        f"closed 10:00 window must hold only the 3 on-time events, got {rows}"
+    )
