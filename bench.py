@@ -59,11 +59,20 @@ def main() -> None:
 
     queries = entry.queries()
 
-    # warmup: session JIT + file listing + footer reads, not measured
+    # Warmup, not measured: file listing + footer reads at the bench SF,
+    # plus one full pass of every headline query at sf0.001 so codegen
+    # compilation, JIT, and Python-worker spin-up happen outside the
+    # timed region.  Measured numbers are steady-state throughput.
     from firebase_realtime_database_backup_spark.catalog import TABLES, read_table
 
     for name in TABLES:
         read_table(spark, sf_dir, name).count()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            queries[name](spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

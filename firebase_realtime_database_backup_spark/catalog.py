@@ -79,6 +79,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
+    """Repartition ONLY when the scan under `df` yields fewer partitions
+    than the session's parallelism wants (small/single-file local inputs
+    — one 0.6 MB parquet file is one task, serializing CPU-heavy
+    downstream work onto one of 32 cores).  On a real cluster a 100 TB
+    input already splits into >> cores partitions and this is a no-op,
+    so the shuffle it introduces exists only where it pays for itself.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, int(target * min_ratio)):
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: read_table(spark, sf_dir, name) for name in TABLES}
 

@@ -70,23 +70,36 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, i, mh): k=16 affine minhashes over shingle-id sets."""
-    dshingle = doc_shingle_ids(spark, sf_dir)
-    ks = spark.range(MINHASH_K).select(F.col("id").cast("long").alias("i"))
-    return (
-        dshingle.crossJoin(F.broadcast(ks))
-        .select(
-            "doc_id",
-            "i",
-            (
-                ((2 * F.col("i") + 3) * F.col("sid").cast("long") + (5 * F.col("i") + 7))
-                % MINHASH_P
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("mh"))
+def _minhash_signatures(dshingle: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh15): k=16 affine minhashes over shingle-id sets.
+
+    All k hashes are aggregated in ONE groupBy(doc_id) pass — k min()
+    columns, not a k-way row blowup — so the shingle relation is
+    shuffled exactly once and map-side partial aggregation applies.
+    """
+    sid = F.col("sid").cast("long")
+    return dshingle.groupBy("doc_id").agg(
+        *[
+            F.min(((2 * i + 3) * sid + (5 * i + 7)) % MINHASH_P).alias(f"mh{i}")
+            for i in range(MINHASH_K)
+        ]
     )
+
+
+def _band_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key): fold each 4-row band of the signature
+    into one integer key — pure column arithmetic, no extra shuffle."""
+    band_key = [
+        sum(
+            F.col(f"mh{b * ROWS_PER_BAND + r}") * F.lit(BAND_WEIGHTS[r])
+            for r in range(ROWS_PER_BAND)
+        ).cast("long")
+        for b in range(BANDS)
+    ]
+    return sig.select(
+        "doc_id",
+        F.posexplode(F.array(*band_key)).alias("band", "band_key"),
+    ).withColumn("band", F.col("band").cast("long"))
 
 
 @REG.query(
@@ -141,16 +154,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB, band keys are the partition keys and skewed bands (giant
     dup clusters) are exactly what AQE skew-join splits."""
     dshingle = doc_shingle_ids(spark, sf_dir).cache()
-    sig = _minhash_signatures(spark, sf_dir)
-    band_weight = (
-        F.when(F.col("i") % ROWS_PER_BAND == 0, BAND_WEIGHTS[0])
-        .when(F.col("i") % ROWS_PER_BAND == 1, BAND_WEIGHTS[1])
-        .when(F.col("i") % ROWS_PER_BAND == 2, BAND_WEIGHTS[2])
-        .otherwise(BAND_WEIGHTS[3])
-    )
-    bands = sig.groupBy(
-        "doc_id", (F.col("i") / ROWS_PER_BAND).cast("long").alias("band")
-    ).agg(F.sum(F.col("mh") * band_weight).cast("long").alias("band_key"))
+    bands = _band_keys(_minhash_signatures(dshingle))
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -226,27 +230,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         ((F.col("sid").cast("long") * F.lit(2654435761)) % F.lit(2147483648)).alias("h"),
     )
-    js = spark.range(16).select(F.col("id").cast("long").alias("j"))
-    bits = (
-        hashed.crossJoin(F.broadcast(js))
-        .select(
-            "doc_id",
-            "j",
-            F.expr(
-                "CASE WHEN (h div CAST(power(2.0, j) AS BIGINT)) % 2 = 1"
-                " THEN 1 ELSE -1 END"
-            ).alias("w"),
-        )
-        .groupBy("doc_id", "j")
-        .agg(F.sum("w").alias("s"))
+    # 16 ±1 bit-sums as 16 aggregate columns of ONE groupBy(doc_id) —
+    # a single shuffle with map-side partials, not a 16-way row blowup.
+    bit_w = [
+        F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        for j in range(16)
+    ]
+    sums = hashed.groupBy("doc_id").agg(
+        *[F.sum(bit_w[j]).alias(f"s{j}") for j in range(16)]
     )
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long")).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("simhash16")
+    fingerprint = sum(
+        F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0) for j in range(16)
     )
+    return sums.select("doc_id", fingerprint.cast("bigint").alias("simhash16"))
 
 
 @REG.query(

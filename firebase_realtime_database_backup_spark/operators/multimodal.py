@@ -41,7 +41,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from firebase_realtime_database_backup_spark.catalog import read_table
+from firebase_realtime_database_backup_spark.catalog import read_table, spread
 from firebase_realtime_database_backup_spark.registry import Registry
 
 REG = Registry()
@@ -126,8 +126,8 @@ def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-wise features in SQL — possible because the fake payload is
     ASCII (byte == codepoint), which is the whole point of the fake."""
     docs = read_table(spark, sf_dir, "documents")
-    payloads = docs.select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    payloads = spread(
+        docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     )
     return payloads.mapInPandas(_media_features, MEDIA_FEATURE_SCHEMA)
 
@@ -162,5 +162,7 @@ def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     produces).  Rows-only: the byte-repetition fake is deliberately not
     re-implemented in SQL."""
     docs = read_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    payloads = spread(
+        docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    )
     return payloads.mapInPandas(_fake_decode_batch, RASTER_SCHEMA)

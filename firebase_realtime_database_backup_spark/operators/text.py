@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from firebase_realtime_database_backup_spark.catalog import read_table
+from firebase_realtime_database_backup_spark.catalog import read_table, spread
 from firebase_realtime_database_backup_spark.registry import Registry
 
 REG = Registry()
@@ -50,13 +50,22 @@ SHINGLE_SQL_CTE = """
 
 
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — one row per word-3-gram occurrence."""
-    docs = read_table(spark, sf_dir, "documents")
+    """(doc_id, shingle) — one row per word-3-gram occurrence.
+
+    Tokenize ONCE into a column, then shingle by element access — a
+    lambda over `split(text)` re-runs the regex split per element
+    (higher-order functions are interpreted, no subexpression
+    elimination), turning an O(n) doc into O(n^2)."""
+    docs = spread(
+        read_table(spark, sf_dir, "documents").select(
+            "doc_id", F.split("text", " ").alias("toks")
+        )
+    )
     shingle_arr = F.expr(
         """
-        CASE WHEN size(split(text, ' ')) < 3 THEN array()
-             ELSE transform(sequence(1, size(split(text, ' ')) - 2),
-                            i -> concat_ws(' ', slice(split(text, ' '), i, 3)))
+        CASE WHEN size(toks) < 3 THEN array()
+             ELSE transform(sequence(1, size(toks) - 2),
+                            i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))
         END
         """
     )
@@ -66,13 +75,27 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def shingle_vocab(shingles: DataFrame) -> DataFrame:
     """(shingle, sid): deterministic dense integer ids, lexicographic.
 
-    Bounded single-partition window (vocabulary-sized input); open-vocab
-    scale path is xxhash64(shingle) with no dictionary at all.
+    Scalable global rank WITHOUT a single-partition window: bucket by
+    first byte (monotone w.r.t. lexicographic order), rank within each
+    bucket in parallel, then add broadcast per-bucket offsets.  The only
+    serial window runs over <=257 offset rows.  Open-vocab scale path
+    skips the dictionary entirely: xxhash64(shingle) (what
+    dedup_minhash_ml uses).
     """
+    distinct = shingles.select("shingle").distinct()
+    bucketed = distinct.withColumn(
+        "bucket", F.coalesce(F.ascii(F.substring("shingle", 1, 1)), F.lit(-1))
+    )
+    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    offsets = counts.select(
+        "bucket",
+        (F.sum("n").over(Window.orderBy("bucket")) - F.col("n")).alias("off"),
+    )
+    rn = F.row_number().over(Window.partitionBy("bucket").orderBy("shingle"))
     return (
-        shingles.select("shingle")
-        .distinct()
-        .withColumn("sid", F.row_number().over(Window.orderBy("shingle")))
+        bucketed.withColumn("rn", rn)
+        .join(F.broadcast(offsets), "bucket")
+        .select("shingle", (F.col("off") + F.col("rn")).cast("int").alias("sid"))
     )
 
 
@@ -279,12 +302,16 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     XOR of Knuth-multiplicative shingle hashes.  Fingerprint equality is
     the cheap first-stage duplicate signal; dedup.py's MinHash handles
     near-misses."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(
+        read_table(spark, sf_dir, "documents").select(
+            "doc_id", F.split("text", " ").alias("toks")
+        )
+    )
     shingle_arr = F.expr(
         """
-        CASE WHEN size(split(text, ' ')) < 3 THEN array()
-             ELSE transform(sequence(1, size(split(text, ' ')) - 2),
-                            i -> concat_ws(' ', slice(split(text, ' '), i, 3)))
+        CASE WHEN size(toks) < 3 THEN array()
+             ELSE transform(sequence(1, size(toks) - 2),
+                            i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))
         END
         """
     )
