@@ -38,6 +38,7 @@ def _registry() -> Registry:
     for modname in (
         "firebase_realtime_database_backup_spark.functions.scalar",
         "firebase_realtime_database_backup_spark.streaming.windows",
+        "firebase_realtime_database_backup_spark.streaming.stateful",
         "firebase_realtime_database_backup_spark.sources.tree",
     ):
         try:

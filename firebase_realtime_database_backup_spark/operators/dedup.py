@@ -320,3 +320,107 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("jaccard_dist"),
         )
     )
+
+
+# --- embedding-cosine near-dup -------------------------------------------
+
+EMB_DUP_PLANES = 4          # 2^4 = 16 buckets
+EMB_DUP_THRESHOLD = 0.45    # tuned for the synthetic corpus (random
+                            # vectors, max pairwise cosine ~0.6); use
+                            # 0.95+ for real embedding near-dups
+
+
+def _emb_dup_oracle() -> str:
+    from firebase_realtime_database_backup_spark.operators.similarity import (
+        _DOT,
+        _plane_sql,
+    )
+
+    dot = lambda a, b: _DOT.format(a=a, b=b)  # noqa: E731
+    cos_ab = (
+        f"{dot('a.emb', 'b.emb')} / (SQRT({dot('a.emb', 'a.emb')})"
+        f" * SQRT({dot('b.emb', 'b.emb')}))"
+    )
+    return f"""
+    WITH planes AS (
+      SELECT p, {_plane_sql("p")} AS v
+      FROM (SELECT UNNEST(RANGE(0, {EMB_DUP_PLANES})) AS p)
+    ),
+    buckets AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+             CAST(SUM(CASE WHEN {dot("pl.v", "e.embedding")} >= 0
+                           THEN CAST(POWER(2, pl.p) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM embeddings e, planes pl
+      GROUP BY e.vec_id, CAST(e.embedding AS DOUBLE[])
+    )
+    SELECT vec_id, nn_id, nn_cosine,
+           nn_cosine >= {EMB_DUP_THRESHOLD} AS is_dup
+    FROM (
+      SELECT a.vec_id, b.vec_id AS nn_id, {cos_ab} AS nn_cosine,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY {cos_ab} DESC, b.vec_id) AS rk
+      FROM buckets a JOIN buckets b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ) WHERE rk = 1
+    """
+
+
+@REG.query("dedup_embedding_cosine", oracle=_emb_dup_oracle())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: each vector's nearest neighbor among
+    vectors sharing its random-hyperplane LSH bucket, flagged as a
+    duplicate when cosine clears the threshold.
+
+    Scale shape: bucket id is map-side column math (4 broadcast
+    hyperplanes), the candidate space is an equi self-join on bucket —
+    never all pairs — and the NN cut is a per-vector window.  Recall
+    grows with more plane groups (band OR-ing), the same knob as
+    dedup_minhash_lsh's bands."""
+    from pyspark.sql import Window
+
+    from firebase_realtime_database_backup_spark.operators.similarity import (
+        _cosine,
+        _dot,
+        _spark_plane,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    planes = spark.range(EMB_DUP_PLANES).select(
+        F.col("id").cast("long").alias("p"), _spark_plane("id").alias("v")
+    )
+    signs = emb.crossJoin(F.broadcast(planes)).select(
+        "vec_id",
+        "emb",
+        F.when(
+            _dot(F.col("v"), F.col("emb")) >= 0,
+            F.pow(F.lit(2.0), F.col("p")).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("bit"),
+    )
+    buckets = signs.groupBy("vec_id", "emb").agg(
+        F.sum("bit").cast("bigint").alias("bucket")
+    )
+    a = buckets.select("vec_id", F.col("emb").alias("ae"), "bucket")
+    b = buckets.select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("emb").alias("be"),
+        F.col("bucket").alias("b_bucket"),
+    )
+    pairs = a.join(
+        b, (F.col("bucket") == F.col("b_bucket")) & (F.col("vec_id") != F.col("nn_id"))
+    ).select("vec_id", "nn_id", _cosine(F.col("ae"), F.col("be")).alias("nn_cosine"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("nn_cosine"), F.col("nn_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            "nn_id",
+            "nn_cosine",
+            (F.col("nn_cosine") >= EMB_DUP_THRESHOLD).alias("is_dup"),
+        )
+    )

@@ -684,3 +684,176 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     return all_c.subtract(big)
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / percentiles / distribution windows / as-of join
+# ---------------------------------------------------------------------------
+
+@REG.query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {oround("SUM(o_totalprice)")} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets (the general form rollup/cube specialize):
+    (status, priority), (status), and grand total in ONE pass — Spark
+    plans a single Expand + hash aggregate, not three scans + union."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@REG.query(
+    "agg_percentiles",
+    oracle=f"""
+    SELECT l_returnflag,
+           {oround("QUANTILE_CONT(l_quantity, 0.25)")} AS q25,
+           {oround("QUANTILE_CONT(l_quantity, 0.50)")} AS q50,
+           {oround("QUANTILE_CONT(l_quantity, 0.75)")} AS q75,
+           {oround("MEDIAN(l_extendedprice)")} AS median_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (linear interpolation —
+    identical definition in Spark `percentile` and DuckDB QUANTILE_CONT).
+    The approximate scale path is percentile_approx (t-digest sketch,
+    mergeable map-side); sketches differ across engines so the exact
+    form is the oracle-checked one."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.25), 2).alias("q25"),
+        F.round(F.percentile("l_quantity", 0.50), 2).alias("q50"),
+        F.round(F.percentile("l_quantity", 0.75), 2).alias("q75"),
+        F.round(F.median("l_extendedprice"), 2).alias("median_price"),
+    )
+
+
+@REG.query(
+    "window_percent_dist",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal), 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal), 6)    AS cume,
+           ROUND(CAST(c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_mktsegment)
+                 AS DOUBLE)
+                 / STDDEV_SAMP(c_acctbal) OVER (PARTITION BY c_mktsegment), 4)
+             AS zscore
+    FROM customer
+    """,
+)
+def window_percent_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: percent_rank / cume_dist / per-partition
+    z-score.  Value-deterministic (no unique-key tiebreak needed: ties
+    share pct_rank and cume by definition)."""
+    customer = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    wp = Window.partitionBy("c_mktsegment")
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(
+            (F.col("c_acctbal") - F.avg("c_acctbal").over(wp)).cast("double")
+            / F.stddev_samp("c_acctbal").over(wp),
+            4,
+        ).alias("zscore"),
+    )
+
+
+@REG.query(
+    "join_asof",
+    oracle="""
+    WITH ords AS (
+      SELECT o_custkey, o_orderdate,
+             MAX_BY(o_orderkey, o_orderkey)   AS o_orderkey,
+             MAX_BY(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(EPOCH_MS(e.ts) AS BIGINT) AS ts_ms,
+           o.o_orderkey AS last_orderkey,
+           CAST(EPOCH_MS(o.o_orderdate) AS BIGINT) AS last_orderdate_ms,
+           o.o_totalprice AS last_totalprice
+    FROM events e
+    ASOF LEFT JOIN ords o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the user's most recent order at or
+    before the event time.  Spark lacks a native ASOF JOIN; the naive
+    rewrite (range join + argmax) explodes into O(events x orders) per
+    key.  Scalable composition instead: UNION both sides tagged, one
+    shuffle on the key, then last(..., ignorenulls) over an ordered
+    window carries the latest order forward into each event row —
+    O((events + orders) log) with no pair blowup, the classic
+    merge-as-of expressed in Catalyst primitives.
+
+    Orders are pre-deduped to one per (custkey, date) via max_by so the
+    as-of match is deterministic under same-date ties."""
+    events = read_table(spark, sf_dir, "events")
+    orders = read_table(spark, sf_dir, "orders")
+    ords = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max_by("o_orderkey", "o_orderkey").alias("o_orderkey"),
+        F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+    )
+    left = events.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        "ts",
+        F.lit(None).cast("struct<okey:bigint,odate:timestamp,oprice:double>").alias("o"),
+    )
+    right = ords.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.struct(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderdate").alias("odate"),
+            F.col("o_totalprice").alias("oprice"),
+        ).alias("o"),
+    )
+    # Order rows sort before event rows at the same instant -> "at or
+    # before" inclusive semantics.
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = left.unionByName(right).withColumn(
+        "last_o", F.last("o", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.unix_millis("ts").alias("ts_ms"),
+            F.col("last_o.okey").alias("last_orderkey"),
+            F.unix_millis("last_o.odate").alias("last_orderdate_ms"),
+            F.col("last_o.oprice").alias("last_totalprice"),
+        )
+    )

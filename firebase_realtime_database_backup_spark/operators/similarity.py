@@ -254,3 +254,110 @@ def sim_brp_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist"),
         )
     )
+
+
+N_CENTROIDS = 16
+N_PROBE = 2
+
+#: squared-L2 via dot products, SAME left-to-right arithmetic in both
+#: engines: (e.e - 2*e.c) + c.c
+_DIST2 = (
+    "({ee} - 2*{ec} + {cc})"
+)
+
+
+@REG.query(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    assign AS (
+      SELECT vec_id, emb, cid, rn FROM (
+        SELECT v.vec_id, v.emb, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_DOT.format(a="v.emb", b="v.emb")}
+                          - 2*{_DOT.format(a="v.emb", b="c.ce")}
+                          + {_DOT.format(a="c.ce", b="c.ce")}, c.cid) AS rn
+        FROM vecs v, cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS q_id, emb AS qe, cid FROM (
+        SELECT v.vec_id, v.emb, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_DOT.format(a="v.emb", b="v.emb")}
+                          - 2*{_DOT.format(a="v.emb", b="c.ce")}
+                          + {_DOT.format(a="c.ce", b="c.ce")}, c.cid) AS rn
+        FROM vecs v, cents c
+        WHERE v.vec_id < {N_QUERIES}
+      ) WHERE rn <= {N_PROBE}
+    ),
+    scored AS (
+      SELECT p.q_id, a.vec_id AS c_id,
+             {_DOT.format(a="p.qe", b="a.emb")}
+               / (SQRT({_DOT.format(a="p.qe", b="p.qe")})
+                  * SQRT({_DOT.format(a="a.emb", b="a.emb")})) AS cosine
+      FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id
+    )
+    SELECT q_id, c_id, cosine, CAST(rk AS INT) AS rk FROM (
+      SELECT q_id, c_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, c_id) AS rk
+      FROM scored
+    ) WHERE rk <= {TOP_K}
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-k: a deterministic coarse quantizer (centroids
+    = the first N_CENTROIDS vectors, standing in for trained k-means)
+    assigns every vector to its nearest cell; queries probe their
+    N_PROBE nearest cells and run exact cosine only within them.
+
+    Scale shape: assignment is a map-side broadcast pass over the corpus
+    (centroid set is small by construction), the probe join is an equi
+    join on cell id — the inverted-file structure — and the final top-k
+    is a per-query window.  Swap the first-N centroid stand-in for
+    KMeans.fit centers at deployment; the dataflow is identical."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("ce")
+    )
+    dist2 = (
+        _dot(F.col("emb"), F.col("emb"))
+        - 2 * _dot(F.col("emb"), F.col("ce"))
+        + _dot(F.col("ce"), F.col("ce"))
+    )
+    pairs = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "emb", "cid", dist2.alias("d2")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    ranked = pairs.withColumn("rn", F.row_number().over(w_assign))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "emb", "cid")
+    probes = (
+        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE))
+        .select(F.col("vec_id").alias("q_id"), F.col("emb").alias("qe"), "cid")
+    )
+    scored = (
+        probes.join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            _cosine(F.col("qe"), F.col("emb")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("c_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "c_id", "cosine", "rk")
+    )

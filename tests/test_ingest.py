@@ -1,0 +1,54 @@
+"""JSONL / CSV ingest roundtrips: parquet -> text format -> DataFrame
+must be lossless (exceptAll empty both directions), the same identity
+invariant the reference's chunk-spill/restore cycle maintains."""
+
+from pyspark.sql import functions as F
+
+from firebase_realtime_database_backup_spark.catalog import read_table
+from firebase_realtime_database_backup_spark.sources.ingest import (
+    read_csv,
+    read_jsonl,
+    write_csv,
+    write_jsonl,
+)
+
+DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string"
+
+
+def _assert_same(a, b):
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    d = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, d)
+    back = read_jsonl(spark, d, DOCS_SCHEMA).select(*docs.columns)
+    _assert_same(docs, back)
+
+
+def test_jsonl_schema_inference(spark, tmp_path):
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang"
+    )
+    d = str(tmp_path / "docs_jsonl_infer")
+    write_jsonl(docs, d)
+    back = read_jsonl(spark, d)
+    assert dict(back.dtypes) == {"doc_id": "bigint", "lang": "string"}
+    assert back.count() == docs.count()
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    orders = read_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    d = str(tmp_path / "orders_csv")
+    write_csv(orders, d)
+    back = read_csv(
+        spark,
+        d,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double",
+    ).select(*orders.columns)
+    _assert_same(orders, back)
