@@ -25,7 +25,10 @@ HEADLINE = [
     "join_inner_equi",
     "join_broadcast_dim",
     "join_left_anti",
+    "join_asof",
     "agg_rollup",
+    "agg_grouping_sets",
+    "agg_percentiles",
     "window_running_frame",
     "sort_topk",
     # scalar / json
@@ -34,9 +37,12 @@ HEADLINE = [
     # streaming (batch mode)
     "stream_window_tumbling",
     "stream_window_session",
+    "stream_stateful_user_totals",
     # LLM-data operators
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "sim_cosine_topk",
+    "sim_ivf_topk",
     "text_fingerprint",
     "multimodal_media_features",
 ]

@@ -380,8 +380,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from firebase_realtime_database_backup_spark.operators.similarity import (
-        _cosine,
         _dot,
+        _norm,
         _spark_plane,
     )
 
@@ -403,16 +403,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     buckets = signs.groupBy("vec_id", "emb").agg(
         F.sum("bit").cast("bigint").alias("bucket")
-    )
-    a = buckets.select("vec_id", F.col("emb").alias("ae"), "bucket")
+    ).withColumn("nrm", _norm(F.col("emb")))
+    a = buckets.select("vec_id", F.col("emb").alias("ae"), "bucket",
+                       F.col("nrm").alias("an"))
     b = buckets.select(
         F.col("vec_id").alias("nn_id"),
         F.col("emb").alias("be"),
         F.col("bucket").alias("b_bucket"),
+        F.col("nrm").alias("bn"),
     )
     pairs = a.join(
         b, (F.col("bucket") == F.col("b_bucket")) & (F.col("vec_id") != F.col("nn_id"))
-    ).select("vec_id", "nn_id", _cosine(F.col("ae"), F.col("be")).alias("nn_cosine"))
+    ).select(
+        "vec_id",
+        "nn_id",
+        (_dot(F.col("ae"), F.col("be")) / (F.col("an") * F.col("bn"))).alias("nn_cosine"),
+    )
     w = Window.partitionBy("vec_id").orderBy(F.desc("nn_cosine"), F.col("nn_id"))
     return (
         pairs.withColumn("rk", F.row_number().over(w))

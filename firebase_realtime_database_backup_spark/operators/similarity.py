@@ -77,6 +77,14 @@ def _cosine(a, b) -> "F.Column":
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _norm(a) -> "F.Column":
+    """sqrt(dot(a, a)) — precompute ONCE per vector before a pair join.
+    cosine = dot(a,b)/(norm_a*norm_b) then costs one fold per pair
+    instead of three; the doubles are bit-identical to the inline form
+    (same fold, same order), so oracle hashes are unaffected."""
+    return F.sqrt(_dot(a, a))
+
+
 @REG.query(
     "sim_cosine_topk",
     oracle=f"""
@@ -109,15 +117,21 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free until the tiny per-query top-k window."""
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").cast("array<double>").alias("qe")
-    )
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    ).withColumn("qn", _norm(F.col("qe")))
     c = emb.select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").cast("array<double>").alias("ce")
-    )
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").cast("array<double>").alias("ce"),
+    ).withColumn("cn", _norm(F.col("ce")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", _cosine(F.col("qe"), F.col("ce")).alias("cosine"))
+        .select(
+            "q_id",
+            "c_id",
+            (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("c_id"))
     return (
@@ -209,17 +223,23 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    be = buckets.join(emb, "vec_id")
+    be = buckets.join(emb, "vec_id").withColumn("nrm", _norm(F.col("emb")))
     q = be.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("bucket"), F.col("emb").alias("qe")
+        F.col("vec_id").alias("q_id"), F.col("bucket"), F.col("emb").alias("qe"),
+        F.col("nrm").alias("qn"),
     )
     c = be.select(
         F.col("vec_id").alias("c_id"), F.col("bucket").alias("c_bucket"),
-        F.col("emb").alias("ce"),
+        F.col("emb").alias("ce"), F.col("nrm").alias("cn"),
     )
     scored = (
         q.join(c, (F.col("bucket") == F.col("c_bucket")) & (F.col("q_id") != F.col("c_id")))
-        .select("q_id", "c_id", "bucket", _cosine(F.col("qe"), F.col("ce")).alias("cosine"))
+        .select(
+            "q_id",
+            "c_id",
+            "bucket",
+            (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("c_id"))
     return (
@@ -325,26 +345,31 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     join on cell id — the inverted-file structure — and the final top-k
     is a per-query window.  Swap the first-N centroid stand-in for
     KMeans.fit centers at deployment; the dataflow is identical."""
+    # dot(e,e) / dot(c,c) computed ONCE per vector/centroid; the per-pair
+    # work is a single fold.  Arithmetic order matches the oracle's
+    # (ee - 2*ec) + cc exactly, so the doubles are bit-identical.
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
+    ).withColumn("ee", _dot(F.col("emb"), F.col("emb")))
     cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("ce")
+        F.col("vec_id").alias("cid"), F.col("emb").alias("ce"),
+        F.col("ee").alias("cc"),
     )
-    dist2 = (
-        _dot(F.col("emb"), F.col("emb"))
-        - 2 * _dot(F.col("emb"), F.col("ce"))
-        + _dot(F.col("ce"), F.col("ce"))
-    )
+    dist2 = F.col("ee") - 2 * _dot(F.col("emb"), F.col("ce")) + F.col("cc")
     pairs = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "emb", "cid", dist2.alias("d2")
+        "vec_id", "emb", "ee", "cid", dist2.alias("d2")
     )
     w_assign = Window.partitionBy("vec_id").orderBy("d2", "cid")
     ranked = pairs.withColumn("rn", F.row_number().over(w_assign))
-    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "emb", "cid")
+    assign = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "emb", "cid", F.sqrt("ee").alias("cn")
+    )
     probes = (
         ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE))
-        .select(F.col("vec_id").alias("q_id"), F.col("emb").alias("qe"), "cid")
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("emb").alias("qe"), "cid",
+            F.sqrt("ee").alias("qn"),
+        )
     )
     scored = (
         probes.join(assign, "cid")
@@ -352,7 +377,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.col("vec_id").alias("c_id"),
-            _cosine(F.col("qe"), F.col("emb")).alias("cosine"),
+            (_dot(F.col("qe"), F.col("emb")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("c_id"))
