@@ -169,29 +169,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    x = dshingle.alias("x")
-    y = dshingle.alias("y")
-    inter = (
-        cands.join(x, F.col("x.doc_id") == F.col("doc_a"))
-        .join(y, (F.col("y.doc_id") == F.col("doc_b")) & (F.col("y.sid") == F.col("x.sid")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # Verification: fold each doc's shingle set into ONE sorted array row
+    # (per-doc, not per-(doc,sid)), then candidate pairs verify map-side
+    # with array_intersect — no (doc_id, sid)-grain join, no per-pair
+    # shuffle.  doc_sets is one row per document; at sizes past broadcast
+    # range drop the hints and the joins become doc_id-key shuffles that
+    # AQE right-sizes — the array representation still avoids the
+    # row-grain intersection join.
+    doc_sets = dshingle.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("sid")).alias("sids")
     )
-    sizes = dshingle.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    sa = doc_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sids").alias("sids_a")
+    )
+    sb = doc_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sids").alias("sids_b")
+    )
+    n_common = F.size(F.array_intersect(F.col("sids_a"), F.col("sids_b")))
+    n_union = F.size("sids_a") + F.size("sids_b") - n_common
     out = (
-        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        cands.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            "n_common",
-            (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")).alias("n_union"),
-            (
-                F.col("n_common").cast("double")
-                / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
-            ).alias("jaccard"),
+            n_common.cast("bigint").alias("n_common"),
+            n_union.cast("bigint").alias("n_union"),
+            (n_common.cast("double") / n_union).alias("jaccard"),
         )
     )
     return out.filter(F.col("jaccard") >= JACCARD_THRESHOLD)

@@ -101,9 +101,19 @@ def shingle_vocab(shingles: DataFrame) -> DataFrame:
 
 def doc_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sid) distinct — the set representation used by MinHash /
-    SimHash / Jaccard.  Twin of SHINGLE_SQL_CTE's `dshingle`."""
+    SimHash / Jaccard.  Twin of SHINGLE_SQL_CTE's `dshingle`.
+
+    The vocab side is explicitly broadcast: it is vocabulary-sized (the
+    whole point of a dictionary), and Spark's size estimate for a
+    freshly-computed aggregate subplan is too conservative to pick the
+    broadcast automatically — without the hint this becomes a sort-merge
+    join shuffling the full occurrence stream by shingle string."""
     sh = doc_shingles(spark, sf_dir)
-    return sh.join(shingle_vocab(sh), "shingle").select("doc_id", "sid").distinct()
+    return (
+        sh.join(F.broadcast(shingle_vocab(sh)), "shingle")
+        .select("doc_id", "sid")
+        .distinct()
+    )
 
 
 # --- language-ID marker lists (tiny n-gram/stopword heuristic) -----------
@@ -319,7 +329,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(shingle_arr).alias("pos0", "shingle")
     ).withColumn("pos", F.col("pos0") + 1)
     vocab = shingle_vocab(doc_shingles(spark, sf_dir))
-    joined = positioned.join(vocab, "shingle")
+    joined = positioned.join(F.broadcast(vocab), "shingle")
     return joined.groupBy("doc_id").agg(
         (F.sum(F.col("pos").cast("long") * F.col("sid")) % F.lit(1000000007))
         .cast("bigint")
