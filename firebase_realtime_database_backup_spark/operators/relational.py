@@ -857,3 +857,72 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last_o.oprice").alias("last_totalprice"),
         )
     )
+
+
+@REG.query(
+    "agg_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {oround("SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END)")} AS qty_F,
+           {oround("SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END)")} AS qty_O,
+           CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS n_F,
+           CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS n_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (crosstab): status values become columns.  The pivot value
+    list is EXPLICIT — omitting it makes Spark run a distinct scan first
+    and caps at spark.sql.pivotMaxValues; fixed lists keep the plan a
+    single pass.  Compiles to exactly the conditional aggregation the
+    oracle spells out."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    piv = (
+        lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_F"),
+        F.col("O_qty").alias("qty_O"),
+        F.col("F_n").alias("n_F"),
+        F.col("O_n").alias("n_O"),
+    )
+
+
+@REG.query(
+    "sql_correlated_subquery",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    AND c_acctbal > 5000
+    """,
+)
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry point + correlated EXISTS: Catalyst decorrelates the
+    subquery into a left-semi join (verify: no per-row subquery
+    execution in the plan).  Registered views make the whole test
+    catalog addressable from spark.sql."""
+    from firebase_realtime_database_backup_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        AND c_acctbal > 5000
+        """
+    )
