@@ -1,0 +1,92 @@
+"""Property-based roundtrip tests (hypothesis): for ANY JSON tree, the
+export pipeline (AIMD paginated scan under an adversarially small
+payload budget) and the import pipeline (AIMD merge-PATCH writeback with
+injected failures) are exact inverses — the reference's implicit
+invariant (SURVEY.md §5.2), here machine-searched instead of hand-picked.
+
+No SparkSession needed: the extractor/writeback cores are driver-side
+components; their Spark materialization is covered by
+tests/test_extractor.py and tests/test_sinks.py.
+"""
+
+import json
+
+from hypothesis import given, settings, strategies as st
+
+from firebase_realtime_database_backup_spark.sinks.writeback import (
+    WritebackStats,
+    _write_path,
+)
+from firebase_realtime_database_backup_spark.sources.firebase import (
+    FakeFirebase,
+    FirebaseExtractor,
+)
+
+# Firebase-legal keys: no / . $ # [ ] or control chars; nonempty.
+_KEYS = st.text(
+    alphabet="abcxyzα中-_0159",
+    min_size=1,
+    max_size=6,
+)
+_LEAVES = st.one_of(
+    st.integers(min_value=-(2**40), max_value=2**40),
+    st.text(alphabet="ab çπ{}\"'\\\n", max_size=12),
+    st.booleans(),
+)
+# Non-empty dicts only: Firebase does not store empty maps, so an empty
+# dict is not representable and can't roundtrip by definition.
+_TREES = st.recursive(
+    _LEAVES,
+    lambda children: st.dictionaries(_KEYS, children, min_size=1, max_size=4),
+    max_leaves=25,
+).filter(lambda t: isinstance(t, dict))
+
+
+def _extracted_dict(tree: dict, **fake_kw) -> dict:
+    """Run the extractor and reassemble its row stream into a dict."""
+    ex = FirebaseExtractor(FakeFirebase(tree, **fake_kw), max_ipp=4)
+    out: dict = {}
+    for path, key, value_json, _depth in ex.iter_rows("/"):
+        node = out
+        for seg in path.strip("/").split("/"):
+            if seg:
+                node = node.setdefault(seg, {})
+        node[key] = json.loads(value_json)
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(tree=_TREES)
+def test_extract_is_lossless(tree):
+    assert _extracted_dict(tree) == tree
+
+
+@settings(max_examples=40, deadline=None)
+@given(tree=_TREES)
+def test_extract_under_tiny_payload_budget(tree):
+    """A 200-byte payload cap forces halvings and go-deeper descents on
+    any nontrivial tree; the row stream must still be exact."""
+    assert _extracted_dict(tree, max_payload_bytes=200) == tree
+
+
+@settings(max_examples=40, deadline=None)
+@given(tree=_TREES, data=st.data())
+def test_writeback_roundtrip_with_failures(tree, data):
+    """export → import into an empty store == identity, even when the
+    store rejects batches over a random size (forcing AIMD halving and
+    recursive split-on-failure)."""
+    rows = _extracted_dict(tree)  # what export produced
+    fail_over = data.draw(st.one_of(st.none(), st.integers(1, 3)))
+    # byte cap must exceed the largest single-leaf PATCH: ensure_ascii
+    # escaping inflates a 12-char unicode/backslash leaf to ~75 JSON
+    # bytes plus an escaped 6-char key (~38) and braces — ~125 worst
+    # case.  Below that, an unsplittable scalar correctly raises (the
+    # reference would spin forever at ipp=1; we fail fast instead).
+    fail_bytes = data.draw(st.one_of(st.none(), st.integers(150, 400)))
+    target = FakeFirebase(
+        {}, fail_updates_over=fail_over, fail_update_bytes=fail_bytes
+    )
+    stats = WritebackStats()
+    _write_path(target, "/", rows, stats)
+    assert target.tree == tree
+    assert stats.keys_written >= len(rows)
