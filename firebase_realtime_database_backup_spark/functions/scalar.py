@@ -20,6 +20,8 @@ may differ in the last ulp).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -315,4 +317,39 @@ def conditional_case_nullif(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("o_totalprice") >= 150000).alias("is_high"),
         F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("urgent_flag"),
+    )
+
+
+@REG.query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice * 0.07 + LEAST(o_totalprice, 1000.0) AS fee,
+           CAST(LENGTH(o_orderpriority) + (o_orderkey % 7) AS BIGINT) AS tag
+    FROM orders
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas UDF with a SQL oracle twin: the
+    fee arithmetic runs as numpy float64 ops on Arrow batches, which are
+    IEEE-754-identical to the JVM/DuckDB expression — proving the Python
+    escape hatch is hash-exact, not just approximately right.
+
+    Use built-ins when they exist (10-100x less overhead); this entry
+    exists to verify the escape hatch itself."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def fee(price: pd.Series) -> pd.Series:
+        return price * 0.07 + price.clip(upper=1000.0)
+
+    @pandas_udf("long")
+    def tag(prio: pd.Series, okey: pd.Series) -> pd.Series:
+        return prio.str.len().astype("int64") + (okey % 7)
+
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        fee(F.col("o_totalprice")).alias("fee"),
+        tag(F.col("o_orderpriority"), F.col("o_orderkey")).alias("tag"),
     )

@@ -926,3 +926,50 @@ def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND c_acctbal > 5000
         """
     )
+
+
+SALT_BUCKETS = 8
+
+
+@REG.query(
+    "join_salted_skew",
+    oracle=f"""
+    SELECT e.user_id, c.c_mktsegment,
+           COUNT(*) AS n_events,
+           {oround("SUM(e.value)")} AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY e.user_id, c.c_mktsegment
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join for skewed keys: events concentrate millions of rows
+    on few user_ids, so a plain hash join sends each hot key to ONE
+    task.  Salting fans each key across SALT_BUCKETS tasks: the big side
+    gets salt = event_id % B, the small side is exploded B ways, and the
+    join key becomes (key, salt).  Result identical to the plain join
+    (oracle is the unsalted SQL); the aggregation then reduces over the
+    salt fan-out.  AQE's skewJoin handles moderate skew automatically —
+    explicit salting is the deterministic tool for extreme single-key
+    skew (the reference's go-deeper hot-node case at relational scale,
+    src/BackupProcessor.php:173-179)."""
+    events = read_table(spark, sf_dir, "events")
+    customer = read_table(spark, sf_dir, "customer")
+    salted_e = events.withColumn(
+        "salt", F.pmod(F.col("event_id"), F.lit(SALT_BUCKETS)).cast("int")
+    )
+    salted_c = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1))).alias("salt"),
+    )
+    return (
+        salted_e.join(
+            salted_c,
+            (F.col("user_id") == F.col("c_custkey")) & (salted_e["salt"] == salted_c["salt"]),
+        )
+        .groupBy("user_id", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
