@@ -353,3 +353,42 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         fee(F.col("o_totalprice")).alias("fee"),
         tag(F.col("o_orderpriority"), F.col("o_orderkey")).alias("tag"),
     )
+
+
+@REG.query(
+    "udf_grouped_topn",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rk
+      FROM customer
+    ) WHERE rk <= 3
+    """,
+)
+def udf_grouped_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (applyInPandas): per-segment top-3 by
+    balance, computed with pandas sort inside each group.  Integer/exact
+    outputs keep it hash-comparable to the window-function oracle.  The
+    built-in window form is preferred in production (no Python); this
+    entry verifies the applyInPandas path — each group arrives as ONE
+    pandas DataFrame, so it only scales when groups are bounded
+    (segment-sized, not corpus-sized)."""
+    customer = read_table(spark, sf_dir, "customer")
+
+    def top3(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.sort_values(
+            ["c_acctbal", "c_custkey"], ascending=[False, True]
+        ).head(3)
+        out = out.assign(rk=range(1, len(out) + 1))
+        return out[["c_mktsegment", "c_custkey", "c_acctbal", "rk"]]
+
+    return (
+        customer.select("c_mktsegment", "c_custkey", "c_acctbal")
+        .groupBy("c_mktsegment")
+        .applyInPandas(
+            top3,
+            "c_mktsegment string, c_custkey bigint, c_acctbal double, rk bigint",
+        )
+    )

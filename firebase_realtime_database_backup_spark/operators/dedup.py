@@ -434,3 +434,66 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nn_cosine") >= EMB_DUP_THRESHOLD).alias("is_dup"),
         )
     )
+
+
+@REG.query("dedup_clusters")  # rows-only: iterative fixpoint, not one SQL query
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: connected components via
+    iterative min-label propagation — the step that turns pairwise
+    near-dup evidence into keep/drop decisions (keep = cluster min).
+
+    Each iteration: every node adopts the smallest label among itself
+    and its neighbors (two shuffles: edge join + min-agg).  Iterations
+    needed = graph diameter, which for dup clusters (near-cliques from
+    band collisions) is tiny; the driver loops until a fixpoint count
+    converges — the canonical Spark shape for iterative algorithms
+    (driver controls iteration, data never leaves executors).
+
+    Rows-only check: the fixpoint loop is not a single SQL query
+    (DuckDB's recursive CTEs forbid aggregation in the recursive arm);
+    correctness is pytest-asserted against a brute-force union-find in
+    tests/test_dedup_clusters.py."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # symmetric edge list incl. self-loops so isolated endpoints keep labels
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(8):  # diameter bound for near-clique dup clusters
+        neighbor_min = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["doc_a"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.cache()
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")

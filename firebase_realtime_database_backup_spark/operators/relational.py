@@ -973,3 +973,49 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@REG.query(
+    "events_funnel",
+    oracle="""
+    WITH stage AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           t_view IS NOT NULL AS saw_view,
+           (t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view)
+             AS clicked_after_view,
+           (t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view
+            AND t_purchase IS NOT NULL AND t_purchase > t_click)
+             AS purchased_after_click
+    FROM stage
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase) per user:
+    conditional-min stage timestamps in ONE aggregation pass, then pure
+    column predicates — no self-joins, no window, one shuffle on
+    user_id.  The standard product-analytics query at any scale."""
+    events = read_table(spark, sf_dir, "events")
+    stage = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    saw_view = F.col("t_view").isNotNull()
+    clicked = saw_view & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & F.col("t_purchase").isNotNull() & (
+        F.col("t_purchase") > F.col("t_click")
+    )
+    return stage.select(
+        "user_id",
+        saw_view.alias("saw_view"),
+        clicked.alias("clicked_after_view"),
+        purchased.alias("purchased_after_click"),
+    )
