@@ -1,0 +1,186 @@
+"""User-facing facade + CLI: the reference's two-command surface,
+Sparkified.
+
+Reference programmatic surface (SURVEY.md §3 entry point 3):
+    new BackupProcessor($url, $token, $temp_dir, $backup_file, $max_ipp)
+        ->do_backup($root_start_ipp)        src/BackupProcessor.php:20-53
+    new RestoreProcessor($url, $token, $backup_file, $temp_dir)
+        ->do_restore()                      src/RestoreProcessor.php:27-68
+
+Engine equivalents:
+    do_backup(spark, client, out_dir, ...)  extract -> partitioned parquet
+                                            snapshot + manifest
+    do_restore(spark, snapshot_dir, client_factory, ...)
+                                            snapshot -> AIMD writeback
+
+CLI (`python -m firebase_realtime_database_backup_spark <cmd> ...`)
+mirrors the reference's commands and options (C1-C5, SURVEY.md §2.A):
+positional command dispatch (frdbackup:15-35), -p/-k required options
+(AbstractCommand.php:95-114), URL templating https://<id>.firebaseio.com
+(AbstractCommand.php:11), default backup name <project>-<ISO-8601> with
+filename sanitizing (BackupProcessor.php:23-24,227), and the
+destructive-restore confirmation guard (ImportCommand.php:33-44) as
+--yes.  A real HTTP client is deliberately out of scope in this
+offline environment: pass any FirebaseClient implementation
+programmatically; the CLI wires FakeFirebase when given a JSON file
+(--tree-json), which also makes the full pipeline runnable in tests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as _dt
+import re
+import sys
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from firebase_realtime_database_backup_spark.sinks.snapshot import (
+    read_snapshot,
+    write_snapshot,
+)
+from firebase_realtime_database_backup_spark.sinks.writeback import writeback
+from firebase_realtime_database_backup_spark.sources.firebase import (
+    DEFAULT_MAX_IPP,
+    FirebaseClient,
+    extract,
+)
+
+URL_TEMPLATE = "https://%s.firebaseio.com"  # AbstractCommand.php:11
+
+
+def sanitize_name(name: str) -> str:
+    """The reference's output-name sanitizer:
+    preg_replace('/[^a-zA-Z0-9]+/', '-') (src/BackupProcessor.php:227)."""
+    return re.sub(r"[^a-zA-Z0-9]+", "-", name)
+
+
+def default_backup_name(project_id: str, now: _dt.datetime | None = None) -> str:
+    """<project>-<ISO-8601 now> (src/BackupProcessor.php:23-24)."""
+    now = now or _dt.datetime.now(_dt.timezone.utc)
+    return sanitize_name(f"{project_id}-{now.strftime('%Y-%m-%dT%H-%M-%S')}")
+
+
+def project_url(project_id: str) -> str:
+    return URL_TEMPLATE % project_id
+
+
+def do_backup(
+    spark: SparkSession,
+    client: FirebaseClient,
+    out_dir: str,
+    *,
+    max_ipp: int = DEFAULT_MAX_IPP,
+    root_start_ipp: int = DEFAULT_MAX_IPP,
+    parallelism: int = 8,
+) -> DataFrame:
+    """Export: AIMD paginated extract -> tree DF -> partitioned parquet
+    snapshot with manifest.  Returns the tree DF (lazy reuse)."""
+    tree = extract(
+        spark,
+        client,
+        max_ipp=max_ipp,
+        root_start_ipp=root_start_ipp,
+        parallelism=parallelism,
+    )
+    write_snapshot(tree, out_dir)
+    return tree
+
+
+def do_restore(
+    spark: SparkSession,
+    snapshot_dir: str,
+    client_factory: Callable[[], FirebaseClient],
+    *,
+    max_batch: int = DEFAULT_MAX_IPP,
+    driver_side: bool = False,
+):
+    """Import: snapshot -> AIMD batched merge-PATCH writeback."""
+    return writeback(
+        read_snapshot(spark, snapshot_dir),
+        client_factory,
+        max_batch=max_batch,
+        driver_side=driver_side,
+    )
+
+
+# ---------------------------------------------------------------------------
+# CLI (C1-C5)
+# ---------------------------------------------------------------------------
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="frdbackup-spark")
+    sub = p.add_subparsers(dest="command", required=True)  # C1 dispatch
+
+    def common(sp: argparse.ArgumentParser) -> None:
+        sp.add_argument("-p", "--project_id", required=True)  # C3
+        sp.add_argument("-k", "--project_key", default="")
+        sp.add_argument(
+            "--tree-json",
+            help="offline mode: path to a JSON file served via FakeFirebase",
+        )
+
+    exp = sub.add_parser("export")
+    common(exp)
+    exp.add_argument("--output_dir", default=None)
+    exp.add_argument("--max_ipp", type=int, default=DEFAULT_MAX_IPP)
+    exp.add_argument("--root_start_ipp", type=int, default=DEFAULT_MAX_IPP)
+
+    imp = sub.add_parser("import")
+    common(imp)
+    imp.add_argument("--backup_dir", required=True)
+    imp.add_argument("--yes", action="store_true", help="skip confirmation")  # C5
+    return p
+
+
+def _offline_client(tree_json: str | None):
+    import json
+
+    from firebase_realtime_database_backup_spark.sources.firebase import FakeFirebase
+
+    if tree_json is None:
+        raise SystemExit(
+            "no HTTP client available in this environment; pass --tree-json "
+            "or use the programmatic API with your own FirebaseClient"
+        )
+    with open(tree_json) as f:
+        return FakeFirebase(json.load(f))
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    from firebase_realtime_database_backup_spark.session import get_spark
+
+    spark = get_spark(app_name=f"frdbackup-spark-{args.command}")
+    if args.command == "export":
+        out = args.output_dir or default_backup_name(args.project_id)
+        client = _offline_client(args.tree_json)
+        tree = do_backup(
+            spark,
+            client,
+            out,
+            max_ipp=args.max_ipp,
+            root_start_ipp=args.root_start_ipp,
+        )
+        print(f"exported {tree.count()} tree rows from "
+              f"{project_url(args.project_id)} to {out}")
+        return 0
+
+    # import: destructive — confirmation guard (C5, ImportCommand.php:33-44)
+    if not args.yes:
+        print(
+            "WARNING: restoring overwrites target data (and cloud-function "
+            "triggers will fire).  Type 'yes' to continue:"
+        )
+        if input().strip().lower() != "yes":
+            print("aborted")
+            return 1
+    client = _offline_client(args.tree_json)
+    do_restore(spark, args.backup_dir, lambda: client, driver_side=True)
+    print(f"restored {args.backup_dir} into {project_url(args.project_id)}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,60 @@
+"""Facade + CLI: export -> restore end-to-end equals identity, and the
+naming/option semantics match the reference (sanitizer, URL template,
+confirmation guard)."""
+
+import json
+
+from firebase_realtime_database_backup_spark.api import (
+    default_backup_name,
+    do_backup,
+    do_restore,
+    main,
+    project_url,
+    sanitize_name,
+)
+from firebase_realtime_database_backup_spark.sources.firebase import FakeFirebase
+
+TREE = {
+    "users": {"u1": {"name": "ada", "age": 36}, "u2": {"name": "lin"}},
+    "cfg": {"dark": True, "limits": {"qps": 10}},
+    "motd": "hello",
+}
+
+
+def test_sanitizer_matches_reference_regex():
+    assert sanitize_name("my proj/2024:v1.0") == "my-proj-2024-v1-0"
+    assert project_url("demo") == "https://demo.firebaseio.com"
+    assert default_backup_name("p!d").startswith("p-d-")
+
+
+def test_backup_restore_identity(spark, tmp_path):
+    out = str(tmp_path / "snap")
+    do_backup(spark, FakeFirebase(json.loads(json.dumps(TREE))), out)
+    target = FakeFirebase({})
+    do_restore(spark, out, lambda: target, driver_side=True)
+    assert target.tree == TREE
+
+
+def test_cli_export_offline(spark, tmp_path, capsys):
+    src = tmp_path / "tree.json"
+    src.write_text(json.dumps(TREE))
+    out = str(tmp_path / "cli_snap")
+    rc = main([
+        "export", "-p", "demo", "--tree-json", str(src), "--output_dir", out,
+    ])
+    assert rc == 0
+    assert "exported" in capsys.readouterr().out
+
+
+def test_cli_import_requires_confirmation(spark, tmp_path, monkeypatch, capsys):
+    src = tmp_path / "tree.json"
+    src.write_text(json.dumps(TREE))
+    out = str(tmp_path / "cli_snap2")
+    main(["export", "-p", "demo", "--tree-json", str(src), "--output_dir", out])
+    monkeypatch.setattr("builtins.input", lambda: "no")
+    rc = main(["import", "-p", "demo", "--tree-json", str(src),
+               "--backup_dir", out])
+    assert rc == 1 and "aborted" in capsys.readouterr().out
+    rc = main(["import", "-p", "demo", "--tree-json", str(src),
+               "--backup_dir", out, "--yes"])
+    assert rc == 0
