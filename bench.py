@@ -29,8 +29,10 @@ HEADLINE = [
     "agg_rollup",
     "agg_grouping_sets",
     "agg_percentiles",
+    "join_salted_skew",
     "window_running_frame",
     "sort_topk",
+    "events_funnel",
     # scalar / json
     "json_from_json_struct",
     "scalar_string_funcs",
@@ -45,6 +47,10 @@ HEADLINE = [
     "sim_ivf_topk",
     "text_fingerprint",
     "multimodal_media_features",
+    "multimodal_frame_explode",
+    # pandas-UDF escape hatches
+    "udf_pandas_scalar",
+    "udf_grouped_topn",
 ]
 
 

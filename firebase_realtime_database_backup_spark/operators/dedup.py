@@ -386,28 +386,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from firebase_realtime_database_backup_spark.operators.similarity import (
         _dot,
         _norm,
-        _spark_plane,
+        bucket_column,
     )
 
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    planes = spark.range(EMB_DUP_PLANES).select(
-        F.col("id").cast("long").alias("p"), _spark_plane("id").alias("v")
-    )
-    signs = emb.crossJoin(F.broadcast(planes)).select(
+    buckets = emb.select(
         "vec_id",
         "emb",
-        F.when(
-            _dot(F.col("v"), F.col("emb")) >= 0,
-            F.pow(F.lit(2.0), F.col("p")).cast("long"),
-        )
-        .otherwise(F.lit(0).cast("long"))
-        .alias("bit"),
+        bucket_column(F.col("emb"), EMB_DUP_PLANES).alias("bucket"),
+        _norm(F.col("emb")).alias("nrm"),
     )
-    buckets = signs.groupBy("vec_id", "emb").agg(
-        F.sum("bit").cast("bigint").alias("bucket")
-    ).withColumn("nrm", _norm(F.col("emb")))
     a = buckets.select("vec_id", F.col("emb").alias("ae"), "bucket",
                        F.col("nrm").alias("an"))
     b = buckets.select(

@@ -166,3 +166,55 @@ def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     )
     return payloads.mapInPandas(_fake_decode_batch, RASTER_SCHEMA)
+
+
+FRAME_BYTES = 32  # bytes per sampled "frame"
+
+
+@REG.query(
+    "multimodal_frame_explode",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((p - 1) // {FRAME_BYTES} AS BIGINT)       AS frame_no,
+           CAST(SUM(UNICODE(SUBSTRING(text, p + o, 1))) AS BIGINT) AS frame_sum,
+           CAST(COUNT(*) AS BIGINT)                        AS frame_len
+    FROM documents,
+         UNNEST(RANGE(1, OCTET_LENGTH(ENCODE(text)) + 1, {FRAME_BYTES})) AS r(p),
+         UNNEST(RANGE(0, LEAST({FRAME_BYTES},
+                OCTET_LENGTH(ENCODE(text)) - p + 1))) AS s(o)
+    GROUP BY doc_id, (p - 1) // {FRAME_BYTES}
+    """,
+)
+def multimodal_frame_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: split each binary payload into fixed-width frames
+    and emit one ROW per frame (the video/audio decode shape: one blob
+    in, many frame records out) with a per-frame checksum.  The pandas
+    UDF yields a multi-row DataFrame per input batch — the fan-out path
+    a real frame extractor uses; partition count follows the input scan
+    so the explode never concentrates on one worker."""
+    import numpy as np
+
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = spread(
+        docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    )
+
+    schema = "doc_id bigint, frame_no bigint, frame_sum bigint, frame_len bigint"
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, sums, lens = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                for fno in range(0, (len(buf) + FRAME_BYTES - 1) // FRAME_BYTES):
+                    fr = buf[fno * FRAME_BYTES : (fno + 1) * FRAME_BYTES]
+                    ids.append(int(doc_id))
+                    nos.append(fno)
+                    sums.append(int(fr.sum(dtype=np.int64)))
+                    lens.append(len(fr))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": nos, "frame_sum": sums,
+                 "frame_len": lens}
+            )
+
+    return payloads.mapInPandas(frames, schema)

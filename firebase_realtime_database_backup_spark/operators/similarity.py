@@ -73,6 +73,31 @@ def _dot(a, b) -> "F.Column":
     )
 
 
+def _plane_values(p: int) -> list[float]:
+    """Hyperplane p as Python floats — the LCG is pure integer math and
+    the /2^31 - 0.5 is exact IEEE-754, so these equal the engine-side
+    computed values bit-for-bit."""
+    return [
+        ((1103515245 * (p * DIM + d) + 12345) % 2147483648) / 2147483648.0 - 0.5
+        for d in range(1, DIM + 1)
+    ]
+
+
+def bucket_column(emb_col, n_planes: int) -> "F.Column":
+    """LSH bucket id as PURE column arithmetic: the planes are
+    deterministic constants, so each sign bit is a dot against a literal
+    array — map-side only, no plane crossJoin, no groupBy, nothing
+    shuffled.  This is the form that runs inside the 100 TB scan."""
+    bits = [
+        F.when(
+            _dot(F.array(*[F.lit(v) for v in _plane_values(p)]), emb_col) >= 0,
+            F.lit(1 << p).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for p in range(n_planes)
+    ]
+    return sum(bits[1:], bits[0]).cast("bigint")
+
+
 def _cosine(a, b) -> "F.Column":
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
@@ -163,22 +188,12 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     signs packed into an 8-bit bucket.  Pure map + one per-vector agg —
     at 100 TB this runs in the scan with no shuffle of vector data."""
     emb = read_table(spark, sf_dir, "embeddings")
-    planes = spark.range(N_PLANES).select(
-        F.col("id").cast("long").alias("p"), _spark_plane("id").alias("v")
+    return emb.select(
+        "vec_id",
+        bucket_column(F.col("embedding").cast("array<double>"), N_PLANES).alias(
+            "bucket"
+        ),
     )
-    signs = (
-        emb.crossJoin(F.broadcast(planes))
-        .select(
-            "vec_id",
-            F.when(
-                _dot(F.col("v"), F.col("embedding").cast("array<double>")) >= 0,
-                F.pow(F.lit(2.0), F.col("p")).cast("long"),
-            )
-            .otherwise(F.lit(0).cast("long"))
-            .alias("bit"),
-        )
-    )
-    return signs.groupBy("vec_id").agg(F.sum("bit").cast("bigint").alias("bucket"))
 
 
 @REG.query(
