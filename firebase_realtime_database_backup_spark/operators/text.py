@@ -99,6 +99,13 @@ def shingle_vocab(shingles: DataFrame) -> DataFrame:
     )
 
 
+#: session-scoped materialized shingle-id relations, keyed by (session,
+#: sf_dir): MinHash, SimHash, Jaccard, and fingerprints all consume the
+#: same (doc_id, sid) set — build + cache it once per session, the
+#: DataFrame analog of a shared materialized view.
+_DSHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def doc_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sid) distinct — the set representation used by MinHash /
     SimHash / Jaccard.  Twin of SHINGLE_SQL_CTE's `dshingle`.
@@ -108,12 +115,19 @@ def doc_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     freshly-computed aggregate subplan is too conservative to pick the
     broadcast automatically — without the hint this becomes a sort-merge
     join shuffling the full occurrence stream by shingle string."""
+    key = (id(spark), sf_dir)
+    cached = _DSHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     sh = doc_shingles(spark, sf_dir)
-    return (
+    out = (
         sh.join(F.broadcast(shingle_vocab(sh)), "shingle")
         .select("doc_id", "sid")
         .distinct()
+        .cache()
     )
+    _DSHINGLE_CACHE[key] = out
+    return out
 
 
 # --- language-ID marker lists (tiny n-gram/stopword heuristic) -----------
