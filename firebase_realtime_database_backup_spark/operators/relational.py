@@ -1019,3 +1019,74 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicked.alias("clicked_after_view"),
         purchased.alias("purchased_after_click"),
     )
+
+
+@REG.query(
+    "tpch_q12_priority_lines",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (grouped by l_linestatus — the synthetic lineitem
+    has no l_shipmode): fact⋈fact join + conditional priority counts.
+    The shipdate range filter is pushed to the lineitem scan, so only
+    one year of the fact table is ever joined."""
+    lineitem = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@REG.query(
+    "tpch_q14_promo",
+    oracle=f"""
+    SELECT {oround(
+        "100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+        "/ SUM(l_extendedprice * (1 - l_discount))", 4)} AS promo_revenue_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    GROUP BY 1=1
+    """,
+)
+def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month.  `part`
+    scales with SF so it joins shuffle-side by default; the one-month
+    lineitem filter makes the probe side small."""
+    lineitem = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = read_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
+    return (
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias(
+                "promo_revenue_pct"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
