@@ -458,6 +458,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
+        .withColumn("changed", F.lit(False))
+        .localCheckpoint(eager=True)
     )
     for _ in range(8):  # diameter bound for near-clique dup clusters
         neighbor_min = (
@@ -465,24 +467,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # localCheckpoint truncates lineage per iteration (plans would
+        # otherwise grow linearly) and materializes once; the fixpoint
+        # test reads the materialized `changed` flag — no second join.
+        labels = (
             labels.join(neighbor_min, labels["doc_id"] == neighbor_min["doc_a"], "left")
             .select(
                 "doc_id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                (F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label")).alias(
+                    "changed"
+                ),
             )
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.cache()
-        if changed == 0:
+        if labels.filter(F.col("changed")).limit(1).count() == 0:
             break
     return labels.select(
         "doc_id", F.col("label").alias("cluster_id")
