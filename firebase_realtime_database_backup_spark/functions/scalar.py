@@ -392,3 +392,37 @@ def udf_grouped_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment string, c_custkey bigint, c_acctbal double, rk bigint",
         )
     )
+
+
+@REG.query(
+    "scalar_map_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           ['priority', 'status'] AS ks,
+           [o_orderpriority, o_orderstatus] AS vs,
+           CAST(2 AS INT) AS n_entries,
+           o_orderpriority AS via_lookup
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface: build a map from literals + columns, read it
+    back via map_keys / map_values / element_at / size.  Output is
+    rendered as sorted key/value ARRAYS because DuckDB's MAP and Spark's
+    MapType hash differently at the compare boundary — the lossless
+    comparable projection of a map."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 100 == 0
+    )
+    m = F.create_map(
+        F.lit("priority"), F.col("o_orderpriority"),
+        F.lit("status"), F.col("o_orderstatus"),
+    )
+    return orders.select(
+        "o_orderkey",
+        F.map_keys(m).alias("ks"),
+        F.map_values(m).alias("vs"),
+        F.size(m).alias("n_entries"),
+        F.element_at(m, F.lit("priority")).alias("via_lookup"),
+    )

@@ -1090,3 +1090,59 @@ def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@REG.query(
+    "events_resample_gapfill",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT user_id,
+             TIME_BUCKET(INTERVAL 1 HOUR, MIN(ts)) AS t0,
+             TIME_BUCKET(INTERVAL 1 HOUR, MAX(ts)) AS t1
+      FROM events WHERE user_id < 10 GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, UNNEST(GENERATE_SERIES(t0, t1, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds
+    ),
+    actual AS (
+      SELECT user_id, TIME_BUCKET(INTERVAL 1 HOUR, ts) AS bucket,
+             COUNT(*) AS n, {oround("SUM(value)")} AS v
+      FROM events WHERE user_id < 10 GROUP BY 1, 2
+    )
+    SELECT g.user_id, CAST(EPOCH_MS(g.bucket) AS BIGINT) AS bucket_ms,
+           COALESCE(a.n, 0) AS n_events,
+           COALESCE(a.v, 0.0) AS total_value
+    FROM grid g LEFT JOIN actual a
+      ON a.user_id = g.user_id AND a.bucket = g.bucket
+    """,
+)
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap filling: hourly buckets per user,
+    emitting an explicit ZERO row for silent hours (the difference
+    between a groupBy — which can't see absent data — and a resample).
+    The dense grid comes from sequence()+explode over each user's
+    [first, last] hour; grid size is users x hours, independent of event
+    count, so the fill join stays cheap at any event volume."""
+    events = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    hour = (F.unix_timestamp("ts") - F.unix_timestamp("ts") % 3600).cast("timestamp")
+    bucketed = events.select("user_id", hour.alias("bucket"), "value")
+    bounds = bucketed.groupBy("user_id").agg(
+        F.min("bucket").alias("t0"), F.max("bucket").alias("t1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(t0, t1, interval 1 hour)")).alias("bucket"),
+    )
+    actual = bucketed.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v")
+    )
+    return (
+        grid.join(actual, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            F.unix_millis("bucket").alias("bucket_ms"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("v", F.lit(0.0)).alias("total_value"),
+        )
+    )
