@@ -488,3 +488,31 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         "doc_id", F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+@REG.query(
+    "dedup_content_hash",
+    oracle="""
+    SELECT MD5(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY MD5(text)
+    HAVING COUNT(*) >= 1
+    """,
+)
+def dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact CONTENT dedup: hash the full text (md5 — same digest
+    function both engines), keep min doc_id per digest.  The zeroth
+    stage of every dedup cascade: one map + one shuffle on a 128-bit
+    key, collapses byte-identical copies before any shingling runs.
+    (dedup_exact groups by metadata key; this groups by content.)"""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

@@ -1146,3 +1146,38 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("v", F.lit(0.0)).alias("total_value"),
         )
     )
+
+
+@REG.query(
+    "sample_deterministic",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, lang,
+             CAST((doc_id * 2654435761) % 2147483648 AS BIGINT) % 100 AS h
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN h < 10 THEN 'test'
+                WHEN h < 30 THEN 'valid'
+                ELSE 'train' END AS split
+    FROM tagged
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible sampling / train-valid-test split: a Knuth
+    multiplicative hash of the stable id decides the split — identical
+    on every engine, every run, every cluster size (df.sample() is
+    seed-AND-partitioning dependent, so it cannot be an oracle-checked
+    contract).  Map-only; the split column then drives partitioned
+    writes or filters."""
+    docs = read_table(spark, sf_dir, "documents")
+    h = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483648)).cast(
+        "bigint"
+    ) % 100
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(h < 10, "test").when(h < 30, "valid").otherwise("train").alias(
+            "split"
+        ),
+    )

@@ -351,3 +351,32 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_xor(CAST(sid * 2654435761 % 2147483648 AS BIGINT))").alias("fp_xor"),
         F.count(F.lit(1)).alias("n_shingles"),
     )
+
+
+@REG.query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]+', '', 'g'),
+                ' +', ' ', 'g')) AS norm_text,
+           LENGTH(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+                '[^a-z0-9 ]+', '', 'g'), ' +', ' ', 'g'))) AS norm_len
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase -> strip non-alnum ->
+    collapse whitespace -> trim): the preprocessing step upstream of
+    tokenization/dedup so trivially-different copies hash identically.
+    Pure codegen'd expressions, zero shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]+", ""),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id", norm.alias("norm_text"), F.length(norm).alias("norm_len")
+    )

@@ -99,3 +99,25 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert rows.get(ws_1000) == 3, (
         f"closed 10:00 window must hold only the 3 on-time events, got {rows}"
     )
+
+
+def test_foreach_batch_parquet_sink(spark, events_dir, tmp_path):
+    """foreachBatch: stream micro-batches into a parquet sink; the final
+    dataset must equal the batch transformation of the same input (the
+    production pattern for sinks Structured Streaming lacks natively)."""
+    out = str(tmp_path / "fb_out")
+
+    def write_batch(df, batch_id):
+        df.write.mode("append").parquet(out)
+
+    q = (
+        tumbling_counts(stream_events(spark, events_dir))
+        .writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    batch = tumbling_counts(spark.read.parquet(events_dir))
+    assert _sorted_rows(got) == _sorted_rows(batch)
