@@ -328,7 +328,13 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- embedding-cosine near-dup -------------------------------------------
 
-EMB_DUP_PLANES = 4          # 2^4 = 16 buckets
+# 2^planes buckets.  THE scale knob: within-bucket pair count grows as
+# (N / 2^planes)^2 * 2^planes, so planes must grow ~log2(N) to keep
+# per-bucket work constant (measured: 20x corpus at fixed 4 planes =
+# 28x runtime).  Pinned to 4 here because the DuckDB oracle bakes the
+# constant in; at real scale derive planes ≈ log2(N / target_bucket)
+# and add multi-probe for recall, or use sim_brp_lsh_ml.
+EMB_DUP_PLANES = 4
 EMB_DUP_THRESHOLD = 0.45    # tuned for the synthetic corpus (random
                             # vectors, max pairwise cosine ~0.6); use
                             # 0.95+ for real embedding near-dups
