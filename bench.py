@@ -30,9 +30,16 @@ HEADLINE = [
     "agg_grouping_sets",
     "agg_percentiles",
     "join_salted_skew",
+    "agg_pivot",
     "window_running_frame",
+    "window_percent_dist",
     "sort_topk",
     "events_funnel",
+    "events_resample_gapfill",
+    "sql_correlated_subquery",
+    "tpch_q12_priority_lines",
+    "tpch_q14_promo",
+    "sample_deterministic",
     # scalar / json
     "json_from_json_struct",
     "scalar_string_funcs",
@@ -41,6 +48,8 @@ HEADLINE = [
     "stream_window_session",
     "stream_stateful_user_totals",
     # LLM-data operators
+    "dedup_content_hash",
+    "text_normalize",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "sim_cosine_topk",

@@ -142,15 +142,22 @@ RASTER_SCHEMA = StructType(
 
 
 def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
     for pdf in batches:
-        rasters = pdf["payload"].map(fake_decode_fixed_raster)
+        rasters = [
+            np.resize(np.frombuffer(b, dtype=np.uint8), 64).astype("int32")
+            if len(b)
+            else np.zeros(64, dtype="int32")
+            for b in pdf["payload"]
+        ]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
-                "raster": rasters,
-                "raster_mean_x100": rasters.map(
-                    lambda r: int(sum(r) * 100 // len(r))
-                ).astype("int64"),
+                "raster": [r.tolist() for r in rasters],
+                "raster_mean_x100": [
+                    int(r.sum(dtype=np.int64) * 100 // 64) for r in rasters
+                ],
             }
         )
 
