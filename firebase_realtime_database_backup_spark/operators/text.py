@@ -380,3 +380,81 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", norm.alias("norm_text"), F.length(norm).alias("norm_len")
     )
+
+
+@REG.query(
+    "pipeline_prepare_corpus",
+    oracle="""
+    WITH normed AS (
+      SELECT doc_id, lang,
+             TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]+', '', 'g'),
+                  ' +', ' ', 'g')) AS norm_text
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, norm_text, MD5(norm_text) AS content_hash,
+             LEN(STRING_SPLIT(norm_text, ' ')) AS n_tokens,
+             CAST(LEN(LIST_DISTINCT(STRING_SPLIT(norm_text, ' '))) AS DOUBLE)
+               / LEN(STRING_SPLIT(norm_text, ' ')) AS uniq_ratio
+      FROM normed
+    ),
+    kept AS (
+      SELECT * FROM scored
+      WHERE n_tokens >= 10 AND uniq_ratio >= 0.4 AND lang IN ('en', 'de')
+    ),
+    deduped AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY content_hash
+                                   ORDER BY doc_id) AS copy_rank
+      FROM kept
+    )
+    SELECT doc_id, lang, n_tokens, uniq_ratio, content_hash,
+           CASE WHEN CAST((doc_id * 2654435761) % 2147483648 AS BIGINT) % 100 < 10
+                THEN 'test' ELSE 'train' END AS split
+    FROM deduped WHERE copy_rank = 1
+    """,
+)
+def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition — a real training-corpus preparation
+    pipeline in ONE declarative plan: normalize -> quality-score ->
+    language/quality filter -> exact content dedup (keep first copy) ->
+    deterministic train/test split.  Catalyst fuses the map stages into
+    a single codegen'd pass over the scan; the only shuffles are the
+    dedup window (by content hash) — exactly the minimum this pipeline
+    needs at any scale."""
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]+", ""),
+            " +",
+            " ",
+        )
+    )
+    toks = F.split(F.col("norm_text"), " ")
+    scored = docs.select("doc_id", "lang", norm.alias("norm_text")).select(
+        "doc_id",
+        "lang",
+        F.md5("norm_text").alias("content_hash"),
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "uniq_ratio"
+        ),
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("uniq_ratio") >= 0.4)
+        & (F.col("lang").isin("en", "de"))
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    h = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483648)).cast("bigint") % 100
+    return (
+        kept.withColumn("copy_rank", F.row_number().over(w))
+        .filter(F.col("copy_rank") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "uniq_ratio",
+            "content_hash",
+            F.when(h < 10, "test").otherwise("train").alias("split"),
+        )
+    )
