@@ -78,6 +78,12 @@ def flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem⋈orders and ⋈customer as shuffle joins; nation/region as
     BroadcastHashJoin; partial+final HashAggregate; TakeOrdered for the
     final sort.
+
+    Scale note: pre-aggregating lineitem by (l_orderkey, l_returnflag)
+    below the join shrinks the join payload ~4x and reuses the same
+    shuffle key; measured at 20x local data it does NOT pay (2.7s vs
+    3.0s warm — local shuffles are memory-bandwidth-bound), but on a
+    network-shuffling cluster it's the first rewrite to try.
     """
     lineitem = read_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
