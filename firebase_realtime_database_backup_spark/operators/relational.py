@@ -1187,3 +1187,96 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split"
         ),
     )
+
+
+BIN_WIDTH = 100  # equals the interval span, so each interval spans <=2 bins
+
+
+@REG.query(
+    "join_range_binned",
+    oracle="""
+    SELECT s_suppkey, COUNT(*) AS n_parts_in_band
+    FROM supplier JOIN part
+      ON p_retailprice BETWEEN s_acctbal - 50 AND s_acctbal + 50
+    GROUP BY s_suppkey
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure interval join made scalable by BINNING: each supplier's
+    [bal-50, bal+50] band explodes to the <=2 width-100 bins it
+    touches, parts map to their single bin, and the join becomes an
+    EQUI join on bin id + a residual band filter.  Replaces the
+    broadcast-nested-loop O(|S|x|P|) pair space with hash partitioning
+    on bins — the same move a time-interval/IP-range join uses at
+    100 TB.  Bin width is the tuning knob: ~interval span keeps the
+    per-interval fan-out at 2 while bounding per-bin candidates."""
+    supplier = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_acctbal",
+        (F.col("s_acctbal") - 50).alias("lo"),
+        (F.col("s_acctbal") + 50).alias("hi"),
+    )
+    s_binned = supplier.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / BIN_WIDTH), F.floor(F.col("hi") / BIN_WIDTH)
+            )
+        ),
+    )
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_retailprice",
+        F.floor(F.col("p_retailprice") / BIN_WIDTH).alias("bin"),
+    )
+    return (
+        s_binned.join(part, "bin")
+        .filter(F.col("p_retailprice").between(F.col("lo"), F.col("hi")))
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts_in_band"))
+    )
+
+
+@REG.query(
+    "window_nth_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice)  OVER w AS last_price_so_far,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_nth_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window values over a running frame: first / current /
+    2nd order price per customer history prefix.  Unique (date, key)
+    ordering keeps every value deterministic."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price_so_far"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@REG.query("agg_percentile_approx")  # rows-only: sketch internals differ per engine
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via Spark's mergeable quantile sketch —
+    the scale path for percentiles over 100 TB (bounded memory,
+    map-side mergeable, accuracy knob).  Sketch internals aren't
+    SQL-reproducible → rows-only; agg_percentiles is the exact
+    oracle-checked twin."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000).alias("approx_q"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+    )

@@ -79,3 +79,28 @@ def test_no_unpartitioned_windows_in_bulk_paths(spark, queries):
                 # partition spec; Spark prints windowspecdefinition(...)
                 # with partition columns first — absence means global.
                 assert "windowspecdefinition()" not in line.replace(" ", "")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path, queries):
+    """Directory-partitioned layout + a partition-key filter must prune
+    at PLANNING time (PartitionFilters on the scan, non-matching
+    directories never listed into the plan) — the layout decision that
+    turns a 100 TB scan into a 1-partition read."""
+    from firebase_realtime_database_backup_spark.catalog import read_table
+
+    out = str(tmp_path / "orders_by_status")
+    read_table(spark, "/root/testdata/sf0.001", "orders").write.partitionBy(
+        "o_orderstatus"
+    ).mode("overwrite").parquet(out)
+
+    df = spark.read.parquet(out).filter("o_orderstatus = 'F'")
+    plan = _plan(spark, df)
+    part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "o_orderstatus" in part_filters
+    # and the pruned read returns exactly the F rows
+    expected = (
+        read_table(spark, "/root/testdata/sf0.001", "orders")
+        .filter("o_orderstatus = 'F'")
+        .count()
+    )
+    assert df.count() == expected
