@@ -1280,3 +1280,65 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000).alias("approx_q"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
     )
+
+
+@REG.query(
+    "window_range_frame",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey, d,
+           COUNT(*) OVER w AS n_trailing_30d,
+           {oround("SUM(o_totalprice) OVER w")} AS spend_trailing_30d
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(EPOCH(o_orderdate) / 86400 AS BIGINT) AS d
+      FROM orders
+    )
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, vs the ROWS frames elsewhere): per
+    customer, order count and spend over the trailing 30 DAYS — peers
+    at the same day aggregate together and gaps in the date axis are
+    respected, which a ROWS frame cannot express.  Order key is epoch
+    days (RANGE needs a numeric axis in both engines)."""
+    orders = read_table(spark, sf_dir, "orders")
+    days = (F.unix_timestamp("o_orderdate") / 86400).cast("bigint")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey", days.alias("d"), "o_totalprice"
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        "d",
+        F.count(F.lit(1)).over(w).alias("n_trailing_30d"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_trailing_30d"),
+    )
+
+
+@REG.query(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set difference (EXCEPT ALL): multiplicities
+    subtract instead of collapsing — a customer with 3 'F' orders and
+    1 'O' order keeps 2 rows.  The multiset complement of
+    set_except's distinct semantics."""
+    orders = read_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    o = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return f.exceptAll(o)
