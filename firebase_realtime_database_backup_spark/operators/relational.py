@@ -1342,3 +1342,50 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     return f.exceptAll(o)
+
+
+@REG.query(
+    "sql_scalar_subquery",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+      AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+    """,
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + IN subqueries through spark.sql: the scalar average
+    compiles to a broadcast one-row aggregate, the IN to a left-semi
+    join — both decorrelated by Catalyst, no per-row re-execution."""
+    from firebase_realtime_database_backup_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+          AND c_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 200000)
+        """
+    )
+
+
+@REG.query("agg_hll_sketch")  # rows-only: sketch bytes are engine-specific
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog sketch aggregation (Spark 3.5+ Datasketches): build
+    per-group sketches, union them, estimate.  The REUSABLE form of
+    approx_count_distinct — sketches persist as bytes and merge across
+    days/partitions without rescanning history.  Rows-only (sketch
+    serialization is engine-specific); approx_count_distinct's exact
+    twin agg_count_distinct is oracle-checked."""
+    orders = read_table(spark, sf_dir, "orders")
+    per_status = orders.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return per_status.select(
+        "o_orderstatus",
+        "n_orders",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_customers"),
+    )
