@@ -12,13 +12,15 @@ deployment even though tests run on local[32].
 
 Layout:
     session.py     SparkSession factory (AQE, UTC, tuned shuffle)
-    catalog.py     test-table catalog / parquet readers
+    catalog.py     test-table catalog / parquet readers / spread()
+    registry.py    query + DuckDB-oracle registry (driver contract)
+    verify.py      local replica of the driver's oracle loop
+    api.py         do_backup/do_restore facade + export/import CLI
     operators/     relational, dedup, similarity, text, multimodal
     functions/     scalar function surface (string/date/math/array/json)
-    sources/       Firebase AIMD REST extractor, tree normalization
+    sources/       Firebase AIMD REST extractor, tree ops, JSONL/CSV
     sinks/         snapshot (parquet+manifest) and AIMD writeback sinks
-    plans/         plan-inspection helpers (explain, broadcast audit)
-    streaming/     windowed aggregations, batch + Structured Streaming
+    streaming/     windowed aggregations + applyInPandasWithState
 """
 
 from firebase_realtime_database_backup_spark.session import get_spark
