@@ -26,16 +26,11 @@ def _registry() -> Registry:
 
     reg = Registry()
     reg.merge(relational.REG)
-    for modname in ("dedup", "similarity", "text", "multimodal"):
-        try:
-            mod = __import__(
-                f"firebase_realtime_database_backup_spark.operators.{modname}",
-                fromlist=["REG"],
-            )
-            reg.merge(mod.REG)
-        except ImportError:
-            pass
     for modname in (
+        "firebase_realtime_database_backup_spark.operators.dedup",
+        "firebase_realtime_database_backup_spark.operators.similarity",
+        "firebase_realtime_database_backup_spark.operators.text",
+        "firebase_realtime_database_backup_spark.operators.multimodal",
         "firebase_realtime_database_backup_spark.functions.scalar",
         "firebase_realtime_database_backup_spark.streaming.windows",
         "firebase_realtime_database_backup_spark.streaming.stateful",
@@ -44,8 +39,12 @@ def _registry() -> Registry:
         try:
             mod = __import__(modname, fromlist=["REG"])
             reg.merge(mod.REG)
-        except ImportError:
-            pass
+        except ImportError as exc:
+            # Degrade to the queries that do import, but NEVER silently:
+            # a missing module would otherwise just shrink the
+            # correctness surface without a trace.
+            print(f"WARNING: query module {modname} failed to import: {exc}",
+                  file=sys.stderr)
     return reg
 
 

@@ -458,3 +458,50 @@ def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(h < 10, "test").otherwise("train").alias("split"),
         )
     )
+
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+@REG.query(
+    "text_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ),
+    counted AS (
+      SELECT lang, token, COUNT(*) AS n
+      FROM toks
+      WHERE token NOT IN {str(tuple(STOPWORDS))} AND token <> ''
+      GROUP BY lang, token
+    )
+    SELECT lang, token, n, CAST(rk AS INT) AS rk FROM (
+      SELECT lang, token, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rk
+      FROM counted
+    ) WHERE rk <= 10
+    """,
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed word count with a top-k cut: explode tokens, filter
+    stopwords, count by (lang, token), top-10 per language.  The
+    canonical two-shuffle shape (count shuffle + tiny per-lang top-k
+    window); token explosion happens inside the scan stage and partial
+    aggregation collapses it before the wire."""
+    docs = spread(
+        read_table(spark, sf_dir, "documents").select(
+            "lang", F.split("text", " ").alias("toks")
+        )
+    )
+    toks = docs.select("lang", F.explode("toks").alias("token"))
+    counted = (
+        toks.filter(~F.col("token").isin(*STOPWORDS) & (F.col("token") != ""))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.col("token"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("lang", "token", "n", "rk")
+    )
