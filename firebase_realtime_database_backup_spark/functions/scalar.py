@@ -426,3 +426,46 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(m).alias("n_entries"),
         F.element_at(m, F.lit("priority")).alias("via_lookup"),
     )
+
+
+@REG.query(
+    "scalar_hof_funcs",
+    oracle="""
+    SELECT doc_id,
+           CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                                        x -> LENGTH(x))) AS BIGINT) AS total_chars,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                x -> LENGTH(x) > 4)) AS INT)        AS n_long_tokens,
+           LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                           x -> LENGTH(x) > 8)) > 0                 AS has_very_long,
+           CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                x -> CASE WHEN LENGTH(x) % 2 = 0 THEN 1 ELSE 0 END)) AS BIGINT)
+                                                                    AS n_even_len
+    FROM documents
+    """,
+)
+def scalar_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order functions over arrays: transform / filter / exists /
+    aggregate with lambdas.  These run INTERPRETED (no codegen, no
+    subexpression elimination — measured in round 1: a split() inside a
+    lambda re-evaluates per element), so hot paths hoist shared
+    subexpressions out and prefer flat builtins; this entry pins the
+    semantics + oracle parity of the HOF surface itself."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    lens = F.transform(toks, lambda x: F.length(x))
+    return docs.select(
+        "doc_id",
+        F.aggregate(lens, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias(
+            "total_chars"
+        ),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long_tokens"),
+        F.exists(toks, lambda x: F.length(x) > 8).alias("has_very_long"),
+        F.aggregate(
+            F.transform(
+                toks, lambda x: F.when(F.length(x) % 2 == 0, 1).otherwise(0)
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("n_even_len"),
+    )
