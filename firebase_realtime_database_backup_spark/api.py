@@ -131,6 +131,13 @@ def _build_parser() -> argparse.ArgumentParser:
     common(imp)
     imp.add_argument("--backup_dir", required=True)
     imp.add_argument("--yes", action="store_true", help="skip confirmation")  # C5
+
+    dif = sub.add_parser(
+        "diff", help="incremental export: delta vs a previous snapshot"
+    )
+    common(dif)
+    dif.add_argument("--prev_dir", required=True)
+    dif.add_argument("--output_dir", required=True)
     return p
 
 
@@ -165,6 +172,21 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"exported {tree.count()} tree rows from "
               f"{project_url(args.project_id)} to {out}")
+        return 0
+
+    if args.command == "diff":
+        from firebase_realtime_database_backup_spark.sinks.incremental import (
+            incremental_backup,
+        )
+        from firebase_realtime_database_backup_spark.sources.firebase import extract
+
+        client = _offline_client(args.tree_json)
+        tree = extract(spark, client)
+        counts = incremental_backup(spark, tree, args.prev_dir, args.output_dir)
+        print(
+            f"delta written to {args.output_dir}: "
+            f"+{counts['added']} -{counts['removed']} ~{counts['changed']}"
+        )
         return 0
 
     # import: destructive — confirmation guard (C5, ImportCommand.php:33-44)

@@ -1389,3 +1389,25 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.hll_sketch_estimate("sk").cast("bigint").alias("approx_customers"),
     )
+
+
+@REG.query(
+    "set_union_distinct",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    UNION
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION with set semantics (distinct): union + dropDuplicates —
+    Spark plans the dedup as one hash aggregate over the unioned
+    stream, not a union-then-sort."""
+    orders = read_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    big = orders.filter(F.col("o_totalprice") > 250000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return f.unionByName(big).distinct()

@@ -58,3 +58,29 @@ def test_cli_import_requires_confirmation(spark, tmp_path, monkeypatch, capsys):
     rc = main(["import", "-p", "demo", "--tree-json", str(src),
                "--backup_dir", out, "--yes"])
     assert rc == 0
+
+
+def test_cli_diff_incremental(spark, tmp_path, capsys):
+    v1 = dict(TREE)
+    v2 = json.loads(json.dumps(TREE))
+    v2["motd"] = "changed!"
+    v2["extra"] = {"k": 1}
+    src1 = tmp_path / "v1.json"; src1.write_text(json.dumps(v1))
+    src2 = tmp_path / "v2.json"; src2.write_text(json.dumps(v2))
+    snap = str(tmp_path / "snap_v1")
+    delta = str(tmp_path / "delta_v2")
+    assert main(["export", "-p", "demo", "--tree-json", str(src1),
+                 "--output_dir", snap]) == 0
+    assert main(["diff", "-p", "demo", "--tree-json", str(src2),
+                 "--prev_dir", snap, "--output_dir", delta]) == 0
+    out = capsys.readouterr().out
+    assert "delta written" in out and "+" in out
+    from firebase_realtime_database_backup_spark.sinks.incremental import (
+        restore_to_version,
+    )
+    from firebase_realtime_database_backup_spark.sources.tree import (
+        tree_from_dict,
+        tree_to_dict,
+    )
+    restored = restore_to_version(spark, snap, [delta])
+    assert tree_to_dict(restored) == v2
