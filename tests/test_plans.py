@@ -104,3 +104,52 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path, queries):
         .count()
     )
     assert df.count() == expected
+
+
+def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
+    """AQE skew-join: a hot key concentrating ~90% of one side must be
+    split across tasks at runtime (OptimizeSkewedJoin marks the sort-
+    merge join with isSkew=true) once the skew thresholds are scaled
+    down to the test data size."""
+    import pyspark.sql.functions as F
+
+    big = str(tmp_path / "skew_big")
+    # 200k rows, 90% on key 7 -> one partition dwarfs the others
+    spark.range(200_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 1000)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    ).write.mode("overwrite").parquet(big)
+    small = str(tmp_path / "skew_small")
+    spark.range(1000).select(F.col("id").alias("k"), F.lit("x").alias("v")).write.mode(
+        "overwrite"
+    ).parquet(small)
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        joined = spark.read.parquet(big).join(spark.read.parquet(small), "k")
+        # act on THIS DataFrame so its own QueryExecution finalizes the
+        # adaptive plan (count() would plan a separate aggregate query)
+        assert len(joined.collect()) == 200_000
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isSkew=true" in final_plan or "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
