@@ -30,8 +30,10 @@ HEADLINE = [
     "agg_grouping_sets",
     "agg_percentiles",
     "join_salted_skew",
+    "join_range_binned",
     "agg_pivot",
     "window_running_frame",
+    "window_range_frame",
     "window_percent_dist",
     "sort_topk",
     "events_funnel",
@@ -55,6 +57,8 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_ivf_topk",
     "text_fingerprint",
+    "text_top_terms",
+    "pipeline_prepare_corpus",
     "multimodal_media_features",
     "multimodal_frame_explode",
     # pandas-UDF escape hatches
