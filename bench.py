@@ -30,6 +30,8 @@ HEADLINE = [
     "agg_grouping_sets",
     "agg_percentiles",
     "join_salted_skew",
+    "tpch_q3_topk_revenue",
+    "tpch_q18_big_orders",
     "join_range_binned",
     "agg_pivot",
     "window_running_frame",
@@ -37,6 +39,7 @@ HEADLINE = [
     "window_percent_dist",
     "sort_topk",
     "events_funnel",
+    "events_sessionize",
     "events_resample_gapfill",
     "sql_correlated_subquery",
     "tpch_q12_priority_lines",
@@ -56,7 +59,10 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "sim_cosine_topk",
     "sim_ivf_topk",
+    "sim_label_centroids",
     "text_fingerprint",
+    "text_repetition_ratio",
+    "text_pii_redact",
     "text_top_terms",
     "pipeline_prepare_corpus",
     "multimodal_media_features",

@@ -65,8 +65,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    if name == "events":
-        ensure_engine_conf(spark)
+    # Always: events needs nanosAsLong, and every NTZ-date table
+    # (orders/lineitem) needs the UTC session timezone so NTZ→LTZ casts
+    # (unix_millis, date filters) are engine-independent on a bare
+    # driver-built session.
+    ensure_engine_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # events.ts is parquet timestamp[ns], read as raw nanos

@@ -1411,3 +1411,161 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     return f.unionByName(big).distinct()
+
+
+@REG.query(
+    "tpch_q3_topk_revenue",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST(EPOCH_MS(o_orderdate) AS BIGINT) AS orderdate_ms,
+           {oround("SUM(l_extendedprice * (1 - l_discount))")} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment filter -> 3-way join -> per-order revenue
+    -> global top-10.  Both date filters and the segment predicate push
+    to their scans, so the join sees one segment of customers and only
+    late-shipping lines; the top-10 is a TakeOrderedAndProject (per-
+    partition heaps + driver merge), never a global sort of all groups.
+    Tie-break on o_orderkey keeps the cut deterministic."""
+    customer = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    lineitem = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+        )
+        .orderBy(F.desc("_rev"), "o_orderkey")
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("orderdate_ms"),
+            F.round("_rev", 2).alias("revenue"),
+        )
+    )
+
+
+Q18_MIN_QTY = 250  # per-order quantity threshold (max at sf0.01 is 458)
+
+
+@REG.query(
+    "tpch_q18_big_orders",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(EPOCH_MS(o_orderdate) AS BIGINT) AS orderdate_ms,
+           o_totalprice,
+           SUM(l_quantity) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    HAVING SUM(l_quantity) > {Q18_MIN_QTY}
+    """,
+)
+def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): join + group + HAVING on
+    an aggregate.  The quantity sum partial-aggregates map-side before
+    the o_orderkey shuffle, and the HAVING filter runs post-agg on the
+    (much smaller) group stream — never on raw lines.  l_quantity is
+    integral, so the double sum is exact and the threshold cut is
+    engine-independent."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_MIN_QTY)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("orderdate_ms"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+SESSION_GAP_MS = 6 * 3600 * 1000  # 6 h idle gap closes a session
+
+
+@REG.query(
+    "events_sessionize",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR EPOCH_MS(ts) - EPOCH_MS(LAG(ts) OVER w)
+                       > {SESSION_GAP_MS}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_seq
+      FROM seq
+    )
+    SELECT user_id, session_seq,
+           COUNT(*) AS n_events,
+           CAST(EPOCH_MS(MIN(ts)) AS BIGINT) AS start_ms,
+           CAST(EPOCH_MS(MAX(ts)) AS BIGINT) AS end_ms,
+           CAST(EPOCH_MS(MAX(ts)) - EPOCH_MS(MIN(ts)) AS BIGINT) AS duration_ms
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after >6 h of
+    per-user inactivity.  The canonical composition — lag to detect
+    gaps, running sum of gap flags to number sessions, then a session-
+    level rollup — costs exactly ONE shuffle on user_id: both windows
+    and the final groupBy reuse the same partitioning, so Catalyst
+    plans a single Exchange.  The streaming twin is
+    stream_window_session (F.session_window); this is the batch/backfill
+    form that also yields stable session ids."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    prev_ms = F.lag(ms).over(w)
+    is_new = F.when(
+        prev_ms.isNull() | ((ms - prev_ms) > SESSION_GAP_MS), 1
+    ).otherwise(0)
+    sess = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_millis("ts")).alias("start_ms"),
+        F.max(F.unix_millis("ts")).alias("end_ms"),
+        (F.max(F.unix_millis("ts")) - F.min(F.unix_millis("ts"))).alias("duration_ms"),
+    )

@@ -406,3 +406,36 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("q_id", "c_id", "cosine", "rk")
     )
+
+
+def _centroid_oracle() -> str:
+    from firebase_realtime_database_backup_spark.operators.relational import oround
+
+    return f"""
+    SELECT label, r.dim AS dim,
+           {oround("AVG(CAST(embedding[r.dim + 1] AS DOUBLE))", 6)} AS centroid,
+           COUNT(*) AS n_vectors
+    FROM embeddings, (SELECT UNNEST(RANGE(0, {DIM})) AS dim) r
+    GROUP BY label, r.dim
+    """
+
+
+@REG.query("sim_label_centroids", oracle=_centroid_oracle())
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors — the k-means/IVF "train" step (one
+    Lloyd update with labels as fixed assignments) as a first-class
+    distributed op.  posexplode fans each vector into (label, dim, v)
+    rows; the groupBy(label, dim) average partial-aggregates map-side,
+    so the shuffle moves exactly n_labels x dim partial sums per task —
+    independent of corpus size, the shape that survives 100 TB.  Output
+    stays at (label, dim) grain: downstream consumers (sim_ivf_topk's
+    assignment join) re-broadcast it, and the row grain is what the
+    byte-exact oracle compare wants (array rebuild is a collect_list
+    away)."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    return emb.groupBy("label", "dim").agg(
+        F.round(F.avg("v"), 6).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )

@@ -505,3 +505,135 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("lang", "token", "n", "rk")
     )
+
+
+@REG.query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+    ),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+    tok_stats AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(MAX(c) AS BIGINT) AS top_tok_count
+      FROM tc GROUP BY doc_id
+    ),
+    grams AS (
+      SELECT doc_id, ARRAY_TO_STRING(tok_arr[i:i+2], ' ') AS g
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tok_arr FROM documents),
+           UNNEST(RANGE(1, LEN(tok_arr) - 1)) AS r(i)
+    ),
+    gram_stats AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct_grams
+      FROM grams GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_tokens, t.top_tok_count,
+           CAST(t.top_tok_count AS DOUBLE) / t.n_tokens AS top_tok_share,
+           COALESCE(g.n_grams, 0) AS n_grams,
+           CASE WHEN g.n_grams IS NULL THEN 0.0
+                ELSE 1.0 - CAST(g.n_distinct_grams AS DOUBLE) / g.n_grams
+           END AS gram_rep_ratio
+    FROM tok_stats t LEFT JOIN gram_stats g ON g.doc_id = t.doc_id
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: top-token share
+    (most frequent token / all tokens) and duplicate word-3-gram ratio
+    (1 - distinct/total).  High values flag boilerplate and degenerate
+    generations — a standard pretraining quality filter.
+
+    Dataflow: token counts and 3-gram counts are two partial-aggregated
+    shuffles on (doc_id, term); both collapse to doc-grain before the
+    final (broadcast-sized per-doc stats) join.  Ratios are exact
+    integer-over-integer divisions — bit-identical across engines, no
+    rounding needed."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tok_stats = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.max("c").alias("top_tok_count"),
+        )
+    )
+    grams = doc_shingles(spark, sf_dir)
+    gram_stats = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("shingle").alias("n_distinct_grams"),
+    )
+    return (
+        tok_stats.join(gram_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "top_tok_count",
+            (F.col("top_tok_count").cast("double") / F.col("n_tokens")).alias(
+                "top_tok_share"
+            ),
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.when(F.col("n_grams").isNull(), F.lit(0.0))
+            .otherwise(
+                1.0 - F.col("n_distinct_grams").cast("double") / F.col("n_grams")
+            )
+            .alias("gram_rep_ratio"),
+        )
+    )
+
+
+#: Redaction patterns — deliberately simple and identical in Java regex
+#: (Spark) and RE2 (DuckDB): no lookarounds, no backrefs.
+PII_EMAIL_RE = "[a-z0-9._]+@[a-z0-9]+\\.[a-z]+"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@REG.query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             SUBSTRING(text, 1, 40) || ' contact user' || doc_id ||
+             '@example.com or 555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS raw_text
+      FROM documents
+    )
+    SELECT doc_id,
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(raw_text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+           CAST(LEN(REGEXP_EXTRACT_ALL(raw_text, '{PII_EMAIL_RE}')) AS INT)
+             AS n_emails,
+           CAST(LEN(REGEXP_EXTRACT_ALL(raw_text, '{PII_PHONE_RE}')) AS INT)
+             AS n_phones
+    FROM raw
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: global regex redaction of email/phone shapes plus
+    per-doc match counts (audit trail).  Map-only, codegen'd, zero
+    shuffle — the cheapest kind of corpus pass, so at 100 TB it runs at
+    scan speed.  The synthetic corpus contains no contact strings, so a
+    deterministic contact suffix is appended first (doc_id-keyed) to
+    prove the patterns actually fire; on real data drop that CTE and
+    scrub `text` directly.  Patterns avoid lookarounds/backrefs so Java
+    regex and RE2 agree."""
+    docs = read_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all(raw, F.lit(PII_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(PII_PHONE_RE), F.lit(0))).alias("n_phones"),
+    )

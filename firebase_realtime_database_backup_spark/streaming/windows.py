@@ -98,6 +98,19 @@ def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
     return events.withWatermark("ts", delay)
 
 
+def dedup_events(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id: dropDuplicatesWithinWatermark
+    keeps one state entry per id only until the watermark passes its
+    event time — bounded state, unlike plain dropDuplicates whose state
+    grows forever on an unbounded stream.  Works identically in batch
+    (watermark is a no-op there), so stream==batch parity is testable."""
+    if events.isStreaming:
+        return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
 def run_stream_to_memory(
     agg: DataFrame, query_name: str, mode: str = "complete"
 ):

@@ -121,3 +121,53 @@ def test_foreach_batch_parquet_sink(spark, events_dir, tmp_path):
     got = spark.read.parquet(out)
     batch = tumbling_counts(spark.read.parquet(events_dir))
     assert _sorted_rows(got) == _sorted_rows(batch)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming dropDuplicatesWithinWatermark: a duplicate event_id
+    arriving in a later micro-batch (within the watermark horizon) must
+    be suppressed; the surviving rows equal the batch dedup of the same
+    input."""
+    from firebase_realtime_database_backup_spark.streaming.windows import dedup_events
+
+    d = str(tmp_path / "dup_events")
+    os.makedirs(d)
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    write_file(
+        [(1, t(0), 1, "click", 1.0, "{}"), (2, t(1), 1, "view", 1.0, "{}"),
+         (3, t(2), 2, "click", 1.0, "{}")]
+    )
+    stream = spark.readStream.schema(schema).parquet(d)
+    q = (
+        dedup_events(stream)
+        .select("event_id", "user_id", "event_type")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_test")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: event_id 2 re-delivered (same ts, within watermark) +
+        # a fresh id 4 — only id 4 may come through
+        write_file([(2, t(1), 1, "view", 1.0, "{}"), (4, t(3), 2, "view", 1.0, "{}")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.table("dedup_test").collect())
+    assert got == [(1, 1, "click"), (2, 1, "view"), (3, 2, "click"), (4, 2, "view")]
+    # batch twin over the full (duplicated) input agrees
+    batch = dedup_events(spark.read.schema(schema).parquet(d)).select(
+        "event_id", "user_id", "event_type"
+    )
+    assert got == sorted(tuple(r) for r in batch.collect())
