@@ -31,6 +31,9 @@ HEADLINE = [
     "agg_percentiles",
     "join_salted_skew",
     "tpch_q3_topk_revenue",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_volume",
+    "tpch_q10_returned_topk",
     "tpch_q18_big_orders",
     "join_range_binned",
     "agg_pivot",
@@ -40,6 +43,7 @@ HEADLINE = [
     "sort_topk",
     "events_funnel",
     "events_sessionize",
+    "events_cohort_retention",
     "events_resample_gapfill",
     "sql_correlated_subquery",
     "tpch_q12_priority_lines",
@@ -60,6 +64,7 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_ivf_topk",
     "sim_label_centroids",
+    "sim_vector_quantize",
     "text_fingerprint",
     "text_repetition_ratio",
     "text_pii_redact",

@@ -1569,3 +1569,186 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.unix_millis("ts")).alias("end_ms"),
         (F.max(F.unix_millis("ts")) - F.min(F.unix_millis("ts"))).alias("duration_ms"),
     )
+
+
+@REG.query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): EXISTS decorrelated to
+    a LEFT SEMI join, then a tiny group-count.  The semi join needs only
+    lineitem's join key — column pruning cuts the probe side to one
+    int64 column, and the returnflag predicate pushes into that scan.
+    The 5-group final agg is all map-side partials; the only shuffle
+    moving real data is the o_orderkey semi join.  (The reference's Q4
+    uses commit/receipt dates the test schema lacks; the returnflag
+    predicate keeps the identical EXISTS + agg shape.)"""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    returned = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@REG.query(
+    "tpch_q5_local_volume",
+    oracle=f"""
+    SELECT n_name,
+           {oround("SUM(l_extendedprice * (1 - l_discount))")} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): 5-way join where the
+    supplier join carries TWO conjuncts (l_suppkey = s_suppkey AND
+    c_nationkey = s_nationkey) — the "local" constraint rides the same
+    equi join, no extra shuffle or post-filter pass.  nation broadcasts;
+    the year filter pushes to the orders scan and, through the join,
+    prunes most of lineitem.  Final agg is 25 groups — pure map-side."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@REG.query(
+    "tpch_q10_returned_topk",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {oround("SUM(l_extendedprice * (1 - l_discount))")} AS revenue,
+           c_acctbal
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate <  TIMESTAMP '1997-10-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal
+    ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): quarter + returnflag
+    filters push to their scans, customer-grain revenue agg, global
+    top-20 as TakeOrderedAndProject (per-partition heaps, driver merge
+    of 20xP rows — never a full sort).  Ordering on the UNROUNDED sum
+    with a c_custkey tie-break keeps the cut deterministic; rounding
+    happens only at the output edge."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    lineitem = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+        )
+        .orderBy(F.desc("_rev"), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("_rev", 2).alias("revenue"),
+            "c_acctbal",
+        )
+    )
+
+
+WEEK_MS = 7 * 86400 * 1000
+
+
+@REG.query(
+    "events_cohort_retention",
+    oracle=f"""
+    WITH first_seen AS (
+      SELECT user_id, MIN(EPOCH_MS(ts) // {WEEK_MS}) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, EPOCH_MS(ts) // {WEEK_MS} AS week
+      FROM events
+    )
+    SELECT CAST(f.cohort_week AS BIGINT) AS cohort_week,
+           CAST(a.week - f.cohort_week AS BIGINT) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen epoch-week,
+    counted per (cohort, week-offset) cell.  The classic growth-
+    analytics triangle, and a shuffle-reuse study: first_seen and the
+    per-user-week DISTINCT both partial-aggregate on user_id, the join
+    runs on that same key (no third repartition), and only the final
+    tiny (cohort, offset) rollup re-shuffles.  Week ids use exact
+    integer division of epoch millis (`div`) — engine-independent, no
+    timezone/week-start semantics to disagree on."""
+    events = read_table(spark, sf_dir, "events")
+    week = F.expr(f"unix_millis(ts) div {WEEK_MS}")
+    first_seen = (
+        events.select("user_id", week.alias("week"))
+        .groupBy("user_id")
+        .agg(F.min("week").alias("cohort_week"))
+    )
+    activity = events.select("user_id", week.alias("week")).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            F.col("cohort_week"),
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
