@@ -27,6 +27,7 @@ def _registry() -> Registry:
     reg = Registry()
     reg.merge(relational.REG)
     for modname in (
+        "firebase_realtime_database_backup_spark.operators.tpch",
         "firebase_realtime_database_backup_spark.operators.dedup",
         "firebase_realtime_database_backup_spark.operators.similarity",
         "firebase_realtime_database_backup_spark.operators.text",
