@@ -591,10 +591,12 @@ def tpch_q21_sole_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
     Without commit/receipt dates, "late" is re-expressed as "the only
     supplier whose line was returned in a finished multi-supplier
     order" — same plan skeleton: two self-joins of lineitem (left semi
-    + left anti after decorrelation) sharing the orderkey exchange,
-    then the supplier rollup and top-k.  At 100 TB the three lineitem
-    scans are the cost; Spark's exchange reuse collapses them to one
-    shuffle read."""
+    + left anti after decorrelation), then the supplier rollup and
+    top-k.  The two subquery scans do NOT share an exchange (verified
+    in the physical plan): the anti side's extra l_returnflag='R'
+    predicate pushes into its parquet scan, which beats exchange reuse
+    at 100 TB — a filtered re-scan moves less data than a reused
+    shuffle of the unfiltered side."""
     register_views(spark, sf_dir)
     return spark.sql(
         """

@@ -153,3 +153,56 @@ def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tpch_q6_is_pure_scan_filter_agg(spark, queries):
+    """Q6 is the canonical pushdown benchmark: all three predicates must
+    reach the parquet scan and the plan must contain no join at all."""
+    plan = _plan(spark, queries["tpch_q6_forecast"](spark, SF))
+    pushed = plan.split("PushedFilters")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    assert "Join" not in plan
+
+
+def test_tpch_q19_derives_disjunct_pushdown(spark, queries):
+    """Q19's OR-of-conjuncts must stay ONE equi join while the per-side
+    disjunctions are pushed into BOTH scans (Catalyst's CNF-derived
+    filters) — losing this turns a candidate-row join into a full
+    lineitem x part join at 100 TB."""
+    plan = _plan(spark, queries["tpch_q19_disjunctive"](spark, SF))
+    assert "CartesianProduct" not in plan
+    scans = [l for l in plan.splitlines() if "PushedFilters" in l]
+    quantity_pushed = any("l_quantity" in s and "Or(" in s for s in scans)
+    brand_pushed = any("p_brand" in s and "Or(" in s for s in scans)
+    assert quantity_pushed and brand_pushed, scans
+
+
+def test_tpch_two_role_dims_broadcast(spark, queries):
+    """Q7/Q8 join nation twice under different roles: both copies (and
+    region in Q8) must be broadcast, never shuffled."""
+    for name in ("tpch_q7_volume_shipping", "tpch_q8_market_share"):
+        plan = _plan(spark, queries[name](spark, SF), mode="simple")
+        assert plan.count("BroadcastHashJoin") >= 2, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_tpch_q13_keeps_left_outer(spark, queries):
+    """The priority predicate lives in the JOIN condition; a refactor
+    moving it to WHERE silently drops zero-order customers by making
+    the join inner."""
+    plan = _plan(spark, queries["tpch_q13_order_distribution"](spark, SF), mode="simple")
+    assert "LeftOuter" in plan
+
+
+def test_tpch_correlated_subqueries_decorrelate(spark, queries):
+    """Q17's per-part AVG and Q21's EXISTS pair must become joins
+    (semi/anti) — a physical plan still carrying a subquery per row is
+    the O(n^2) failure mode."""
+    p17 = _plan(spark, queries["tpch_q17_small_qty_revenue"](spark, SF), mode="simple")
+    physical17 = p17.split("== Physical Plan ==")[-1]
+    assert "Subquery" not in physical17, physical17[:500]
+    p21 = _plan(spark, queries["tpch_q21_sole_returned"](spark, SF), mode="simple")
+    assert "LeftSemi" in p21 and "LeftAnti" in p21
+    p16 = _plan(spark, queries["tpch_q16_supplier_variety"](spark, SF), mode="simple")
+    assert "LeftAnti" in p16  # NOT IN -> anti join (non-null key)
