@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from firebase_realtime_database_backup_spark.catalog import read_table
+from firebase_realtime_database_backup_spark.catalog import read_table, spread
 from firebase_realtime_database_backup_spark.operators.text import (
     SHINGLE_SQL_CTE,
     doc_shingle_ids,
@@ -521,4 +521,59 @@ def dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keep_doc_id"),
             F.count(F.lit(1)).alias("n_copies"),
         )
+    )
+
+
+@REG.query(
+    "dedup_decontaminate",
+    oracle="""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tok_arr FROM documents),
+    grams AS (
+      SELECT doc_id, ARRAY_TO_STRING(tok_arr[i:i+3], ' ') AS gram
+      FROM toks, UNNEST(RANGE(1, LEN(tok_arr) - 2)) AS r(i)
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0)
+    SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_matched_grams
+    FROM grams g JOIN bench USING (gram)
+    WHERE g.doc_id % 10 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-4-gram with a held-out benchmark set (here: every 10th doc
+    stands in for the eval suite).  The contamination check every
+    LLM-corpus pipeline runs before training — the complement (an
+    anti join on the flagged ids) is the clean corpus.
+
+    Scale shape: real benchmark suites are fixed-size (MBs) while the
+    corpus is the 100 TB side, so the distinct benchmark-gram set is
+    BROADCAST and the corpus gram stream is probed map-side — the only
+    shuffle is the per-doc distinct-count agg, keyed by doc_id, which
+    the gram explode already carries.  For corpus-sized contamination
+    sources drop the hint and let AQE pick the join side.  Tokenize
+    once into a column; the per-position slice lambda is O(doc_len)
+    per gram, never re-splitting (interpreted HOFs do no CSE)."""
+    toks = spread(
+        read_table(spark, sf_dir, "documents").select(
+            "doc_id", F.split("text", " ").alias("toks")
+        )
+    ).filter(F.size("toks") >= 4)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 3),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, 4)),
+            )
+        ).alias("gram"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 10 == 0).select("gram").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 10 != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_matched_grams"))
     )

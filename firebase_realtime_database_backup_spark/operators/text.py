@@ -637,3 +637,82 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(raw, F.lit(PII_EMAIL_RE), F.lit(0))).alias("n_emails"),
         F.size(F.regexp_extract_all(raw, F.lit(PII_PHONE_RE), F.lit(0))).alias("n_phones"),
     )
+
+
+@REG.query(
+    "text_chunk_fixed",
+    oracle="""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tok_arr FROM documents)
+    SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+           ARRAY_TO_STRING(tok_arr[(c*16+1):(c*16+16)], ' ') AS chunk_text,
+           CAST(LEAST(16, LEN(tok_arr) - c*16) AS BIGINT) AS n_tokens
+    FROM toks, UNNEST(RANGE(0, CAST(CEIL(LEN(tok_arr) / 16.0) AS BIGINT))) AS r(c)
+    """,
+)
+def text_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window token chunking: split each document into 16-token
+    context windows (1 doc -> ceil(n/16) rows) — the sequence-chunking
+    step that precedes packing/training-batch assembly in an LLM data
+    pipeline.  Pure column math + one explode: no shuffle at all, the
+    fan-out happens inside the scan stage and parallelism grows with
+    the output (each chunk row is independent downstream).  Window
+    size 16 is the test-scale stand-in for a 2k-8k context length."""
+    toks = spread(
+        read_table(spark, sf_dir, "documents").select(
+            "doc_id", F.split("text", " ").alias("toks")
+        )
+    )
+    n_chunks = F.ceil(F.size("toks") / F.lit(16.0)).cast("int")
+    chunked = toks.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda c: F.concat_ws(" ", F.slice("toks", c * 16 + 1, 16)),
+            )
+        ).alias("chunk_id", "chunk_text"),
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "chunk_text",
+        F.least(F.lit(16), F.col("n_toks") - F.col("chunk_id") * 16)
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+
+@REG.query(
+    "mix_weighted_sources",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, source, lang,
+             CAST((doc_id * 2654435761) % 2147483648 AS BIGINT) % 100 AS h,
+             CAST(SUBSTR(source, 4) AS INT) % 3 AS tier
+      FROM documents
+    )
+    SELECT doc_id, source, lang
+    FROM tagged
+    WHERE h < CASE tier WHEN 0 THEN 90 WHEN 1 THEN 50 ELSE 20 END
+    """,
+)
+def mix_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing by per-source sampling weight: each source tier
+    keeps a different fraction (90/50/20%) via the same Knuth
+    multiplicative hash as sample_deterministic — reproducible across
+    engines, runs, and cluster sizes, unlike df.sample(fraction) whose
+    output depends on partitioning.  Map-only (filter in the scan
+    stage, zero shuffle); at 100 TB the weights come from a broadcast
+    source->rate table instead of a CASE, same plan shape.  This is
+    the "data recipe" step that upweights high-quality sources before
+    training."""
+    docs = read_table(spark, sf_dir, "documents")
+    h = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483648)).cast(
+        "bigint"
+    ) % 100
+    tier = F.substring("source", 4, 10).cast("int") % 3
+    rate = (
+        F.when(tier == 0, 90).when(tier == 1, 50).otherwise(20)
+    )
+    return docs.filter(h < rate).select("doc_id", "source", "lang")
