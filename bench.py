@@ -48,6 +48,19 @@ HEADLINE = [
     "sql_correlated_subquery",
     "tpch_q12_priority_lines",
     "tpch_q14_promo",
+    "tpch_q6_forecast",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_profit",
+    "tpch_q11_value_share",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive",
+    "tpch_q20_excess_shippers",
+    "tpch_q21_sole_returned",
+    "tpch_q22_idle_customers",
     "sample_deterministic",
     # scalar / json
     "json_from_json_struct",
@@ -70,6 +83,9 @@ HEADLINE = [
     "text_pii_redact",
     "text_top_terms",
     "pipeline_prepare_corpus",
+    "dedup_decontaminate",
+    "text_chunk_fixed",
+    "mix_weighted_sources",
     "multimodal_media_features",
     "multimodal_frame_explode",
     # pandas-UDF escape hatches

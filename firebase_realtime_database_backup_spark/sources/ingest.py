@@ -57,3 +57,14 @@ def write_csv(
     df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
 ) -> None:
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC ingest — the other columnar container Spark reads natively
+    (vectorized scan, predicate pushdown, splittable stripes).  Schema
+    comes from the file footer like parquet; no inference pass."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)

@@ -8,8 +8,10 @@ from firebase_realtime_database_backup_spark.catalog import read_table
 from firebase_realtime_database_backup_spark.sources.ingest import (
     read_csv,
     read_jsonl,
+    read_orc,
     write_csv,
     write_jsonl,
+    write_orc,
 )
 
 DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string"
@@ -51,4 +53,14 @@ def test_csv_roundtrip(spark, tmp_path):
         d,
         "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double",
     ).select(*orders.columns)
+    _assert_same(orders, back)
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC keeps full types (timestamps, doubles) without the text-format
+    casting dance — roundtrip must be exactly lossless on orders."""
+    orders = read_table(spark, "/root/testdata/sf0.001", "orders")
+    d = str(tmp_path / "orders_orc")
+    write_orc(orders, d)
+    back = read_orc(spark, d).select(*orders.columns)
     _assert_same(orders, back)
