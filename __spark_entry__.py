@@ -18,35 +18,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from firebase_realtime_database_backup_spark.registry import Registry
+from firebase_realtime_database_backup_spark.registry import Registry, build_registry
 
 
 def _registry() -> Registry:
-    from firebase_realtime_database_backup_spark.operators import relational
-
-    reg = Registry()
-    reg.merge(relational.REG)
-    for modname in (
-        "firebase_realtime_database_backup_spark.operators.tpch",
-        "firebase_realtime_database_backup_spark.operators.dedup",
-        "firebase_realtime_database_backup_spark.operators.similarity",
-        "firebase_realtime_database_backup_spark.operators.text",
-        "firebase_realtime_database_backup_spark.operators.multimodal",
-        "firebase_realtime_database_backup_spark.functions.scalar",
-        "firebase_realtime_database_backup_spark.streaming.windows",
-        "firebase_realtime_database_backup_spark.streaming.stateful",
-        "firebase_realtime_database_backup_spark.sources.tree",
-    ):
-        try:
-            mod = __import__(modname, fromlist=["REG"])
-            reg.merge(mod.REG)
-        except ImportError as exc:
-            # Degrade to the queries that do import, but NEVER silently:
-            # a missing module would otherwise just shrink the
-            # correctness surface without a trace.
-            print(f"WARNING: query module {modname} failed to import: {exc}",
-                  file=sys.stderr)
-    return reg
+    return build_registry(
+        warn=lambda msg: print(f"WARNING: {msg}", file=sys.stderr)
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

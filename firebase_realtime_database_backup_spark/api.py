@@ -138,6 +138,21 @@ def _build_parser() -> argparse.ArgumentParser:
     common(dif)
     dif.add_argument("--prev_dir", required=True)
     dif.add_argument("--output_dir", required=True)
+
+    qry = sub.add_parser(
+        "query",
+        help="run a registered analytics query (or list/explain them)",
+    )
+    qry.add_argument(
+        "name", nargs="?", default=None, help="query name; omit to list all"
+    )
+    qry.add_argument("--sf_dir", default="/root/testdata/sf0.001")
+    qry.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the formatted physical plan instead of rows",
+    )
+    qry.add_argument("--limit", type=int, default=20)
     return p
 
 
@@ -157,9 +172,32 @@ def _offline_client(tree_json: str | None):
 
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
+
+    if args.command == "query":
+        from firebase_realtime_database_backup_spark.registry import build_registry
+
+        reg = build_registry(warn=lambda m: print(f"WARNING: {m}", file=sys.stderr))
+        if args.name is None:
+            for name in sorted(reg.queries):
+                marker = "oracle" if name in reg.oracles else "rows-only"
+                print(f"{name}  [{marker}]")
+            return 0
+        if args.name not in reg.queries:
+            print(f"unknown query {args.name!r}; run with no name to list",
+                  file=sys.stderr)
+            return 2
+
     from firebase_realtime_database_backup_spark.session import get_spark
 
     spark = get_spark(app_name=f"frdbackup-spark-{args.command}")
+
+    if args.command == "query":
+        df = reg.queries[args.name](spark, args.sf_dir)
+        if args.explain:
+            df.explain("formatted")
+        else:
+            df.show(args.limit, truncate=False)
+        return 0
     if args.command == "export":
         out = args.output_dir or default_backup_name(args.project_id)
         client = _offline_client(args.tree_json)

@@ -48,3 +48,35 @@ class Registry:
                 self.queries[name] = fn
             self.oracles.update(other.oracles)
         return self
+
+
+QUERY_MODULES = (
+    "firebase_realtime_database_backup_spark.operators.relational",
+    "firebase_realtime_database_backup_spark.operators.tpch",
+    "firebase_realtime_database_backup_spark.operators.dedup",
+    "firebase_realtime_database_backup_spark.operators.similarity",
+    "firebase_realtime_database_backup_spark.operators.text",
+    "firebase_realtime_database_backup_spark.operators.multimodal",
+    "firebase_realtime_database_backup_spark.functions.scalar",
+    "firebase_realtime_database_backup_spark.streaming.windows",
+    "firebase_realtime_database_backup_spark.streaming.stateful",
+    "firebase_realtime_database_backup_spark.sources.tree",
+)
+
+
+def build_registry(warn=None) -> "Registry":
+    """Assemble the full engine registry from every query module.
+
+    ``warn`` is called with a message per module that fails to import —
+    degrade to the queries that do load, but NEVER silently: a missing
+    module would otherwise just shrink the correctness surface without
+    a trace."""
+    reg = Registry()
+    for modname in QUERY_MODULES:
+        try:
+            mod = __import__(modname, fromlist=["REG"])
+            reg.merge(mod.REG)
+        except ImportError as exc:
+            if warn is not None:
+                warn(f"query module {modname} failed to import: {exc}")
+    return reg

@@ -84,3 +84,24 @@ def test_cli_diff_incremental(spark, tmp_path, capsys):
     )
     restored = restore_to_version(spark, snap, [delta])
     assert tree_to_dict(restored) == v2
+
+
+def test_cli_query_list_run_explain(spark, capsys):
+    # list: every registered query with its check tier
+    assert main(["query"]) == 0
+    out = capsys.readouterr().out
+    assert "flagship_revenue  [oracle]" in out
+    assert "dedup_minhash_ml  [rows-only]" in out
+    # run: rows printed
+    assert main(["query", "tpch_q6_forecast",
+                 "--sf_dir", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out
+    assert "revenue" in out and "n_items" in out
+    # explain: physical plan, not rows
+    assert main(["query", "tpch_q6_forecast", "--explain",
+                 "--sf_dir", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan parquet" in out
+    # unknown name: error exit, helpful message
+    assert main(["query", "definitely_not_a_query"]) == 2
+    assert "unknown query" in capsys.readouterr().err
