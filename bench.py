@@ -37,6 +37,7 @@ HEADLINE = [
     "tpch_q18_big_orders",
     "join_range_binned",
     "agg_pivot",
+    "agg_unpivot",
     "window_running_frame",
     "window_range_frame",
     "window_percent_dist",

@@ -1752,3 +1752,44 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@REG.query(
+    "agg_unpivot",
+    oracle=f"""
+    WITH wide AS (
+        SELECT l_returnflag,
+               {oround("SUM(l_quantity)")} AS sum_qty,
+               {oround("SUM(l_extendedprice)")} AS sum_price,
+               {oround("SUM(l_discount)")} AS sum_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt — the inverse of agg_pivot: wide measure columns
+    become (metric, value) rows.  Spark's native unpivot plans a single
+    Expand operator (each input row emitted k times, one per measure)
+    in the same stage as the aggregate — NOT a k-way self-union, which
+    would re-read the aggregate k times.  The oracle states the
+    semantics as the equivalent UNION ALL over a shared CTE."""
+    wide = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+        )
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -206,3 +206,39 @@ def test_tpch_correlated_subqueries_decorrelate(spark, queries):
     assert "LeftSemi" in p21 and "LeftAnti" in p21
     p16 = _plan(spark, queries["tpch_q16_supplier_variety"](spark, SF), mode="simple")
     assert "LeftAnti" in p16  # NOT IN -> anti join (non-null key)
+
+
+def test_range_clustered_layout_gives_disjoint_file_stats(spark, tmp_path):
+    """Range-clustered write (repartitionByRange + sortWithinPartitions)
+    must produce part-files with DISJOINT key ranges — the layout that
+    lets parquet min/max footer stats skip whole files for a key-range
+    filter.  At 100 TB this is the difference between scanning every
+    file and scanning the 1-2 files a date predicate touches."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from firebase_realtime_database_backup_spark.catalog import read_table
+
+    out = str(tmp_path / "orders_clustered")
+    (
+        read_table(spark, "/root/testdata/sf0.01", "orders")
+        .repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) >= 4
+    ranges = []
+    for f in files:
+        mm = (
+            spark.read.parquet(f)
+            .agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+            .first()
+        )
+        if mm["lo"] is not None:
+            ranges.append((mm["lo"], mm["hi"]))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next, (hi_prev, lo_next)
