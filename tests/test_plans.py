@@ -242,3 +242,29 @@ def test_range_clustered_layout_gives_disjoint_file_stats(spark, tmp_path):
     ranges.sort()
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev <= lo_next, (hi_prev, lo_next)
+
+
+# Queries where a BroadcastNestedLoopJoin is the DESIGNED plan, not an
+# accident: the explicit theta-join demo, and the two similarity ops
+# whose small side (query set / centroid table) is broadcast on purpose
+# for an all-pairs score.
+BNL_ALLOWED = {"join_theta_bnl", "sim_cosine_topk", "sim_ivf_topk"}
+
+
+def test_registry_wide_plan_lint(spark, queries):
+    """Every registered query must (a) pass analysis/optimization at
+    sf0.01 and (b) plan without an accidental CartesianProduct or
+    BroadcastNestedLoopJoin — the two physical shapes that turn into
+    cluster-killers at 100 TB.  A new operator that slips an unintended
+    cross join past its value-hash check fails here."""
+    offenders = {}
+    for name, fn in queries.items():
+        plan = _plan(spark, fn(spark, SF), mode="simple")
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("cartesian")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNL_ALLOWED:
+            flags.append("bnl")
+        if flags:
+            offenders[name] = flags
+    assert not offenders, offenders
