@@ -83,6 +83,7 @@ HEADLINE = [
     "text_repetition_ratio",
     "text_pii_redact",
     "text_top_terms",
+    "text_tfidf",
     "pipeline_prepare_corpus",
     "dedup_decontaminate",
     "text_chunk_fixed",

@@ -716,3 +716,77 @@ def mix_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(tier == 0, 90).when(tier == 1, 50).otherwise(20)
     )
     return docs.filter(h < rate).select("doc_id", "source", "lang")
+
+
+@REG.query(
+    "text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS dfreq FROM toks GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, tok, tf, dfreq,
+           ROUND(tf * LN(CAST(n_docs AS DOUBLE) / dfreq), 6) AS tfidf
+    FROM tf JOIN dfreq USING (tok), n
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF weighting per (document, term) — the classic relevance /
+    keyword-extraction signal.  Dataflow: term frequency is one
+    partial-aggregated shuffle on (doc_id, tok); document frequency is
+    a two-phase distinct count on tok (stopword skew absorbed by the
+    partial phase); the vocabulary-sized df table and the one-row
+    corpus count are both BROADCAST into the tf stream, so the big
+    side shuffles exactly once.  ln() is rounded to 6 decimals at the
+    compare boundary (libm vs StrictMath can differ in the last ulp;
+    everything else is integer-exact)."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("dfreq"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "dfreq",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("dfreq")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+@REG.query(
+    "text_anonymize_keys",
+    oracle="""
+    SELECT c_custkey,
+           SHA256('pepper:' || c_name) AS name_token,
+           c_mktsegment,
+           ROUND(c_acctbal, 0) AS acctbal_coarse
+    FROM customer
+    """,
+)
+def text_anonymize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymization for training-data governance: direct
+    identifiers become keyed SHA-256 tokens (stable for joins,
+    irreversible without the pepper), and quasi-identifying numerics
+    are coarsened.  Complements text_pii_redact (which scrubs free
+    text) for structured columns.  Map-only, whole-stage-codegen'd;
+    at 100 TB the pepper comes from a secret store, same plan."""
+    cust = read_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.sha2(F.concat(F.lit("pepper:"), F.col("c_name")), 256).alias(
+            "name_token"
+        ),
+        "c_mktsegment",
+        F.round(F.col("c_acctbal"), 0).alias("acctbal_coarse"),
+    )
