@@ -90,6 +90,7 @@ HEADLINE = [
     "mix_weighted_sources",
     "multimodal_media_features",
     "multimodal_frame_explode",
+    "multimodal_resize_pool",
     # pandas-UDF escape hatches
     "udf_pandas_scalar",
     "udf_grouped_topn",

@@ -225,3 +225,65 @@ def multimodal_frame_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInPandas(frames, schema)
+
+
+POOL = 2  # 2x2 average pooling: 8x8 raster -> 4x4
+
+
+@REG.query(
+    "multimodal_resize_pool",
+    oracle="""
+    WITH cells AS (
+      SELECT doc_id, text,
+             OCTET_LENGTH(ENCODE(text)) AS n,
+             UNNEST(RANGE(0, 16)) AS cell
+      FROM documents
+    ),
+    corners AS (
+      SELECT doc_id, text, n, cell,
+             (cell // 4) * 2 AS r, (cell % 4) * 2 AS c
+      FROM cells
+    )
+    SELECT doc_id, CAST(cell AS BIGINT) AS cell,
+           CAST((  UNICODE(SUBSTRING(text, (( r      * 8 + c    ) % n) + 1, 1))
+                 + UNICODE(SUBSTRING(text, (( r      * 8 + c + 1) % n) + 1, 1))
+                 + UNICODE(SUBSTRING(text, (((r + 1) * 8 + c    ) % n) + 1, 1))
+                 + UNICODE(SUBSTRING(text, (((r + 1) * 8 + c + 1) % n) + 1, 1))
+                ) // 4 AS BIGINT) AS pooled
+    FROM corners
+    """,
+)
+def multimodal_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize / downsample through the real decode path: fake-decode the
+    payload to an 8x8 raster (np.resize byte tiling), then 2x2 average-
+    pool to 4x4 — one row per output cell.  This is the image-resize
+    shape (decode -> ndarray -> pooled ndarray) running as a vectorized
+    numpy kernel inside mapInPandas, partition-parallel with zero
+    shuffle.  Integer division keeps the oracle exact: the SQL twin
+    recomputes each pooled cell from the same byte-tiling arithmetic
+    (ASCII payload => byte == codepoint)."""
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = spread(
+        docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    )
+
+    schema = "doc_id bigint, cell bigint, pooled bigint"
+
+    def pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, cells, vals = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                raster = np.resize(buf.astype(np.int64), 64).reshape(8, 8)
+                pooled = (
+                    raster.reshape(4, POOL, 4, POOL).swapaxes(1, 2).reshape(16, 4)
+                    .sum(axis=1) // (POOL * POOL)
+                )
+                ids.extend([int(doc_id)] * 16)
+                cells.extend(range(16))
+                vals.extend(int(v) for v in pooled)
+            yield pd.DataFrame({"doc_id": ids, "cell": cells, "pooled": vals})
+
+    return payloads.mapInPandas(pool, schema)
