@@ -77,6 +77,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "sim_cosine_topk",
     "sim_ivf_topk",
+    "sim_ann_multitable",
     "sim_label_centroids",
     "sim_vector_quantize",
     "text_fingerprint",

@@ -268,3 +268,29 @@ def test_registry_wide_plan_lint(spark, queries):
         if flags:
             offenders[name] = flags
     assert not offenders, offenders
+
+
+def test_ann_recall_vs_exact_topk(spark, queries):
+    """Quality gate for the approximate similarity paths: LSH-bucketed
+    ANN and IVF must recover a meaningful fraction of the EXACT cosine
+    top-k neighbor pairs (recall is the metric that matters for ANN —
+    value-hash checks only pin determinism, not usefulness).  Bucketing
+    shrinks the candidate space by design, so thresholds are
+    calibrated to this data/plane-count and act as regression floors:
+    a refactor that silently degrades bucketing to near-zero overlap
+    fails here."""
+    exact = {
+        (r["q_id"], r["c_id"])
+        for r in queries["sim_cosine_topk"](spark, SF).collect()
+    }
+    assert exact, "exact top-k produced no pairs"
+    # sim_ann_lsh (single-table, 8 AND-bits) is deliberately excluded:
+    # on this weakly-clustered data (mean neighbor cosine ~0.33) its
+    # recall is ~0 by construction — that IS its documented failure
+    # mode, and the reason sim_ann_multitable exists.
+    for name, floor in (("sim_ann_multitable", 0.40), ("sim_ivf_topk", 0.60)):
+        approx = {
+            (r["q_id"], r["c_id"]) for r in queries[name](spark, SF).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= floor, f"{name} recall {recall:.3f} < {floor}"
