@@ -75,6 +75,7 @@ HEADLINE = [
     "text_normalize",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
+    "dedup_embedding_cosine_scaled",
     "sim_cosine_topk",
     "sim_ivf_topk",
     "sim_ann_multitable",

@@ -577,3 +577,112 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("gram").alias("n_matched_grams"))
     )
+
+
+EMB_DUP_TARGET_OCCUPANCY = 32  # aim for ~32 vectors per LSH bucket
+
+
+def _scaled_planes(n: int) -> int:
+    """planes = max(4, ceil(log2(N / target))) — bucket count tracks
+    corpus size so expected occupancy (and the quadratic in-bucket pair
+    cost) stays ~constant as N grows."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(2.0, n / EMB_DUP_TARGET_OCCUPANCY))))
+
+
+def _emb_dup_scaled_oracle() -> str:
+    from firebase_realtime_database_backup_spark.operators.similarity import (
+        _DOT,
+        _plane_sql,
+    )
+
+    dot = lambda a, b: _DOT.format(a=a, b=b)  # noqa: E731
+    cos_ab = (
+        f"{dot('a.emb', 'b.emb')} / (SQRT({dot('a.emb', 'a.emb')})"
+        f" * SQRT({dot('b.emb', 'b.emb')}))"
+    )
+    n_planes = (
+        f"(SELECT GREATEST(4, CAST(CEIL(LOG2(GREATEST(2.0, "
+        f"COUNT(*) / {EMB_DUP_TARGET_OCCUPANCY}.0))) AS BIGINT)) FROM embeddings)"
+    )
+    return f"""
+    WITH planes AS (
+      SELECT p, {_plane_sql("p")} AS v
+      FROM (SELECT UNNEST(RANGE(0, {n_planes})) AS p)
+    ),
+    buckets AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+             CAST(SUM(CASE WHEN {dot("pl.v", "e.embedding")} >= 0
+                           THEN CAST(POWER(2, pl.p) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM embeddings e, planes pl
+      GROUP BY e.vec_id, CAST(e.embedding AS DOUBLE[])
+    )
+    SELECT vec_id, nn_id, nn_cosine,
+           nn_cosine >= {EMB_DUP_THRESHOLD} AS is_dup
+    FROM (
+      SELECT a.vec_id, b.vec_id AS nn_id, {cos_ab} AS nn_cosine,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY {cos_ab} DESC, b.vec_id) AS rk
+      FROM buckets a JOIN buckets b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ) WHERE rk = 1
+    """
+
+
+@REG.query("dedup_embedding_cosine_scaled", oracle=_emb_dup_scaled_oracle())
+def dedup_embedding_cosine_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_embedding_cosine with the plane count DERIVED FROM CORPUS
+    SIZE instead of pinned: planes = max(4, ceil(log2(N/32))), so
+    expected bucket occupancy — and with it the quadratic in-bucket
+    pair cost that made the fixed-plane variant go 28x at 20x data
+    (BASELINE.md scale table) — stays constant as N grows.  The count
+    is one cheap driver-side job before plan build (a metadata count
+    at parquet scale); the oracle derives the identical plane count
+    from COUNT(*), so the SQL twin tracks every SF.  sf0.01 resolves
+    to 4 planes (= the pinned variant), sf0.1 to 8, 20x to 12."""
+    from pyspark.sql import Window
+
+    from firebase_realtime_database_backup_spark.operators.similarity import (
+        _dot,
+        _norm,
+        bucket_column,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    planes = _scaled_planes(emb.count())
+    buckets = emb.select(
+        "vec_id",
+        "emb",
+        bucket_column(F.col("emb"), planes).alias("bucket"),
+        _norm(F.col("emb")).alias("nrm"),
+    )
+    a = buckets.select("vec_id", F.col("emb").alias("ae"), "bucket",
+                       F.col("nrm").alias("an"))
+    b = buckets.select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("emb").alias("be"),
+        F.col("bucket").alias("b_bucket"),
+        F.col("nrm").alias("bn"),
+    )
+    pairs = a.join(
+        b, (F.col("bucket") == F.col("b_bucket")) & (F.col("vec_id") != F.col("nn_id"))
+    ).select(
+        "vec_id",
+        "nn_id",
+        (_dot(F.col("ae"), F.col("be")) / (F.col("an") * F.col("bn"))).alias("nn_cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("nn_cosine"), F.col("nn_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            "nn_id",
+            "nn_cosine",
+            (F.col("nn_cosine") >= EMB_DUP_THRESHOLD).alias("is_dup"),
+        )
+    )
