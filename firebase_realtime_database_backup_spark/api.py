@@ -126,6 +126,13 @@ def _build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--output_dir", default=None)
     exp.add_argument("--max_ipp", type=int, default=DEFAULT_MAX_IPP)
     exp.add_argument("--root_start_ipp", type=int, default=DEFAULT_MAX_IPP)
+    exp.add_argument(
+        "--archive",
+        action="store_true",
+        help="also pack the snapshot into <output_dir>.tar.gz "
+        "(the reference's single-file artifact; optional because a "
+        "snapshot directory is the scalable form)",
+    )
 
     imp = sub.add_parser("import")
     common(imp)
@@ -210,6 +217,12 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"exported {tree.count()} tree rows from "
               f"{project_url(args.project_id)} to {out}")
+        if args.archive:
+            from firebase_realtime_database_backup_spark.sinks.snapshot import (
+                archive_snapshot,
+            )
+
+            print(f"archived to {archive_snapshot(out)}")
         return 0
 
     if args.command == "diff":
@@ -237,7 +250,16 @@ def main(argv: list[str] | None = None) -> int:
             print("aborted")
             return 1
     client = _offline_client(args.tree_json)
-    do_restore(spark, args.backup_dir, lambda: client, driver_side=True)
+    backup_dir = args.backup_dir
+    if backup_dir.endswith((".tar.gz", ".tgz")):  # R1: archived backup
+        import tempfile
+
+        from firebase_realtime_database_backup_spark.sinks.snapshot import (
+            unarchive_snapshot,
+        )
+
+        backup_dir = unarchive_snapshot(backup_dir, tempfile.mkdtemp())
+    do_restore(spark, backup_dir, lambda: client, driver_side=True)
     print(f"restored {args.backup_dir} into {project_url(args.project_id)}")
     return 0
 

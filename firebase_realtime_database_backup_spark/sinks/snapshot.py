@@ -82,3 +82,34 @@ def read_snapshot(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.json(os.path.join(out_dir, MANIFEST_DIR))
+
+
+def archive_snapshot(out_dir: str, archive_path: str | None = None) -> str:
+    """Pack a written snapshot directory into one `.tar.gz` — the
+    reference's final export artifact (PharData tar + GZ compress,
+    src/BackupProcessor.php:225-242).  Driver-side and single-stream by
+    nature, so it is an OPTIONAL convenience for parity / small-export
+    portability: at 100 TB the snapshot directory itself is the
+    artifact (parquet part-files are already independently
+    compressed), and a single tar stream is exactly the bottleneck the
+    distributed sink avoids."""
+    import tarfile
+
+    archive_path = archive_path or out_dir.rstrip("/") + ".tar.gz"
+    with tarfile.open(archive_path, "w:gz") as tf:
+        tf.add(out_dir, arcname=os.path.basename(out_dir.rstrip("/")))
+    return archive_path
+
+
+def unarchive_snapshot(archive_path: str, dest_dir: str) -> str:
+    """Unpack an archived snapshot (the reference's decompressedBackup,
+    src/RestoreProcessor.php:45-54) and return the inner snapshot dir."""
+    import tarfile
+
+    with tarfile.open(archive_path, "r:gz") as tf:
+        names = tf.getnames()
+        tf.extractall(dest_dir, filter="data")
+    top = sorted({n.split("/", 1)[0] for n in names})
+    if len(top) != 1:
+        raise ValueError(f"archive holds {len(top)} top-level entries: {top}")
+    return os.path.join(dest_dir, top[0])

@@ -105,3 +105,23 @@ def test_cli_query_list_run_explain(spark, capsys):
     # unknown name: error exit, helpful message
     assert main(["query", "definitely_not_a_query"]) == 2
     assert "unknown query" in capsys.readouterr().err
+
+
+def test_cli_export_archive_then_import_from_archive(spark, tmp_path, capsys):
+    """--archive packs the snapshot as <out>.tar.gz (S11) and import
+    accepts the archive path directly (R1), restoring identity."""
+    src = tmp_path / "tree.json"
+    src.write_text(json.dumps(TREE))
+    out = str(tmp_path / "cli_snap3")
+    rc = main(["export", "-p", "demo", "--tree-json", str(src),
+               "--output_dir", out, "--archive"])
+    assert rc == 0
+    assert "archived to" in capsys.readouterr().out
+    import os
+    assert os.path.exists(out + ".tar.gz")
+
+    empty = tmp_path / "empty.json"
+    empty.write_text("{}")
+    rc = main(["import", "-p", "demo", "--tree-json", str(empty),
+               "--backup_dir", out + ".tar.gz", "--yes"])
+    assert rc == 0

@@ -245,10 +245,11 @@ def test_range_clustered_layout_gives_disjoint_file_stats(spark, tmp_path):
 
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan, not an
-# accident: the explicit theta-join demo, and the two similarity ops
-# whose small side (query set / centroid table) is broadcast on purpose
-# for an all-pairs score.
-BNL_ALLOWED = {"join_theta_bnl", "sim_cosine_topk", "sim_ivf_topk"}
+# accident: the explicit theta-join demo, the two similarity ops whose
+# small side (query set / centroid table) is broadcast on purpose for
+# an all-pairs score, and tf-idf's ONE-ROW corpus-count cross join (the
+# scalar-subquery shape — a 1-row broadcast probe, cost O(rows)).
+BNL_ALLOWED = {"join_theta_bnl", "sim_cosine_topk", "sim_ivf_topk", "text_tfidf"}
 
 
 def test_registry_wide_plan_lint(spark, queries):

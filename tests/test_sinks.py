@@ -130,3 +130,26 @@ def test_writeback_distributed_foreachpartition(spark, tmp_path):
     for op in ops:
         replay.update(op["path"], op["data"])
     assert replay.tree == TREE
+
+
+def test_archive_roundtrip(spark, tmp_path):
+    """Snapshot -> tar.gz -> unpack -> read must be identity (the
+    reference's archive/decompress cycle, S11/R1)."""
+    from firebase_realtime_database_backup_spark.sinks.snapshot import (
+        archive_snapshot,
+        read_snapshot,
+        unarchive_snapshot,
+        write_snapshot,
+    )
+    from firebase_realtime_database_backup_spark.sources.tree import tree_from_dict
+
+    tree = tree_from_dict(
+        spark, {"users": {"u1": {"name": "a"}, "u2": 3}, "cfg": {"on": True}}
+    )
+    snap = str(tmp_path / "snap")
+    write_snapshot(tree, snap)
+    arch = archive_snapshot(snap)
+    assert arch.endswith(".tar.gz")
+    inner = unarchive_snapshot(arch, str(tmp_path / "unpacked"))
+    back = read_snapshot(spark, inner)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, tree.collect()))
