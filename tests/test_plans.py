@@ -260,12 +260,18 @@ def test_registry_wide_plan_lint(spark, queries):
     cross join past its value-hash check fails here."""
     offenders = {}
     for name, fn in queries.items():
-        plan = _plan(spark, fn(spark, SF), mode="simple")
+        df = fn(spark, SF)
+        plan = _plan(spark, df, mode="simple")
         flags = []
         if "CartesianProduct" in plan:
             flags.append("cartesian")
         if "BroadcastNestedLoopJoin" in plan and name not in BNL_ALLOWED:
             flags.append("bnl")
+        # duplicate/empty column names silently break the driver's
+        # column-sorted value-hash compare
+        cols = df.columns
+        if len(set(cols)) != len(cols) or any(not c for c in cols):
+            flags.append(f"bad columns {cols}")
         if flags:
             offenders[name] = flags
     assert not offenders, offenders
