@@ -469,3 +469,37 @@ def scalar_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("n_even_len"),
     )
+
+
+@REG.query(
+    "scalar_bitwise_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255                            AS key_and,
+           l_orderkey | 4096                           AS key_or,
+           XOR(l_orderkey, CAST(l_linenumber AS BIGINT)) AS key_xor,
+           l_orderkey << 2                             AS key_shl,
+           l_orderkey >> 3                             AS key_shr,
+           ~l_orderkey                                 AS key_not,
+           CAST(BIT_COUNT(l_orderkey) AS INT)          AS key_popcount
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    """,
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface — integer-exact in any engine (used by the LSH
+    band/bucket math elsewhere: packing sign bits, masking band keys).
+    All eight ops are codegen'd JVM intrinsics; no shuffle, no UDF."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    key = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        key.bitwiseAND(F.lit(255)).alias("key_and"),
+        key.bitwiseOR(F.lit(4096)).alias("key_or"),
+        key.bitwiseXOR(F.col("l_linenumber").cast("bigint")).alias("key_xor"),
+        F.shiftleft(key, 2).alias("key_shl"),
+        F.shiftright(key, 3).alias("key_shr"),
+        F.expr("~l_orderkey").alias("key_not"),
+        F.bit_count(key).alias("key_popcount"),
+    )
