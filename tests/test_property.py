@@ -90,3 +90,41 @@ def test_writeback_roundtrip_with_failures(tree, data):
     _write_path(target, "/", rows, stats)
     assert target.tree == tree
     assert stats.keys_written >= len(rows)
+
+
+def test_chunking_reconstructs_documents(spark):
+    """Lossless-chunking invariant on the real corpus: re-joining each
+    document's chunk_texts in chunk order must reproduce the original
+    text exactly, and n_tokens must sum to the document's token count."""
+    import pyspark.sql.functions as F
+
+    from firebase_realtime_database_backup_spark.catalog import read_table
+    from firebase_realtime_database_backup_spark.operators.text import (
+        text_chunk_fixed,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    chunks = text_chunk_fixed(spark, sf)
+    rebuilt = (
+        chunks.orderBy("doc_id", "chunk_id")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text")))
+                .getField("chunk_text")
+            ).alias("rebuilt"),
+            F.sum("n_tokens").alias("n_tokens_total"),
+        )
+    )
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id",
+        F.col("text"),
+        F.size(F.split("text", " ")).alias("n_tokens_true"),
+    )
+    joined = docs.join(rebuilt, "doc_id")
+    bad = joined.filter(
+        (F.col("rebuilt") != F.col("text"))
+        | (F.col("n_tokens_total") != F.col("n_tokens_true"))
+    )
+    assert joined.count() == docs.count()
+    assert bad.count() == 0, bad.limit(3).collect()
