@@ -62,6 +62,8 @@ HEADLINE = [
     "tpch_q20_excess_shippers",
     "tpch_q21_sole_returned",
     "tpch_q22_idle_customers",
+    "sink_merge_upsert",
+    "scd2_validity_windows",
     "sample_deterministic",
     # scalar / json
     "json_from_json_struct",

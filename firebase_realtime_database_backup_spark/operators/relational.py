@@ -1793,3 +1793,103 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@REG.query(
+    "sink_merge_upsert",
+    oracle="""
+    WITH changes AS (
+        SELECT o_orderkey, 'delete' AS op,
+               CAST(NULL AS VARCHAR) AS new_priority
+        FROM orders WHERE o_orderkey % 10 = 1
+        UNION ALL
+        SELECT o_orderkey, 'update', '1-URGENT'
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'insert', '5-LOW'
+        FROM orders WHERE o_orderkey % 10 = 2
+    )
+    SELECT t.o_orderkey,
+           COALESCE(c.new_priority, t.o_orderpriority) AS o_orderpriority
+    FROM orders t LEFT JOIN changes c USING (o_orderkey)
+    WHERE c.op IS NULL OR c.op = 'update'
+    UNION ALL
+    SELECT o_orderkey, new_priority
+    FROM changes WHERE op = 'insert'
+    """,
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE (upsert/delete/insert) into a snapshot — the table-
+    maintenance primitive under every incremental 100 TB pipeline
+    (Delta/Iceberg MERGE INTO, rewritten as plain DataFrame algebra):
+    one LEFT join of the target to the (small) change set applies
+    updates and filters deletes, a union appends inserts.  The change
+    set is derived deterministically from orders itself so the oracle
+    is self-contained.  At scale the change side is broadcast (CDC
+    batches are tiny vs the table) — the target is never shuffled; with
+    a partitioned target the join prunes to touched partitions only."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 10 == 1).select(
+        "o_orderkey", F.lit("delete").alias("op"),
+        F.lit(None).cast("string").alias("new_priority"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", F.lit("update").alias("op"),
+        F.lit("1-URGENT").alias("new_priority"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 10 == 2).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.lit("insert").alias("op"),
+        F.lit("5-LOW").alias("new_priority"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    merged = (
+        orders.join(F.broadcast(changes), "o_orderkey", "left")
+        .filter(F.col("op").isNull() | (F.col("op") == "update"))
+        .select(
+            "o_orderkey",
+            F.coalesce("new_priority", "o_orderpriority").alias("o_orderpriority"),
+        )
+    )
+    return merged.unionByName(
+        changes.filter(F.col("op") == "insert").select(
+            "o_orderkey", F.col("new_priority").alias("o_orderpriority")
+        )
+    )
+
+
+@REG.query(
+    "scd2_validity_windows",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(EPOCH_MS(ts) AS BIGINT) AS valid_from_ms,
+           CAST(EPOCH_MS(LEAD(ts) OVER w) AS BIGINT) AS valid_to_ms,
+           value AS attr_value,
+           LEAD(ts) OVER w IS NULL AS is_current
+    FROM events
+    WHERE user_id < 200
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    """,
+)
+def scd2_validity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: each change event opens a validity
+    interval closed by the NEXT change of the same (entity, attribute)
+    — lead() over an entity-partitioned window; the open interval is
+    the current row.  One shuffle on the entity key, arbitrarily many
+    attributes ride the same window.  The warehouse pattern for
+    dimension history at 100 TB (ties to events_sessionize's lag
+    mirror).  event_id tiebreaks equal timestamps so the interval
+    chain is deterministic."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_type",
+        (F.col("ts").cast("double") * 1000).cast("bigint").alias("valid_from_ms"),
+        (nxt.cast("double") * 1000).cast("bigint").alias("valid_to_ms"),
+        F.col("value").alias("attr_value"),
+        nxt.isNull().alias("is_current"),
+    )
