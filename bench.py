@@ -63,6 +63,7 @@ HEADLINE = [
     "tpch_q21_sole_returned",
     "tpch_q22_idle_customers",
     "sink_merge_upsert",
+    "quality_audit_constraints",
     "scd2_validity_windows",
     "sample_deterministic",
     # scalar / json

@@ -1893,3 +1893,71 @@ def scd2_validity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("attr_value"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@REG.query(
+    "quality_audit_constraints",
+    oracle="""
+    SELECT 'orders_null_key' AS rule,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_nonpositive_total',
+           CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_dup_key',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def quality_audit_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit (expectations): one row per constraint with
+    its violation count — null keys, domain ranges, key uniqueness, and
+    referential integrity (orphan foreign keys via anti join).  The
+    pre-ingest gate a 100 TB pipeline runs before publishing a
+    snapshot.  Per-table rules collapse into ONE aggregate pass per
+    table (conditional counts share the scan); the referential rule is
+    a broadcast-able anti join.  All counts are integer-exact."""
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    big = F.lit(None).cast("bigint")
+
+    o_rules = orders.agg(
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("orders_null_key"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias(
+            "orders_nonpositive_total"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("orders_dup_key"),
+    )
+    l_rules = lineitem.agg(
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+        ).alias("lineitem_discount_range")
+    )
+    orphans = (
+        lineitem.join(
+            orders.select("o_orderkey"),
+            lineitem["l_orderkey"] == orders["o_orderkey"],
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("lineitem_orphan_orderkey").alias("rule"),
+            F.col("n").cast("bigint").alias("n_violations"),
+        )
+    )
+    wide = o_rules.crossJoin(F.broadcast(l_rules))
+    tall = wide.unpivot(
+        ids=[], values=None, variableColumnName="rule",
+        valueColumnName="n_violations",
+    ).select("rule", F.col("n_violations").cast("bigint").alias("n_violations"))
+    return tall.unionByName(orphans)

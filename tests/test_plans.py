@@ -249,7 +249,15 @@ def test_range_clustered_layout_gives_disjoint_file_stats(spark, tmp_path):
 # small side (query set / centroid table) is broadcast on purpose for
 # an all-pairs score, and tf-idf's ONE-ROW corpus-count cross join (the
 # scalar-subquery shape — a 1-row broadcast probe, cost O(rows)).
-BNL_ALLOWED = {"join_theta_bnl", "sim_cosine_topk", "sim_ivf_topk", "text_tfidf"}
+# quality_audit_constraints cross-joins two ONE-ROW aggregate results
+# (per-table rule vectors) — same 1-row-broadcast shape as text_tfidf.
+BNL_ALLOWED = {
+    "join_theta_bnl",
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "text_tfidf",
+    "quality_audit_constraints",
+}
 
 
 def test_registry_wide_plan_lint(spark, queries):
