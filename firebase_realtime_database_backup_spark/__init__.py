@@ -25,5 +25,15 @@ Layout:
 
 from firebase_realtime_database_backup_spark.session import get_spark
 
-__all__ = ["get_spark"]
+
+def load_registry():
+    """All registered queries + oracles: `load_registry().queries` is a
+    dict name -> (spark, sf_dir) -> DataFrame.  Import is deferred so
+    `import firebase_realtime_database_backup_spark` stays light."""
+    from firebase_realtime_database_backup_spark.registry import build_registry
+
+    return build_registry()
+
+
+__all__ = ["get_spark", "load_registry"]
 __version__ = "0.1.0"
