@@ -664,3 +664,42 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY cntrycode
         """
     )
+
+
+_Q2_SQL = """
+SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name,
+       l_extendedprice / l_quantity AS unit_cost
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE p_size <= 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+  AND l_extendedprice / l_quantity = (
+      SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+      FROM lineitem l2
+      JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+      JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+      WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+"""
+
+
+@REG.query("tpch_q2_min_cost_supplier", oracle=_Q2_SQL)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier), completing the 22-query
+    suite.  There is no partsupp table in TESTDATA, so lineitem plays
+    the part<->supplier bridge and ps_supplycost becomes the observed
+    unit price l_extendedprice / l_quantity — the plan skeleton is
+    unchanged: a correlated scalar-MIN subquery over the same 4-way
+    join as the outer block.  Catalyst decorrelates it into one
+    per-partkey MIN aggregate joined back on (p_partkey, unit_cost);
+    the region/nation dims broadcast on both sides, so at 100 TB the
+    cost is two shuffles of the size-filtered bridge (one for the MIN,
+    one for the join-back) and nothing per-row.  Unit price is a single
+    double division — bit-identical in any IEEE engine — so the
+    MIN-equality match needs no rounding.  No LIMIT: the full match set
+    is returned, sidestepping tie-break nondeterminism entirely.
+    Reference has no joins at all (SURVEY.md §2.B)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q2_SQL)
