@@ -790,3 +790,107 @@ def text_anonymize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.round(F.col("c_acctbal"), 0).alias("acctbal_coarse"),
     )
+
+
+#: Tokens per packed training sequence.  Real pipelines use 2048-8192;
+#: 256 keeps per-group sequence counts interesting at test SFs.
+PACK_CAPACITY = 256
+
+
+@REG.query(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tok AS tok_start
+      FROM t
+    )
+    SELECT source, tok_start // {PACK_CAPACITY} AS seq_id,
+           COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c GROUP BY source, tok_start // {PACK_CAPACITY}
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: concatenate documents (in stable doc_id
+    order, per source) into fixed-capacity token sequences — the
+    standard "concat-then-chunk" step that turns a cleaned corpus into
+    training examples.  A doc belongs to the sequence where it STARTS
+    (tok_start DIV capacity), so assignment needs only a running token
+    offset, not the chunked text itself.
+
+    Dataflow: one window shuffle on `source` computes the running
+    offset, and the follow-up (source, seq_id) rollup reuses that
+    partitioning map-side.  Partitioning by source keeps the prefix-sum
+    parallel — the 100 TB version shards the running sum further by
+    (source, shard) with per-shard offsets rebased from a tiny
+    shard-totals broadcast, never a single global window.  All integer
+    arithmetic; DIV keeps the bin id exact in both engines."""
+    docs = spread(
+        read_table(spark, sf_dir, "documents").select(
+            "source", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    placed = docs.withColumn(
+        "tok_start", F.sum("n_tok").over(w) - F.col("n_tok")
+    ).withColumn("seq_id", F.expr(f"tok_start DIV {PACK_CAPACITY}"))
+    return placed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@REG.query(
+    "text_inverted_index",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+    ),
+    pairs AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> '')
+    SELECT term, COUNT(*) AS df_count,
+           (LIST(doc_id ORDER BY doc_id))[1:16] AS postings
+    FROM pairs GROUP BY term HAVING COUNT(*) >= 5
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term -> document frequency + the first 16
+    posting doc_ids.  The retrieval-side twin of text_tfidf.
+
+    Bounded-memory by construction: postings are capped BEFORE
+    collection (row_number over (term, doc_id) keeps rank <= 16), so a
+    degenerate stopword term with 10^9 documents never materializes an
+    unbounded set in one task — the thing a naive
+    slice(collect_set(...)) would do.  The groupBy reuses the window's
+    hash partitioning on `term`, so cap + count + collect cost ONE
+    exchange after the pair-distinct shuffle."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    pairs = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    ranked = pairs.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df_count"),
+            F.sort_array(
+                F.collect_set(F.when(F.col("rk") <= 16, F.col("doc_id")))
+            ).alias("postings"),
+        )
+        .filter(F.col("df_count") >= 5)
+    )
