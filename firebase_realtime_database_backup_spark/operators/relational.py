@@ -1961,3 +1961,73 @@ def quality_audit_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         valueColumnName="n_violations",
     ).select("rule", F.col("n_violations").cast("bigint").alias("n_violations"))
     return tall.unionByName(orphans)
+
+
+#: Per-user item cap before the pair self-join — the knob that bounds
+#: events_item_cooccurrence at scale (pairs grow as cap^2, not events^2).
+COOC_USER_CAP = 64
+
+
+@REG.query(
+    "events_item_cooccurrence",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT user_id,
+             CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS item
+      FROM events
+      WHERE JSON_EXTRACT_STRING(props, '$.k') IS NOT NULL
+    ),
+    capped AS (
+      SELECT user_id, item FROM (
+        SELECT user_id, item,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY item) AS rk
+        FROM items
+      ) WHERE rk <= {COOC_USER_CAP}
+    )
+    SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_users
+    FROM capped a JOIN capped b
+      ON a.user_id = b.user_id AND a.item < b.item
+    GROUP BY a.item, b.item
+    HAVING COUNT(*) >= 2
+    """,
+)
+def events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence counts (the "users who touched A also
+    touched B" recommender / co-click matrix) from the events stream,
+    with the item id parsed out of the JSON props payload.
+
+    The scale hazard in any co-occurrence job is the per-user self-join:
+    pairs grow quadratically in basket size, so one bot user with 10^5
+    items would emit 10^10 rows.  The standard control is applied here —
+    baskets are capped to COOC_USER_CAP items per user (row_number over
+    the user partition) BEFORE the self-join, making the blowup bounded
+    by cap^2 per user regardless of skew.  The self-join shuffles both
+    sides on user_id once (same key → one exchange per side), and the
+    final (item_a, item_b) count is partial-aggregated map-side."""
+    ev = read_table(spark, sf_dir, "events")
+    items = (
+        ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("item")
+    capped = (
+        items.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= COOC_USER_CAP)
+        .drop("rk")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .filter(F.col("n_users") >= 2)
+    )
