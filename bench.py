@@ -62,6 +62,8 @@ HEADLINE = [
     "tpch_q20_excess_shippers",
     "tpch_q21_sole_returned",
     "tpch_q22_idle_customers",
+    "tpch_q2_min_cost_supplier",
+    "events_item_cooccurrence",
     "sink_merge_upsert",
     "quality_audit_constraints",
     "scd2_validity_windows",
@@ -92,6 +94,8 @@ HEADLINE = [
     "pipeline_prepare_corpus",
     "dedup_decontaminate",
     "text_chunk_fixed",
+    "text_pack_sequences",
+    "text_inverted_index",
     "mix_weighted_sources",
     "multimodal_media_features",
     "multimodal_frame_explode",
