@@ -111,6 +111,43 @@ def dedup_events(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
     return events.dropDuplicates(["event_id"])
 
 
+def click_view_pairs(
+    clicks: DataFrame, views: DataFrame, lookback: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: each click pairs with the same
+    user's views in the trailing `lookback` window (view_ts within
+    [click_ts - lookback, click_ts]) — the attribution join every
+    clickstream pipeline runs.
+
+    Works identically in batch and streaming.  Under streaming, BOTH
+    sides get event-time watermarks; together with the two-sided time
+    bound Spark derives a finite state-retention horizon per side, so
+    join state is purged as the watermark advances — without the bound
+    (or with only one watermark) stream-stream join state grows forever.
+    At 100 TB the join shuffles both streams once on user_id; the time
+    bound keeps per-key state at O(events per user per lookback)."""
+    if clicks.isStreaming:
+        clicks = clicks.withWatermark("ts", lookback)
+    if views.isStreaming:
+        views = views.withWatermark("ts", lookback)
+    c = clicks.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    v = views.select(
+        F.col("user_id").alias("view_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    return c.join(
+        v,
+        (F.col("user_id") == F.col("view_user"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("view_ts") <= F.col("click_ts")),
+    ).drop("view_user")
+
+
 def run_stream_to_memory(
     agg: DataFrame, query_name: str, mode: str = "complete"
 ):
@@ -201,3 +238,39 @@ def stream_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     Session semantics: a session extends while consecutive events are
     < gap apart; window.start = first event's time."""
     return session_counts(read_table(spark, sf_dir, "events"))
+
+
+@REG.query(
+    "stream_stream_join",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+    v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+          FROM events WHERE event_type = 'view')
+    SELECT c.user_id, COUNT(*) AS n_pairs,
+           MIN(EPOCH_US(click_ts) - EPOCH_US(view_ts)) AS min_lag_us,
+           MAX(EPOCH_US(click_ts) - EPOCH_US(view_ts)) AS max_lag_us
+    FROM c JOIN v ON c.user_id = v.user_id
+      AND v.view_ts >= c.click_ts - INTERVAL 10 MINUTE
+      AND v.view_ts <= c.click_ts
+    GROUP BY c.user_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the click↔view attribution interval join
+    (click_view_pairs), rolled up per user so the oracle output is
+    user-grain.  Lags are exact integer microsecond differences —
+    engine-independent, no rounding.  The event_type filters push to
+    the shared events scan; the equi part of the condition keeps this
+    a hash join with the interval as residual, never a BNL."""
+    ev = read_table(spark, sf_dir, "events")
+    pairs = click_view_pairs(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "view"),
+    )
+    lag = F.unix_micros("click_ts") - F.unix_micros("view_ts")
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(lag).alias("min_lag_us"),
+        F.max(lag).alias("max_lag_us"),
+    )

@@ -196,6 +196,33 @@ def test_stream_static_join_parity(spark, events_dir):
     assert _sorted_rows(got) == _sorted_rows(batch)
 
 
+def test_stream_stream_join_parity(spark, events_dir):
+    """Stream-stream interval join (click↔view attribution): the same
+    click_view_pairs transform run over two watermarked streams must
+    emit exactly the batch join's pair set.  Append mode — joins emit
+    rows as matches become final, no aggregation state involved."""
+    from firebase_realtime_database_backup_spark.streaming.windows import (
+        click_view_pairs,
+    )
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "view"),
+        )
+
+    batch = click_view_pairs(*split(spark.read.parquet(events_dir)))
+    q = run_stream_to_memory(
+        click_view_pairs(*split(stream_events(spark, events_dir))),
+        "parity_ss_join",
+        mode="append",
+    )
+    q.awaitTermination(120)
+    got = spark.table("parity_ss_join")
+    assert _sorted_rows(got) == _sorted_rows(batch)
+    assert batch.count() > 0
+
+
 def test_checkpoint_restart_exactly_once(spark, tmp_path):
     """Checkpointed restart: stop a file-source stream, add new input,
     restart with the SAME checkpoint — already-processed files must not
