@@ -68,6 +68,8 @@ HEADLINE = [
     "quality_audit_constraints",
     "scd2_validity_windows",
     "sample_deterministic",
+    "quality_winsorize",
+    "dedup_fuzzy_names",
     # scalar / json
     "json_from_json_struct",
     "scalar_string_funcs",
@@ -75,6 +77,7 @@ HEADLINE = [
     "stream_window_tumbling",
     "stream_window_session",
     "stream_stateful_user_totals",
+    "stream_stream_join",
     # LLM-data operators
     "dedup_content_hash",
     "text_normalize",

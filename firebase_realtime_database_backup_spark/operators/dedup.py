@@ -686,3 +686,56 @@ def dedup_embedding_cosine_scaled(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("nn_cosine") >= EMB_DUP_THRESHOLD).alias("is_dup"),
         )
     )
+
+
+@REG.query(
+    "dedup_fuzzy_names",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    blocked AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b
+      FROM names a JOIN names b
+        ON SPLIT_PART(a.p_name, ' ', -1) = SPLIT_PART(b.p_name, ' ', -1)
+       AND a.p_name < b.p_name
+    )
+    SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
+    FROM blocked
+    WHERE levenshtein(name_a, name_b) <= 3
+    """,
+)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy string matching (record linkage): near-identical
+    part names by edit distance, with candidate pairs generated by a
+    cheap blocking key (the name's last token) instead of an all-pairs
+    cross join.
+
+    This is the third candidate-generation pattern in the dedup family
+    — MinHash bands for set similarity, hyperplane buckets for vectors,
+    and here a deterministic blocking key for edit distance.  The
+    quadratic compare only ever runs inside a block, so cost is
+    sum(block^2), not N^2; at 100 TB the blocking key is the shuffle
+    key, skewed blocks split under AQE, and a second key (e.g. first
+    char + length band) multiplies recall the same way LSH adds tables.
+    levenshtein() is the classic DP edit distance in both engines —
+    integer-exact."""
+    names = (
+        read_table(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.substring_index("p_name", " ", -1).alias("block"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.substring_index("p_name", " ", -1).alias("b_block"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(
+            b,
+            (F.col("block") == F.col("b_block"))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .select("name_a", "name_b", dist.alias("dist"))
+        .filter(F.col("dist") <= 3)
+    )

@@ -2031,3 +2031,54 @@ def events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .filter(F.col("n_users") >= 2)
     )
+
+
+@REG.query(
+    "quality_winsorize",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT l_returnflag,
+             QUANTILE_CONT(l_quantity, 0.05) AS lo,
+             QUANTILE_CONT(l_quantity, 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN l_quantity < lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(SUM(CASE WHEN l_quantity > hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           {oround("SUM(GREATEST(lo, LEAST(hi, l_quantity)))")} AS sum_winsorized
+    FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def quality_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (percentile outlier clipping): clamp each value to
+    its group's exact [p05, p95] band and report clip counts + the
+    clipped sum — the standard numeric-feature cleanup before training.
+
+    Two-pass shape: pass 1 computes per-group exact percentiles (output
+    is group-grain, tiny), which broadcast-join back onto the fact for
+    a map-side clamp + re-aggregate — the fact table shuffles once for
+    each grouped agg and never for the bounds join.  At 100 TB swap
+    percentile → percentile_approx (mergeable t-digest, map-side
+    partial) and nothing else changes; the exact form is used here
+    because sketches aren't engine-portable for the oracle."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    bounds = lineitem.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.05).alias("lo"),
+        F.percentile("l_quantity", 0.95).alias("hi"),
+    )
+    clipped = lineitem.join(F.broadcast(bounds), "l_returnflag")
+    win = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("l_quantity")))
+    return clipped.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("l_quantity") < F.col("lo")).cast("bigint")).alias(
+            "n_clipped_low"
+        ),
+        F.sum((F.col("l_quantity") > F.col("hi")).cast("bigint")).alias(
+            "n_clipped_high"
+        ),
+        F.round(F.sum(win), 2).alias("sum_winsorized"),
+    )
