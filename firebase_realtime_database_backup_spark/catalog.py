@@ -71,14 +71,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # driver-built session.
     ensure_engine_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # events.ts is parquet timestamp[ns], read as raw nanos
-        # (spark.sql.legacy.parquet.nanosAsLong).  Normalize to a micros
-        # TimestampType with exact integer division — the same
-        # truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # events.ts written as parquet timestamp[ns], read as raw
+        # nanos (spark.sql.legacy.parquet.nanosAsLong).  Normalize to
+        # a micros TimestampType with exact integer division — the
+        # same truncation DuckDB applies for TIMESTAMP_NS → TIMESTAMP.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Timestamp columns written without UTC adjustment read back as
+    # TIMESTAMP_NTZ.  The engine standardizes on TimestampType — the
+    # strict-typed time functions (unix_millis, F.window, watermarks)
+    # demand it, and mixed NTZ/LTZ unions don't coerce.  With the UTC
+    # session timezone the cast is wall-clock-identity, preserving
+    # parity with DuckDB's naive TIMESTAMP views.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
 
 
