@@ -739,3 +739,104 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b", dist.alias("dist"))
         .filter(F.col("dist") <= 3)
     )
+
+
+#: Cross-corpus split: doc_id % 10 == 0 plays the "newly ingested batch",
+#: the rest the standing corpus (a deterministic 10% batch at any SF).
+CROSS_THRESHOLD = 0.5
+
+
+@REG.query(
+    "dedup_cross_corpus",
+    oracle=f"""
+    WITH {SHINGLE_SQL_CTE},
+    ks AS (SELECT UNNEST(RANGE(0, {MINHASH_K})) AS i),
+    hashes AS (
+      SELECT doc_id, i,
+             MIN(((2*i + 3) * CAST(sid AS BIGINT) + (5*i + 7)) % {MINHASH_P}) AS mh
+      FROM dshingle, ks
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {ROWS_PER_BAND} AS band,
+             CAST(SUM(mh * CASE i % {ROWS_PER_BAND}
+                             WHEN 0 THEN {BAND_WEIGHTS[0]}
+                             WHEN 1 THEN {BAND_WEIGHTS[1]}
+                             WHEN 2 THEN {BAND_WEIGHTS[2]}
+                             ELSE {BAND_WEIGHTS[3]} END) AS BIGINT) AS band_key
+      FROM hashes GROUP BY doc_id, i // {ROWS_PER_BAND}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS new_doc_id, b.doc_id AS corpus_doc_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    ),
+    inter AS (
+      SELECT c.new_doc_id, c.corpus_doc_id, COUNT(*) AS n_common
+      FROM cands c
+      JOIN dshingle x ON x.doc_id = c.new_doc_id
+      JOIN dshingle y ON y.doc_id = c.corpus_doc_id AND y.sid = x.sid
+      GROUP BY c.new_doc_id, c.corpus_doc_id
+    )
+    SELECT i.new_doc_id, i.corpus_doc_id, i.n_common,
+           CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) AS jaccard
+    FROM inter i
+    JOIN doc_sizes sa ON sa.doc_id = i.new_doc_id
+    JOIN doc_sizes sb ON sb.doc_id = i.corpus_doc_id
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common)
+          >= {CROSS_THRESHOLD}
+    """,
+)
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup: match a newly-ingested batch (doc_id % 10
+    == 0 stands in for "today's crawl") against the standing corpus via
+    the same banded MinHash, WITHOUT re-pairing the corpus against
+    itself — the incremental-ingest shape every continuously-updated
+    training corpus runs daily.
+
+    The asymmetry is the scale win: band keys for the standing corpus
+    are computed once (in production: persisted and bucketed by
+    (band, band_key)), and each new batch only shuffles ITS band keys
+    into the corpus index — cost O(batch) per day, not O(corpus).
+    Candidate verification is the same broadcast array-intersect as
+    dedup_minhash_lsh; the threshold is looser (0.5) because cross-batch
+    dups drift more than same-crawl dups."""
+    dshingle = doc_shingle_ids(spark, sf_dir).cache()
+    bands = _band_keys(_minhash_signatures(dshingle))
+    new_side = bands.filter(F.col("doc_id") % 10 == 0).alias("a")
+    corpus_side = bands.filter(F.col("doc_id") % 10 != 0).alias("b")
+    cands = (
+        new_side.join(
+            corpus_side,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_doc_id"),
+            F.col("b.doc_id").alias("corpus_doc_id"),
+        )
+        .distinct()
+    )
+    doc_sets = dshingle.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("sid")).alias("sids")
+    )
+    sa = doc_sets.select(
+        F.col("doc_id").alias("new_doc_id"), F.col("sids").alias("sids_a")
+    )
+    sb = doc_sets.select(
+        F.col("doc_id").alias("corpus_doc_id"), F.col("sids").alias("sids_b")
+    )
+    n_common = F.size(F.array_intersect(F.col("sids_a"), F.col("sids_b")))
+    n_union = F.size("sids_a") + F.size("sids_b") - n_common
+    return (
+        cands.join(F.broadcast(sa), "new_doc_id")
+        .join(F.broadcast(sb), "corpus_doc_id")
+        .select(
+            "new_doc_id",
+            "corpus_doc_id",
+            n_common.cast("bigint").alias("n_common"),
+            (n_common.cast("double") / n_union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= CROSS_THRESHOLD)
+    )

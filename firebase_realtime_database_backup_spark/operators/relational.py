@@ -2082,3 +2082,151 @@ def quality_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sum(win), 2).alias("sum_winsorized"),
     )
+
+
+@REG.query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS prob
+    FROM trans
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the statistic under
+    next-action prediction, funnel diagnosis, and bot detection.
+
+    ONE user_id shuffle does all the sequencing (lag window); the
+    transition count then aggregates on a key space that is |types|²
+    — tiny regardless of corpus size — so the second exchange moves
+    kilobytes at any SF.  The normalizing window runs on that tiny
+    aggregate, not the raw events.  Tie-break on event_id makes the
+    sequence deterministic under equal timestamps in both engines."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norm = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(norm)).alias("prob"),
+    )
+
+
+@REG.query(
+    "events_rfm_segments",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(EPOCH_MS(MAX(ts)) AS BIGINT) AS last_seen_ms,
+             COUNT(*) AS frequency,
+             ROUND(CAST(CAST(SUM(value) AS VARCHAR) AS DECIMAL(38,18)), 2)::DOUBLE
+               AS monetary
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, last_seen_ms, frequency, monetary,
+           NTILE(4) OVER (ORDER BY last_seen_ms DESC, user_id) AS r_quartile,
+           NTILE(4) OVER (ORDER BY frequency DESC, user_id)    AS f_quartile,
+           NTILE(4) OVER (ORDER BY monetary DESC, user_id)     AS m_quartile,
+           CONCAT(NTILE(4) OVER (ORDER BY last_seen_ms DESC, user_id),
+                  NTILE(4) OVER (ORDER BY frequency DESC, user_id),
+                  NTILE(4) OVER (ORDER BY monetary DESC, user_id)) AS segment
+    FROM per_user
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation — the
+    classic user-value stratification, and the canonical "aggregate then
+    re-rank the aggregate" two-phase shape.
+
+    Phase 1 is the only full-data shuffle (user_id partial agg); the
+    NTILE windows run over the per-user aggregate, which is |users|
+    rows — at 100 TB of events with 10^8 users that is still a single
+    executor's worth per quartile pass, and the three windows share one
+    global sort via AQE.  For a truly huge user dimension the quartile
+    boundaries would come from approx_percentile + a broadcast range
+    join instead; NTILE keeps the oracle exact here.  user_id tie-break
+    makes every quartile assignment engine-deterministic."""
+    events = read_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.unix_millis(F.max("ts")).alias("last_seen_ms"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("value"), 2).alias("monetary"),
+    )
+    wr = Window.orderBy(F.col("last_seen_ms").desc(), F.col("user_id"))
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("user_id"))
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("user_id"))
+    r, f_, m = F.ntile(4).over(wr), F.ntile(4).over(wf), F.ntile(4).over(wm)
+    return per_user.select(
+        "user_id",
+        "last_seen_ms",
+        "frequency",
+        "monetary",
+        r.alias("r_quartile"),
+        f_.alias("f_quartile"),
+        m.alias("m_quartile"),
+        F.concat(
+            r.cast("string"), f_.cast("string"), m.cast("string")
+        ).alias("segment"),
+    )
+
+
+@REG.query(
+    "agg_histogram_equiwidth",
+    oracle="""
+    SELECT CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+           CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) * 5000.0 AS bucket_lo,
+           COUNT(*) AS n,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of l_extendedprice (5000-wide buckets):
+    the profiling primitive behind data-distribution dashboards and
+    skew diagnosis.  Bucket id is pure column math so the whole
+    histogram is one partial-agg shuffle over ~tens of bucket keys —
+    the reduce side is constant-size no matter the SF.  min/max per
+    bucket ride the same aggregate for free (floats compare exactly,
+    no rounding needed)."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 5000.0)
+    return (
+        lineitem.groupBy(
+            bucket.alias("bucket"),
+            (bucket * 5000.0).alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )

@@ -894,3 +894,152 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df_count") >= 5)
     )
+
+
+@REG.query(
+    "text_gopher_rules",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id, source,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words,
+             CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+               / LEN(STRING_SPLIT(text, ' ')) AS mean_word_len,
+             CAST(LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+                  ['the', 'a', 'of', 'and', 'to'])) AS BIGINT) AS n_stop_types,
+             CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+               / LEN(STRING_SPLIT(text, ' ')) AS uniq_ratio
+      FROM documents
+    )
+    SELECT doc_id, source, n_words, mean_word_len, n_stop_types, uniq_ratio,
+           n_words BETWEEN 40 AND 100000            AS pass_word_count,
+           mean_word_len BETWEEN 3.0 AND 10.0       AS pass_word_len,
+           n_stop_types >= 2                        AS pass_stopwords,
+           uniq_ratio >= 0.2                        AS pass_diversity,
+           (n_words BETWEEN 40 AND 100000)
+             AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND n_stop_types >= 2
+             AND uniq_ratio >= 0.2                  AS keep
+    FROM feats
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gates: each rule is an independent
+    boolean column plus the conjunctive `keep` decision, so downstream
+    can audit WHICH rule rejected a document (the per-rule pass rates
+    are the first thing a corpus-cleaning run reports).
+
+    All four rules share one tokenize of one scan — conditional
+    aggregation over a single projection, no shuffle at all: at 100 TB
+    this is a map-only pass whose cost is the text scan itself.  Rule
+    thresholds mirror the published Gopher ranges scaled to the test
+    corpus (40-word floor instead of 50 so sf0.01 keeps both classes
+    populated)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    feats = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("n_words"),
+        (
+            F.length(F.regexp_replace("text", " ", "")).cast("double")
+            / F.size(toks)
+        ).alias("mean_word_len"),
+        F.size(
+            F.array_intersect(
+                toks, F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")])
+            )
+        )
+        .cast("bigint")
+        .alias("n_stop_types"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "uniq_ratio"
+        ),
+    )
+    pass_wc = F.col("n_words").between(40, 100000)
+    pass_wl = F.col("mean_word_len").between(3.0, 10.0)
+    pass_st = F.col("n_stop_types") >= 2
+    pass_dv = F.col("uniq_ratio") >= 0.2
+    return feats.select(
+        "doc_id",
+        "source",
+        "n_words",
+        "mean_word_len",
+        "n_stop_types",
+        "uniq_ratio",
+        pass_wc.alias("pass_word_count"),
+        pass_wl.alias("pass_word_len"),
+        pass_st.alias("pass_stopwords"),
+        pass_dv.alias("pass_diversity"),
+        (pass_wc & pass_wl & pass_st & pass_dv).alias("keep"),
+    )
+
+
+@REG.query(
+    "text_repeated_passages",
+    oracle="""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tok_arr FROM documents),
+    chunks AS (
+      SELECT doc_id, c AS chunk_id,
+             ARRAY_TO_STRING(tok_arr[(c*16+1):(c*16+16)], ' ') AS chunk_text
+      FROM toks, UNNEST(RANGE(0, CAST(CEIL(LEN(tok_arr) / 16.0) AS BIGINT))) AS r(c)
+    ),
+    freq AS (
+      SELECT chunk_text, COUNT(DISTINCT doc_id) AS n_docs
+      FROM chunks GROUP BY chunk_text
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS shared_fraction
+    FROM chunks c JOIN freq f USING (chunk_text)
+    GROUP BY c.doc_id
+    HAVING SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) > 0
+    """,
+)
+def text_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage detection: chunk every document into fixed
+    16-token windows, count how many of a document's chunks also appear
+    verbatim in OTHER documents, and report the shared fraction — the
+    passage-granular cousin of document dedup (boilerplate headers,
+    license blocks, templated spam all light up here while whole-doc
+    hashes miss them).
+
+    Plan: chunking is explode-in-scan (zero shuffle); chunk frequency is
+    one groupBy on the chunk text; the join back is on the same key so
+    AQE reuses the hash partitioning — two exchanges total, and the
+    second agg keys on doc_id.  At 100 TB, chunk_text keys would be
+    hashed to 64-bit first (xxhash64) so the shuffle carries 8-byte keys
+    instead of raw strings; kept as text here so the oracle is portable."""
+    docs = spread(
+        read_table(spark, sf_dir, "documents").select(
+            "doc_id", F.split("text", " ").alias("toks")
+        )
+    )
+    n_chunks = F.ceil(F.size("toks") / F.lit(16.0)).cast("int")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda c: F.concat_ws(" ", F.slice("toks", c * 16 + 1, 16)),
+            )
+        ).alias("chunk_text"),
+    )
+    freq = chunks.groupBy("chunk_text").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    return (
+        chunks.join(freq, "chunk_text")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("n_docs") > 1).cast("bigint")).alias("n_shared_chunks"),
+            (
+                F.sum((F.col("n_docs") > 1).cast("bigint")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("shared_fraction"),
+        )
+        .filter(F.col("n_shared_chunks") > 0)
+    )
