@@ -70,6 +70,12 @@ HEADLINE = [
     "sample_deterministic",
     "quality_winsorize",
     "dedup_fuzzy_names",
+    "events_markov_transitions",
+    "events_rfm_segments",
+    "agg_histogram_equiwidth",
+    "sample_stratified_topk",
+    "quality_column_profile",
+    "events_anomaly_mad",
     # scalar / json
     "json_from_json_struct",
     "scalar_string_funcs",
@@ -100,6 +106,10 @@ HEADLINE = [
     "text_pack_sequences",
     "text_inverted_index",
     "mix_weighted_sources",
+    "text_gopher_rules",
+    "text_repeated_passages",
+    "text_lang_rebalance",
+    "dedup_cross_corpus",
     "multimodal_media_features",
     "multimodal_frame_explode",
     "multimodal_resize_pool",

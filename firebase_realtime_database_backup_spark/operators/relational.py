@@ -2230,3 +2230,162 @@ def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_extendedprice").alias("max_price"),
         )
     )
+
+
+@REG.query(
+    "sample_stratified_topk",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_id, user_id, event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY (CAST(event_id AS BIGINT) * 2654435761) % 2147483648,
+                        event_id
+             ) AS rk
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, value
+    FROM ranked WHERE rk <= 100
+    """,
+)
+def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified fixed-size sample: exactly 100 rows per event_type,
+    chosen by Knuth-multiplicative hash order — a deterministic,
+    engine/cluster-invariant stand-in for per-stratum reservoir
+    sampling (same contract as rand()-based sampleBy but reproducible,
+    so train/eval samples survive re-runs and engine swaps).
+
+    One shuffle on the stratum key; row_number keeps only rank <= k so
+    no stratum ever materializes unbounded state.  At 100 TB with a
+    low-cardinality stratum column, the hash-order rank is the skew
+    concern — the production variant pre-filters with an approximate
+    per-stratum hash-threshold (keep h < k/N_stratum * 2^31 with a
+    safety factor, one broadcast of per-stratum counts) so the window
+    sees ~k rows per stratum instead of all of them; the window form
+    here keeps the oracle exact."""
+    events = read_table(spark, sf_dir, "events")
+    h = (F.col("event_id").cast("long") * F.lit(2654435761)) % F.lit(2147483648)
+    w = Window.partitionBy("event_type").orderBy(h, "event_id")
+    return (
+        events.select("event_id", "user_id", "event_type", "value")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 100)
+        .drop("rk")
+    )
+
+
+@REG.query(
+    "quality_column_profile",
+    oracle="""
+    SELECT 'l_quantity' AS column_name,
+           COUNT(*) AS n_rows,
+           COUNT(l_quantity) AS n_non_null,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           MIN(l_quantity) AS min_val, MAX(l_quantity) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*), COUNT(l_extendedprice),
+           COUNT(DISTINCT l_extendedprice),
+           MIN(l_extendedprice), MAX(l_extendedprice)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(l_discount),
+           COUNT(DISTINCT l_discount), MIN(l_discount), MAX(l_discount)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', COUNT(*), COUNT(l_tax),
+           COUNT(DISTINCT l_tax), MIN(l_tax), MAX(l_tax)
+    FROM lineitem
+    """,
+)
+def quality_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profiling (null count, distinct count, range)
+    for the numeric lineitem measures — the first thing any ingest
+    pipeline computes on a new dataset.
+
+    All four columns profile in ONE scan and one aggregation: the
+    per-column stats are parallel agg expressions, then a stack()
+    unpivot reshapes to one row per column — versus the naive
+    UNION-of-four-scans the oracle spells out (DuckDB reads the
+    parquet four times there; Spark reads it once here).  count
+    distinct over multiple columns in one pass uses Spark's Expand
+    under the hood — at 100 TB swap to approx_count_distinct per
+    column and the plan collapses to plain partial aggs."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    cols = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count(c).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(c).alias(f"{c}__mn"),
+            F.max(c).alias(f"{c}__mx"),
+        ]
+    wide = lineitem.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_expr}) AS "
+            "(column_name, n_rows, n_non_null, n_distinct, min_val, max_val)"
+        )
+    )
+
+
+@REG.query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ROUND(CAST(CAST(SUM(value) AS VARCHAR) AS DECIMAL(38,18)), 2)::DOUBLE
+               AS day_total
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    med AS (
+      SELECT event_type, MEDIAN(day_total) AS med
+      FROM daily GROUP BY event_type
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, d.day_total, m.med,
+             ABS(d.day_total - m.med) AS abs_dev
+      FROM daily d JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, MEDIAN(abs_dev) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.day_total, d.med, a.mad
+    FROM dev d JOIN mad a USING (event_type)
+    WHERE ABS(d.day_total - d.med) > 3 * a.mad
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on daily per-type revenue: flag days
+    whose total deviates from the median by more than 3 median-absolute-
+    deviations.  MAD instead of stddev because outliers are exactly what
+    we're hunting — they'd inflate a stddev threshold and mask
+    themselves.
+
+    The raw-events shuffle happens once (daily partial agg); both
+    medians and the flagging then run on the (event_type, day) grain —
+    a few thousand rows per year regardless of SF, so the two
+    median aggs and broadcast joins back are noise.  All arithmetic is
+    +/-/abs on already-rounded doubles, bit-identical across engines;
+    MEDIAN over even counts averages two doubles, same IEEE op both
+    sides."""
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("day_total"))
+    med = daily.groupBy("event_type").agg(F.median("day_total").alias("med"))
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "abs_dev", F.abs(F.col("day_total") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("abs_dev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("day_total") - F.col("med")) > 3 * F.col("mad"))
+        .select("event_type", "day", "day_total", "med", "mad")
+    )

@@ -1043,3 +1043,44 @@ def text_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_shared_chunks") > 0)
     )
+
+
+@REG.query(
+    "text_lang_rebalance",
+    oracle="""
+    WITH counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    mn AS (SELECT MIN(cnt) AS target FROM counts)
+    SELECT d.doc_id, d.lang, c.cnt AS lang_count, m.target AS target_count
+    FROM documents d JOIN counts c USING (lang), mn m
+    WHERE (((CAST(d.doc_id AS BIGINT) * 2654435761) % 2147483648) % 10000)
+          * c.cnt < m.target * 10000
+    """,
+)
+def text_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language rebalancing: downsample every language to (approximately)
+    the size of the smallest one, the corpus-mixing step that stops a
+    90%-English crawl from training a 90%-English model.
+
+    Two-pass: a tiny per-language count aggregate is broadcast back and
+    the keep decision is a map-side deterministic hash filter — same
+    Knuth-hash contract as sample_deterministic, so the sampled subset
+    is stable across engines, cluster sizes, and re-runs.  The keep
+    test is pure integer arithmetic (h * cnt < target * 10000; no
+    float rates), so Spark and DuckDB agree row-for-row.  At 100 TB the
+    counts side is |languages| rows — broadcast is free — and the
+    corpus side never shuffles."""
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    target = counts.agg(F.min("cnt").alias("target"))
+    h = ((F.col("doc_id").cast("long") * F.lit(2654435761)) % F.lit(2147483648)) % F.lit(10000)
+    return (
+        docs.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(target))
+        .filter(h * F.col("cnt") < F.col("target") * F.lit(10000))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("cnt").alias("lang_count"),
+            F.col("target").alias("target_count"),
+        )
+    )
