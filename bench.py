@@ -76,6 +76,8 @@ HEADLINE = [
     "sample_stratified_topk",
     "quality_column_profile",
     "events_anomaly_mad",
+    "agg_countmin_sketch",
+    "join_bloom_prefilter",
     # scalar / json
     "json_from_json_struct",
     "scalar_string_funcs",

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from firebase_realtime_database_backup_spark.catalog import read_table
+from firebase_realtime_database_backup_spark.catalog import read_table, spread
 from firebase_realtime_database_backup_spark.registry import Registry
 
 REG = Registry()
@@ -2388,4 +2388,152 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         dev.join(F.broadcast(mad), "event_type")
         .filter(F.abs(F.col("day_total") - F.col("med")) > 3 * F.col("mad"))
         .select("event_type", "day", "day_total", "med", "mad")
+    )
+
+
+@REG.query(
+    "agg_countmin_sketch",
+    oracle="""
+    WITH terms AS (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+    ),
+    vocab AS (
+      SELECT term, ROW_NUMBER() OVER (ORDER BY term) AS tid
+      FROM (SELECT DISTINCT term FROM terms WHERE term <> '')
+    ),
+    occs AS (
+      SELECT v.tid FROM terms t JOIN vocab v USING (term)
+    ),
+    rows_ AS (SELECT UNNEST(RANGE(0, 4)) AS hash_row)
+    SELECT hash_row,
+           ((2*hash_row + 3) * CAST(tid AS BIGINT) + (5*hash_row + 7))
+             % 10007 % 64 AS col,
+           COUNT(*) AS counter
+    FROM occs, rows_
+    GROUP BY 1, 2
+    """,
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch build over the corpus term stream: a 4×64
+    counter matrix where every term occurrence increments one cell per
+    hash row — the mergeable fixed-size frequency summary that answers
+    "roughly how often does term X appear?" in O(1) regardless of
+    corpus size (estimate = min over the 4 cells, biased high only).
+
+    The sketch aggregation is the scale story: 4 affine hashes are
+    column math, so the shuffle reduces to 256 cells with map-side
+    partial aggregation — sketch size is INDEPENDENT of both corpus
+    and vocabulary size, which is why it beats exact top-terms at
+    100 TB.  The vocabulary dictionary (term → dense tid) keeps hashes
+    engine-portable; production would xxhash64 raw terms and skip the
+    dictionary entirely."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    terms = docs.select(F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    vocab = (
+        terms.distinct()
+        .withColumn(
+            "tid", F.row_number().over(Window.orderBy("term")).cast("long")
+        )
+    )
+    occs = terms.join(F.broadcast(vocab), "term").select("tid")
+    return (
+        occs.select(
+            "tid",
+            F.explode(F.array(*[F.lit(i).cast("long") for i in range(4)])).alias(
+                "hash_row"
+            ),
+        )
+        .groupBy(
+            "hash_row",
+            (
+                ((2 * F.col("hash_row") + 3) * F.col("tid")
+                 + (5 * F.col("hash_row") + 7))
+                % 10007 % 64
+            ).alias("col"),
+        )
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+
+
+@REG.query(
+    "join_bloom_prefilter",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           {oround("SUM(l_extendedprice * (1 - l_discount))")} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 400000
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via bloom filter: build a bloom over the
+    selective side's join keys (orders with o_totalprice > 400k, ~2% of
+    orders), broadcast it, and drop non-matching lineitem rows BEFORE
+    the join shuffle — the runtime-filter pattern that turns a
+    shuffle-everything join into a shuffle-2% join at 100 TB (Spark's
+    spark.sql.optimizer.runtime.bloomFilter.enabled injects the same
+    shape automatically where its heuristics allow; spelled explicitly
+    here so the reduction is guaranteed and plan-visible).
+
+    The bloom is a 2^16-bit bitmap packed as map<word_idx, int64>:
+    built with ONE groupBy(word).bit_or aggregation folded into a
+    single-row map, broadcast, and probed with three O(1) bit tests per
+    row (element_at + mask) — pure JVM column ops, no UDF, probe cost
+    independent of build-side cardinality (vs an IN-list / array_contains
+    whose probe is O(|keys|)).  Three affine rehashes of one xxhash64
+    give k=3 independent positions.
+
+    Correctness gate: a bloom admits false positives but never false
+    negatives, and the equi join discards the false positives — the
+    final result is EXACTLY the plain join, which is the oracle."""
+    M_BITS = 1 << 16  # 65536 bits = 1024 words — broadcast size ~16 KB
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+
+    def positions(key):
+        # Fold the 64-bit hash to 30 bits before the affine rehash so
+        # h * a stays within int64 under ANSI overflow checking.
+        h = F.pmod(F.xxhash64(key), F.lit(1 << 30))
+        return [
+            F.pmod(h * F.lit(a) + F.lit(b), F.lit(M_BITS))
+            for a, b in ((2654435761, 1), (40503, 2654435769), (2246822519, 3))
+        ]
+
+    pos = orders.select(
+        F.explode(F.array(*positions(F.col("o_orderkey")))).alias("p")
+    )
+    words = pos.groupBy((F.col("p") / 64).cast("int").alias("w")).agg(
+        F.bit_or(F.expr("shiftleft(1L, CAST(p % 64 AS INT))")).alias("bits")
+    )
+    bloom = words.agg(
+        F.map_from_arrays(F.collect_list("w"), F.collect_list("bits")).alias("bf")
+    )
+
+    probed = lineitem.join(F.broadcast(bloom)).withColumns(
+        {f"p{i}": p for i, p in enumerate(positions(F.col("l_orderkey")))}
+    )
+    hits = [
+        F.expr(
+            f"(coalesce(element_at(bf, CAST(p{i} / 64 AS INT)), 0L)"
+            f" & shiftleft(1L, CAST(p{i} % 64 AS INT))) != 0"
+        )
+        for i in range(3)
+    ]
+    pre = probed.filter(hits[0] & hits[1] & hits[2]).drop(
+        "bf", "p0", "p1", "p2"
+    )
+    return (
+        pre.join(orders, pre.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
     )

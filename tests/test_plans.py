@@ -257,6 +257,11 @@ BNL_ALLOWED = {
     "sim_ivf_topk",
     "text_tfidf",
     "quality_audit_constraints",
+    # 1-row broadcast probes (scalar-subquery shape): the broadcast
+    # bloom bitmap, the min-language-count target, and winsorize-style
+    # global bounds each cross-join a single aggregate row.
+    "join_bloom_prefilter",
+    "text_lang_rebalance",
 }
 
 
