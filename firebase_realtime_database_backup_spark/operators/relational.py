@@ -2265,12 +2265,25 @@ def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     here keeps the oracle exact."""
     events = read_table(spark, sf_dir, "events")
     h = (F.col("event_id").cast("long") * F.lit(2654435761)) % F.lit(2147483648)
+    # Two-phase rank: a stratum column with 5 values caps a single
+    # global-window pass at 5-way parallelism (measured 15x at 20x
+    # data).  Phase 1 pre-ranks within (stratum, salt-of-32) — full
+    # cluster parallelism — and keeps per-salt rank <= k, a guaranteed
+    # superset of the global top-k (any global top-k row has < k rows
+    # before it in its own salt subset).  Phase 2 ranks the <= 32*k
+    # survivors per stratum.  Deterministic: the salt is a hash of the
+    # row id, not spark_partition_id, so results are engine/cluster
+    # invariant and the oracle (single global window) is unchanged.
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(32))
+    w_pre = Window.partitionBy("event_type", salt).orderBy(h, "event_id")
     w = Window.partitionBy("event_type").orderBy(h, "event_id")
     return (
         events.select("event_id", "user_id", "event_type", "value")
+        .withColumn("pre_rk", F.row_number().over(w_pre))
+        .filter(F.col("pre_rk") <= 100)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 100)
-        .drop("rk")
+        .drop("pre_rk", "rk")
     )
 
 
@@ -2510,8 +2523,19 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = pos.groupBy((F.col("p") / 64).cast("int").alias("w")).agg(
         F.bit_or(F.expr("shiftleft(1L, CAST(p % 64 AS INT))")).alias("bits")
     )
+    # Densify the sparse (word, bits) rows into ONE array<long> of 1024
+    # words: element_at on an ARRAY is O(1) indexing, while element_at
+    # on a MAP is a linear scan of all entries — with the map form the
+    # 3 probes per row cost 3*1024 comparisons each and the whole
+    # operator went superlinear at 20x data (28 s vs 0.7 s; ~40x).
+    n_words = M_BITS // 64
     bloom = words.agg(
-        F.map_from_arrays(F.collect_list("w"), F.collect_list("bits")).alias("bf")
+        F.map_from_arrays(F.collect_list("w"), F.collect_list("bits")).alias("bfm")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {n_words - 1}),"
+            " i -> coalesce(element_at(bfm, i), 0L)) AS bf"
+        )
     )
 
     probed = lineitem.join(F.broadcast(bloom)).withColumns(
@@ -2519,7 +2543,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = [
         F.expr(
-            f"(coalesce(element_at(bf, CAST(p{i} / 64 AS INT)), 0L)"
+            f"(element_at(bf, CAST(p{i} / 64 AS INT) + 1)"
             f" & shiftleft(1L, CAST(p{i} % 64 AS INT))) != 0"
         )
         for i in range(3)
@@ -2536,4 +2560,68 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
         )
+    )
+
+
+#: PageRank iteration count — fixed (not convergence-tested) so runtime
+#: is predictable and the numpy parity test can replay the exact loop.
+PAGERANK_ITERS = 8
+PAGERANK_DAMPING = 0.85
+
+
+@REG.query("graph_pagerank")  # rows-only: iterative, not one SQL query
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the item co-click graph (edges = items co-clicked
+    by >= 2 users, from events_item_cooccurrence): which items are
+    central in the browse graph — the other classic iterative-algorithm
+    shape next to dedup_clusters' label propagation.
+
+    Canonical Spark iteration: the driver runs a fixed 8-iteration loop
+    (graph is near-cliquey, spectral gap is large, 8 is plenty); each
+    iteration is contribution-scatter (edge join on src) + gather
+    (groupBy dst sum) — two shuffles on the same item key, so the
+    exchange partitioning is reused.  localCheckpoint per iteration
+    truncates lineage exactly as in dedup_clusters.  Ranks are
+    normalized so sum(rank) == n_nodes is a loop invariant (damping
+    redistributes uniformly); tests/test_dedup_clusters.py asserts both
+    the invariant and numpy replay parity at sf0.001.
+
+    Rows-only check: an 8-step unrolled recursive CTE exists in
+    principle, but cross-engine float-sum ordering makes hash equality
+    meaningless — parity is pytest-asserted against numpy instead."""
+    pairs = events_item_cooccurrence(spark, sf_dir).select("item_a", "item_b")
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("item_b").alias("item_a"), F.col("item_a").alias("item_b")
+            )
+        )
+        .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+        .cache()
+    )
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = edges.select(F.col("src").alias("item")).distinct().cache()
+    n_nodes = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint(eager=True)
+    for _ in range(PAGERANK_ITERS):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["item"])
+            .join(out_deg, "src")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["item"] == contribs["dst"], "left")
+            .select(
+                "item",
+                (
+                    F.lit(1.0 - PAGERANK_DAMPING)
+                    + F.lit(PAGERANK_DAMPING) * F.coalesce("in_sum", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("item", F.round("rank", 6).alias("rank")).orderBy(
+        F.col("rank").desc(), "item"
     )
