@@ -78,6 +78,9 @@ HEADLINE = [
     "events_anomaly_mad",
     "agg_countmin_sketch",
     "join_bloom_prefilter",
+    "join_asof_forward",
+    "dedup_containment",
+    "graph_pagerank",
     # scalar / json
     "json_from_json_struct",
     "scalar_string_funcs",

@@ -840,3 +840,101 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= CROSS_THRESHOLD)
     )
+
+
+#: Containment threshold: |A∩B| / min(|A|,|B|) — catches a short doc
+#: quoted inside a long one, which symmetric Jaccard dilutes below any
+#: usable threshold.
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@REG.query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {SHINGLE_SQL_CTE},
+    ks AS (SELECT UNNEST(RANGE(0, {MINHASH_K})) AS i),
+    hashes AS (
+      SELECT doc_id, i,
+             MIN(((2*i + 3) * CAST(sid AS BIGINT) + (5*i + 7)) % {MINHASH_P}) AS mh
+      FROM dshingle, ks
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {ROWS_PER_BAND} AS band,
+             CAST(SUM(mh * CASE i % {ROWS_PER_BAND}
+                             WHEN 0 THEN {BAND_WEIGHTS[0]}
+                             WHEN 1 THEN {BAND_WEIGHTS[1]}
+                             WHEN 2 THEN {BAND_WEIGHTS[2]}
+                             ELSE {BAND_WEIGHTS[3]} END) AS BIGINT) AS band_key
+      FROM hashes GROUP BY doc_id, i // {ROWS_PER_BAND}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cands c
+      JOIN dshingle x ON x.doc_id = c.doc_a
+      JOIN dshingle y ON y.doc_id = c.doc_b AND y.sid = x.sid
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           sa.sz AS sz_a, sb.sz AS sz_b,
+           CAST(i.n_common AS DOUBLE) / LEAST(sa.sz, sb.sz) AS containment
+    FROM inter i
+    JOIN doc_sizes sa ON sa.doc_id = i.doc_a
+    JOIN doc_sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / LEAST(sa.sz, sb.sz)
+          >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup: candidate pairs from the same MinHash
+    bands, scored by |A∩B| / min(|A|,|B|) instead of Jaccard — the
+    asymmetric measure that flags a short document quoted or embedded
+    inside a longer one (license blocks, boilerplate, excerpt spam),
+    where Jaccard = |∩|/|∪| is diluted by the long side's size and
+    misses the pair entirely.
+
+    Identical plan shape and cost to dedup_minhash_lsh (the candidate
+    generation and verification stages are shared machinery); only the
+    final scoring expression differs, so the scale analysis there
+    carries over verbatim."""
+    dshingle = doc_shingle_ids(spark, sf_dir).cache()
+    bands = _band_keys(_minhash_signatures(dshingle))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    doc_sets = dshingle.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("sid")).alias("sids")
+    )
+    sa = doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("sids").alias("sids_a"))
+    sb = doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("sids").alias("sids_b"))
+    n_common = F.size(F.array_intersect(F.col("sids_a"), F.col("sids_b")))
+    containment = n_common.cast("double") / F.least(
+        F.size("sids_a"), F.size("sids_b")
+    )
+    return (
+        cands.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_common.cast("bigint").alias("n_common"),
+            F.size("sids_a").cast("bigint").alias("sz_a"),
+            F.size("sids_b").cast("bigint").alias("sz_b"),
+            containment.alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )

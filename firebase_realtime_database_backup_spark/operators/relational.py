@@ -2625,3 +2625,82 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("item", F.round("rank", 6).alias("rank")).orderBy(
         F.col("rank").desc(), "item"
     )
+
+
+@REG.query(
+    "join_asof_forward",
+    oracle="""
+    WITH ords AS (
+      SELECT o_custkey, o_orderdate,
+             MIN_BY(o_orderkey, o_orderkey)   AS o_orderkey,
+             MIN_BY(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(EPOCH_MS(e.ts) AS BIGINT) AS ts_ms,
+           o.o_orderkey AS next_orderkey,
+           CAST(EPOCH_MS(o.o_orderdate) AS BIGINT) AS next_orderdate_ms,
+           o.o_totalprice AS next_totalprice
+    FROM events e
+    ASOF LEFT JOIN ords o
+      ON e.user_id = o.o_custkey AND e.ts < o.o_orderdate
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each event, the user's FIRST order
+    strictly after the event time — the attribution/label-generation
+    twin of join_asof ("did a purchase follow this click?"), and the
+    leakage-safe way to build future-outcome labels for training data
+    (strict inequality: an order at the exact event instant is not
+    "future").
+
+    Same single-shuffle tagged-union shape as join_asof, mirrored:
+    first(ignorenulls) over (currentRow, unboundedFollowing) carries the
+    next order backward into each event row.  Order rows sort BEFORE
+    event rows at the same instant, so a same-instant order is behind
+    the event in the frame and correctly excluded.  Orders pre-deduped
+    to one per (custkey, date) via min_by for deterministic ties."""
+    events = read_table(spark, sf_dir, "events")
+    orders = read_table(spark, sf_dir, "orders")
+    ords = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.min_by("o_orderkey", "o_orderkey").alias("o_orderkey"),
+        F.min_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+    )
+    left = events.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        "ts",
+        F.lit(None)
+        .cast("struct<okey:bigint,odate:timestamp,oprice:double>")
+        .alias("o"),
+    )
+    right = ords.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.struct(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderdate").alias("odate"),
+            F.col("o_totalprice").alias("oprice"),
+        ).alias("o"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = left.unionByName(right).withColumn(
+        "next_o", F.first("o", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("is_event") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("next_o.okey").alias("next_orderkey"),
+        F.unix_millis("next_o.odate").alias("next_orderdate_ms"),
+        F.col("next_o.oprice").alias("next_totalprice"),
+    )
