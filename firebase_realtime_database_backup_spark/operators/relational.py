@@ -2599,20 +2599,31 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
         .cache()
     )
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # rank/degree sides are |items| rows — catalog-sized, orders of
+    # magnitude under the edge list — so both joins broadcast and each
+    # iteration's only exchange is the dst-key gather.  (On a web-scale
+    # graph where ranks outgrow broadcast, drop the hints and
+    # co-partition edges and ranks on the item key instead.)  Without
+    # the hints each iteration paid 3 shuffle stages of scheduling
+    # overhead: measured 19.4 s vs 11 s broadcast at sf0.1; the
+    # remaining floor is the per-iteration broadcast-collect + gather
+    # jobs, inherent to driver-looped iteration on a tiny graph.
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
     nodes = edges.select(F.col("src").alias("item")).distinct().cache()
     n_nodes = nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint(eager=True)
     for _ in range(PAGERANK_ITERS):
         contribs = (
-            edges.join(ranks, edges["src"] == ranks["item"])
-            .join(out_deg, "src")
+            edges.join(F.broadcast(ranks), edges["src"] == ranks["item"])
+            .join(F.broadcast(out_deg), "src")
             .select("dst", (F.col("rank") / F.col("deg")).alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("in_sum"))
         )
         ranks = (
-            nodes.join(contribs, nodes["item"] == contribs["dst"], "left")
+            nodes.join(
+                F.broadcast(contribs), nodes["item"] == contribs["dst"], "left"
+            )
             .select(
                 "item",
                 (

@@ -125,3 +125,30 @@ def test_cli_export_archive_then_import_from_archive(spark, tmp_path, capsys):
     rc = main(["import", "-p", "demo", "--tree-json", str(empty),
                "--backup_dir", out + ".tar.gz", "--yes"])
     assert rc == 0
+
+
+def test_read_table_normalizes_ntz_timestamps(spark, tmp_path, monkeypatch):
+    """Parquet written without UTC adjustment reads back TIMESTAMP_NTZ;
+    read_table must normalize every such column to TimestampType (the
+    strict-typed time functions reject NTZ and NTZ/LTZ unions don't
+    coerce).  Regression: the driver regenerated testdata with NTZ
+    timestamps mid-round and unix_millis(ts) started failing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from firebase_realtime_database_backup_spark import catalog
+
+    sf_dir = str(tmp_path)
+    spark.sql(
+        "SELECT CAST(1 AS BIGINT) AS event_id,"
+        " TIMESTAMP_NTZ '2024-01-01 00:00:07' AS ts,"
+        " CAST(8 AS BIGINT) AS user_id, 'click' AS event_type,"
+        " CAST(1.5 AS DOUBLE) AS value, '{}' AS props"
+    ).write.mode("overwrite").parquet(os.path.join(sf_dir, "events.parquet"))
+
+    df = catalog.read_table(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    # wall-clock preserved under the UTC session timezone
+    row = df.select(F.unix_millis("ts").alias("ms")).first()
+    assert row.ms == 1704067207000
