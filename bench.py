@@ -79,6 +79,7 @@ HEADLINE = [
     "agg_countmin_sketch",
     "join_bloom_prefilter",
     "join_asof_forward",
+    "ingest_schema_inference",
     "dedup_containment",
     "graph_pagerank",
     # scalar / json

@@ -175,3 +175,125 @@ def tree_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.from_json("props", "map<string,string>")).alias("key", "value_json"),
         F.lit(2).alias("depth"),
     )
+
+
+@REG.query(
+    "ingest_schema_inference",
+    oracle="""
+    WITH long_form AS (
+      SELECT 'l_quantity' AS column_name, CAST(l_quantity AS VARCHAR) AS s FROM lineitem
+      UNION ALL
+      SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem
+      UNION ALL
+      SELECT 'l_returnflag', CAST(l_returnflag AS VARCHAR) FROM lineitem
+      UNION ALL
+      SELECT 'l_shipdate', CAST(l_shipdate AS VARCHAR) FROM lineitem
+    ),
+    classed AS (
+      SELECT column_name,
+             CASE
+               WHEN s IS NULL THEN 'null'
+               WHEN REGEXP_MATCHES(s, '^\\d{4}-\\d{2}-\\d{2}([ T].*)?$') THEN 'timestamp'
+               WHEN REGEXP_MATCHES(s, '^-?\\d+$') THEN 'int'
+               WHEN REGEXP_MATCHES(s, '^-?\\d+\\.\\d+$') THEN 'float'
+               WHEN s IN ('true', 'false') THEN 'bool'
+               ELSE 'string'
+             END AS cls
+      FROM long_form
+    ),
+    counts AS (
+      SELECT column_name,
+             COUNT(*) AS n_values,
+             SUM(CASE WHEN cls = 'int' THEN 1 ELSE 0 END) AS n_int,
+             SUM(CASE WHEN cls = 'float' THEN 1 ELSE 0 END) AS n_float,
+             SUM(CASE WHEN cls = 'bool' THEN 1 ELSE 0 END) AS n_bool,
+             SUM(CASE WHEN cls = 'timestamp' THEN 1 ELSE 0 END) AS n_ts,
+             SUM(CASE WHEN cls = 'string' THEN 1 ELSE 0 END) AS n_string,
+             SUM(CASE WHEN cls = 'null' THEN 1 ELSE 0 END) AS n_null
+      FROM classed GROUP BY column_name
+    )
+    SELECT column_name, n_values, n_int, n_float, n_bool, n_ts, n_string, n_null,
+           CASE
+             WHEN n_string > 0 THEN 'string'
+             WHEN n_ts > 0 AND n_int + n_float + n_bool > 0 THEN 'string'
+             WHEN n_ts > 0 THEN 'timestamp'
+             WHEN n_float > 0 THEN 'double'
+             WHEN n_int > 0 THEN 'bigint'
+             WHEN n_bool > 0 THEN 'boolean'
+             ELSE 'null'
+           END AS inferred_type
+    FROM counts
+    """,
+)
+def ingest_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV-style schema inference: classify every string-rendered cell
+    of four lineitem columns by regex (timestamp/int/float/bool/string/
+    null) and promote to a column type — the generalization of the
+    reference's only structural introspection, the shallow=true key
+    listing it uses to discover a node's children
+    (src/BackupProcessor.php:82-89), from "which keys exist" to "which
+    types flow".  This is what spark.read.csv(inferSchema=True) does in
+    its sampling pass, spelled as a first-class auditable operator.
+
+    One scan: the four columns unpivot via stack() into (column, value)
+    rows inside the scan stage (map-only, like the profiling op), the
+    class counts partial-aggregate to |columns| rows, and the promotion
+    CASE runs on the aggregate.  At 100 TB you'd sample
+    (TABLESAMPLE / mod-hash filter) before the unpivot; exact counts
+    keep the oracle meaningful here."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    cols = ("l_quantity", "l_linenumber", "l_returnflag", "l_shipdate")
+    stack_expr = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    long_form = lineitem.select(
+        F.expr(f"stack({len(cols)}, {stack_expr}) AS (column_name, s)")
+    )
+    cls = (
+        F.when(F.col("s").isNull(), "null")
+        .when(F.col("s").rlike(r"^\d{4}-\d{2}-\d{2}([ T].*)?$"), "timestamp")
+        .when(F.col("s").rlike(r"^-?\d+$"), "int")
+        .when(F.col("s").rlike(r"^-?\d+\.\d+$"), "float")
+        .when(F.col("s").isin("true", "false"), "bool")
+        .otherwise("string")
+    )
+    counts = (
+        long_form.select("column_name", cls.alias("cls"))
+        .groupBy("column_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            *[
+                F.sum((F.col("cls") == c).cast("bigint")).alias(f"n_{a}")
+                for c, a in (
+                    ("int", "int"),
+                    ("float", "float"),
+                    ("bool", "bool"),
+                    ("timestamp", "ts"),
+                    ("string", "string"),
+                    ("null", "null"),
+                )
+            ],
+        )
+    )
+    inferred = (
+        F.when(F.col("n_string") > 0, "string")
+        .when(
+            (F.col("n_ts") > 0)
+            & (F.col("n_int") + F.col("n_float") + F.col("n_bool") > 0),
+            "string",
+        )
+        .when(F.col("n_ts") > 0, "timestamp")
+        .when(F.col("n_float") > 0, "double")
+        .when(F.col("n_int") > 0, "bigint")
+        .when(F.col("n_bool") > 0, "boolean")
+        .otherwise("null")
+    )
+    return counts.select(
+        "column_name",
+        "n_values",
+        "n_int",
+        "n_float",
+        "n_bool",
+        "n_ts",
+        "n_string",
+        "n_null",
+        inferred.alias("inferred_type"),
+    )
