@@ -119,6 +119,7 @@ HEADLINE = [
     "multimodal_media_features",
     "multimodal_frame_explode",
     "multimodal_resize_pool",
+    "multimodal_phash_dedup",
     # pandas-UDF escape hatches
     "udf_pandas_scalar",
     "udf_grouped_topn",

@@ -287,3 +287,85 @@ def multimodal_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "cell": cells, "pooled": vals})
 
     return payloads.mapInPandas(pool, schema)
+
+
+@REG.query(
+    "multimodal_phash_dedup",
+    oracle="""
+    WITH cells AS (
+      SELECT doc_id,
+             UNNEST(RANGE(0, 64)) AS i,
+             UNICODE(SUBSTRING(text,
+               (UNNEST(RANGE(0, 64)) % OCTET_LENGTH(ENCODE(text))) + 1, 1)) AS v
+      FROM documents
+    ),
+    stats AS (
+      SELECT doc_id, SUM(v) // 64 AS mean_v FROM cells GROUP BY doc_id
+    ),
+    hashes AS (
+      SELECT c.doc_id,
+             CAST(SUM(CASE WHEN c.i < 32 AND c.v > s.mean_v
+                           THEN POWER(2, c.i) ELSE 0 END) AS BIGINT) AS phash_lo,
+             CAST(SUM(CASE WHEN c.i >= 32 AND c.v > s.mean_v
+                           THEN POWER(2, c.i - 32) ELSE 0 END) AS BIGINT) AS phash_hi
+      FROM cells c JOIN stats s USING (doc_id)
+      GROUP BY c.doc_id
+    )
+    SELECT phash_hi, phash_lo,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM hashes
+    GROUP BY phash_hi, phash_lo
+    HAVING COUNT(*) >= 2
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup through the decode path: fake-decode
+    each payload to the 8x8 raster, threshold every pixel against the
+    raster's integer mean (the aHash construction), pack the 64 bits
+    into (hi, lo) 32-bit halves, and group equal hashes into duplicate
+    clusters — the image-side twin of dedup_content_hash, robust to
+    the perturbations a byte-exact hash misses once a real decoder
+    replaces the stub (re-encode, metadata strips).
+
+    Hashing is a vectorized numpy kernel in mapInPandas (one pass,
+    zero shuffle); the only exchange is the 8-byte-key groupBy, so the
+    operator costs a content-hash dedup regardless of media size.  At
+    100 TB the Hamming-near variant would band the 64 bits into 4x16
+    LSH keys exactly like dedup_minhash_lsh's bands; exact-equality
+    clusters keep the oracle checkable here (POWER(2,i) stays exact in
+    doubles through 2^53, far above any 32-bit half)."""
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = spread(
+        docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    )
+
+    schema = "doc_id bigint, phash_hi bigint, phash_lo bigint"
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                raster = np.resize(buf.astype(np.int64), 64)
+                mean = int(raster.sum()) // 64
+                bits = raster > mean
+                weights = 1 << np.arange(32, dtype=np.int64)
+                ids.append(int(doc_id))
+                los.append(int((bits[:32] * weights).sum()))
+                his.append(int((bits[32:] * weights).sum()))
+            yield pd.DataFrame(
+                {"doc_id": ids, "phash_hi": his, "phash_lo": los}
+            )
+
+    hashes = payloads.mapInPandas(phash, schema)
+    return (
+        hashes.groupBy("phash_hi", "phash_lo")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
