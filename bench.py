@@ -76,6 +76,8 @@ HEADLINE = [
     "sample_stratified_topk",
     "quality_column_profile",
     "events_anomaly_mad",
+    "events_moving_median",
+    "quality_skew_report",
     "agg_countmin_sketch",
     "join_bloom_prefilter",
     "join_asof_forward",

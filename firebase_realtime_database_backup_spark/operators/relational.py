@@ -2715,3 +2715,101 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("next_o.odate").alias("next_orderdate_ms"),
         F.col("next_o.oprice").alias("next_totalprice"),
     )
+
+
+@REG.query(
+    "events_moving_median",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             ROUND(CAST(CAST(SUM(value) AS VARCHAR) AS DECIMAL(38,18)), 2)::DOUBLE
+               AS day_total
+      FROM events GROUP BY CAST(ts AS DATE)
+    )
+    SELECT day, day_total,
+           MEDIAN(day_total) OVER (
+             ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS med7
+    FROM daily
+    """,
+)
+def events_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving MEDIAN of daily revenue — the robust
+    smoother for dashboards where one flash-sale day would drag a
+    moving mean (the windowed cousin of events_anomaly_mad's global
+    median).
+
+    The raw-events shuffle is the daily partial agg; the median window
+    then runs over ~365 rows/year regardless of SF, on a value-based
+    RANGE frame over the epoch-day axis so calendar gaps shrink the
+    window (a ROWS frame would silently span them).  Exact median in a
+    moving frame is O(frame log frame) per row — fine on the aggregate
+    grain; at raw grain you'd precompute the daily rollup exactly like
+    this."""
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.round(F.sum("value"), 2).alias("day_total")
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    # median() rejects window frames in Spark; percentile(x, 0.5) is
+    # the identical continuous-interpolation median and frames fine.
+    return daily.select(
+        "day",
+        "day_total",
+        F.percentile("day_total", 0.5).over(w).alias("med7"),
+    )
+
+
+@REG.query(
+    "quality_skew_report",
+    oracle="""
+    WITH key_counts AS (
+      SELECT o_custkey AS join_key, COUNT(*) AS n_rows
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM key_counts)
+    SELECT k.join_key, k.n_rows, t.n_keys AS n_distinct_keys,
+           CAST(k.n_rows AS DOUBLE) / t.total AS share,
+           CAST(k.n_rows AS DOUBLE) * t.n_keys / t.total AS skew_factor
+    FROM key_counts k, tot t
+    ORDER BY k.n_rows DESC, k.join_key
+    LIMIT 20
+    """,
+)
+def quality_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report: the 20 heaviest o_custkey values with
+    their row share and skew factor (rows / mean-rows-per-key) — the
+    diagnostic every 100 TB join should run BEFORE shuffling, because
+    one key holding 5% of rows means one task holds 5% of the shuffle
+    (the exact hot-key condition the reference's go-deeper descent
+    detects remotely, src/BackupProcessor.php:173-179, and what AQE
+    skew-join or join_salted_skew then mitigates).
+
+    One key-count shuffle; the totals are a 1-row aggregate of the
+    count table cross-joined back (scalar-subquery shape), and the
+    top-20 is TakeOrdered — nothing here scales with raw row count
+    beyond the first partial agg."""
+    orders = read_table(spark, sf_dir, "orders")
+    key_counts = orders.groupBy(F.col("o_custkey").alias("join_key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    tot = key_counts.agg(
+        F.sum("n_rows").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        key_counts.crossJoin(F.broadcast(tot))
+        .select(
+            "join_key",
+            "n_rows",
+            F.col("n_keys").alias("n_distinct_keys"),
+            (F.col("n_rows").cast("double") / F.col("total")).alias("share"),
+            (
+                F.col("n_rows").cast("double") * F.col("n_keys") / F.col("total")
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.col("n_rows").desc(), "join_key")
+        .limit(20)
+    )

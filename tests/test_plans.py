@@ -258,10 +258,12 @@ BNL_ALLOWED = {
     "text_tfidf",
     "quality_audit_constraints",
     # 1-row broadcast probes (scalar-subquery shape): the broadcast
-    # bloom bitmap, the min-language-count target, and winsorize-style
-    # global bounds each cross-join a single aggregate row.
+    # bloom bitmap, the min-language-count target, winsorize-style
+    # global bounds, and the skew report's totals row each cross-join
+    # a single aggregate row.
     "join_bloom_prefilter",
     "text_lang_rebalance",
+    "quality_skew_report",
 }
 
 
