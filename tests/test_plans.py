@@ -316,3 +316,83 @@ def test_ann_recall_vs_exact_topk(spark, queries):
         }
         recall = len(exact & approx) / len(exact)
         assert recall >= floor, f"{name} recall {recall:.3f} < {floor}"
+
+
+def test_minhash_lsh_recall_vs_brute_force(spark, queries):
+    """LSH banding is a recall/cost trade: at 16 hashes in 4x4 bands the
+    collision probability at jaccard 0.6 is ~0.42 and rises steeply
+    toward 1.0 for true duplicates.  Pin a recall floor against the
+    brute-force all-pairs ground truth at sf0.001 (where O(n^2) is
+    affordable), and require perfect recall for exact-duplicate pairs —
+    a band of an identical signature ALWAYS collides, so missing a
+    jaccard-1.0 pair would mean the banding arithmetic itself broke."""
+    from firebase_realtime_database_backup_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+    )
+    from firebase_realtime_database_backup_spark.operators.text import (
+        doc_shingle_ids,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    dsh = doc_shingle_ids(spark, sf)
+    sets = {
+        r.doc_id: frozenset(r.sids)
+        for r in dsh.groupBy("doc_id")
+        .agg(F.collect_set("sid").alias("sids"))
+        .collect()
+    }
+    ids = sorted(sets)
+    truth = set()
+    exact_dups = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            j = inter / len(sets[a] | sets[b])
+            if j >= JACCARD_THRESHOLD:
+                truth.add((a, b))
+                if j == 1.0:
+                    exact_dups.add((a, b))
+    assert truth, "ground truth empty at sf0.001 — corpus has no near-dups"
+
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in queries["dedup_minhash_lsh"](spark, sf).collect()
+    }
+    assert exact_dups <= found, "LSH missed an exact-duplicate pair"
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.4, f"LSH recall {recall:.3f} < 0.4"
+    # precision is 1.0 by construction (candidates are verified with
+    # exact Jaccard before emission)
+    assert found <= truth
+
+
+def test_jsonl_corrupt_record_handling(spark, tmp_path):
+    """Ingest robustness: a malformed JSONL line must not kill a 100 TB
+    load.  PERMISSIVE (default) nulls the bad row into
+    _corrupt_record for quarantine; FAILFAST surfaces the error for
+    strict pipelines.  Both contracts pinned."""
+    import pytest
+
+    from firebase_realtime_database_backup_spark.sources.ingest import read_jsonl
+
+    p = tmp_path / "rows.jsonl"
+    p.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n{not json at all\n')
+
+    schema = "a bigint, b string, _corrupt_record string"
+    df = read_jsonl(spark, str(p), schema=schema).cache()
+    try:
+        assert df.count() == 3
+        assert df.filter(df._corrupt_record.isNull()).count() == 2
+        bad = df.filter(df._corrupt_record.isNotNull()).collect()
+        assert len(bad) == 1 and bad[0].a is None
+    finally:
+        df.unpersist()
+
+    strict_reader = (
+        spark.read.schema("a bigint, b string").option("mode", "FAILFAST")
+    )
+    with pytest.raises(Exception):
+        strict_reader.json(str(p)).collect()
