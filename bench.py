@@ -83,6 +83,8 @@ HEADLINE = [
     "join_asof_forward",
     "ingest_schema_inference",
     "dedup_containment",
+    "dedup_simhash_hamming",
+    "tree_subtree_sizes",
     "graph_pagerank",
     # scalar / json
     "json_from_json_struct",

@@ -938,3 +938,101 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
+
+
+#: Hamming radius for simhash near-dup: fingerprints within 3 differing
+#: bits of 16.  Banding guarantee: 4 bands of 4 bits catch every pair
+#: with <= 3 flipped bits (pigeonhole — 3 flips cannot touch all 4 bands).
+SIMHASH_HAMMING_MAX = 3
+
+
+@REG.query(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH {SHINGLE_SQL_CTE},
+    hashed AS (
+      SELECT doc_id, sid,
+             (CAST(sid AS BIGINT) * 2654435761) % 2147483648 AS h
+      FROM dshingle
+    ),
+    bits AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (h // POWER(2, j)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hashed, (SELECT UNNEST(RANGE(0, 16)) AS j)
+      GROUP BY doc_id, j
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN POWER(2, j)::BIGINT ELSE 0 END) AS BIGINT)
+               AS simhash16
+      FROM bits GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, simhash16, b,
+             (simhash16 // POWER(2, b * 4)::BIGINT) % 16 AS band_val
+      FROM fp, (SELECT UNNEST(RANGE(0, 4)) AS b)
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.simhash16 AS fp_a,
+                      c.doc_id AS doc_b, c.simhash16 AS fp_b
+      FROM banded a JOIN banded c
+        ON a.b = c.b AND a.band_val = c.band_val AND a.doc_id < c.doc_id
+    )
+    SELECT doc_a, doc_b, fp_a, fp_b,
+           BIT_COUNT(XOR(fp_a, fp_b)) AS hamming
+    FROM cands
+    WHERE BIT_COUNT(XOR(fp_a, fp_b)) <= {SIMHASH_HAMMING_MAX}
+    """,
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS within Hamming distance 3: band the
+    16-bit fingerprint into 4 nibbles; any pair differing in <= 3 bits
+    must agree on at least one whole nibble (pigeonhole), so the
+    nibble-equality equi join is a LOSSLESS candidate generator at this
+    radius — unlike MinHash banding, which is probabilistic.  Popcount
+    of the XOR then verifies exactly.
+
+    Same scale shape as every LSH op here: candidate space is governed
+    by band-bucket occupancy (16 values x 4 bands over the fingerprint
+    distribution), never the n² pair space, and the verify step is pure
+    bit arithmetic — no shingle-set join at all, which is what makes
+    simhash the cheapest near-dup tier in the cascade."""
+    fp = dedup_simhash(spark, sf_dir)
+    banded = fp.select(
+        "doc_id",
+        "simhash16",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright("simhash16", b * 4)
+                        .bitwiseAND(F.lit(15))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash16", "band.b", "band.band_val")
+    a = banded.alias("a")
+    c = banded.alias("c")
+    cands = (
+        a.join(
+            c,
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.band_val") == F.col("c.band_val"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash16").alias("fp_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            F.col("c.simhash16").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cands.select(
+        "doc_a", "doc_b", "fp_a", "fp_b", hamming.cast("bigint").alias("hamming")
+    ).filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)

@@ -297,3 +297,60 @@ def ingest_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_null",
         inferred.alias("inferred_type"),
     )
+
+
+@REG.query(
+    "tree_subtree_sizes",
+    oracle="""
+    WITH tree AS (
+      SELECT CONCAT('/documents/', CAST(doc_id AS VARCHAR)) AS path,
+             k AS key, v AS value_json
+      FROM documents,
+           LATERAL (VALUES ('text', text), ('lang', lang), ('source', source))
+             AS t(k, v)
+      WHERE doc_id <= 2000
+    )
+    SELECT path,
+           COUNT(*) AS n_children,
+           CAST(SUM(OCTET_LENGTH(ENCODE(value_json)) + OCTET_LENGTH(ENCODE(key)))
+                AS BIGINT) AS approx_bytes,
+           CAST(SUM(OCTET_LENGTH(ENCODE(value_json)) + OCTET_LENGTH(ENCODE(key)))
+                AS BIGINT) > 300 AS go_deeper
+    FROM tree
+    GROUP BY path
+    """,
+)
+def tree_subtree_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node size rollup over a tree relation (documents rendered as
+    /documents/<id> nodes with text/lang/source children): child count,
+    approximate serialized bytes, and the go-deeper flag — the
+    reference's divide-and-conquer decision (descend when a node
+    exceeds the page budget, src/BackupProcessor.php:173-179) computed
+    as ONE aggregate over the whole tree instead of discovered
+    empirically one failed REST read at a time.  At extraction scale
+    this is how the engine plans partition assignments up front:
+    over-budget nodes get their own task subtree, the rest batch
+    together.  One shuffle on the node key; counts and byte sums ride
+    the same partial agg.  The 300-byte budget splits the test corpus
+    both ways (node payloads vary 69-573 bytes, median 326)."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 2000)
+    tree = docs.select(
+        F.concat(F.lit("/documents/"), F.col("doc_id").cast("string")).alias(
+            "path"
+        ),
+        F.expr(
+            "stack(3, 'text', text, 'lang', lang, 'source', source)"
+            " AS (key, value_json)"
+        ),
+    )
+    nbytes = F.octet_length(F.encode("value_json", "utf-8")) + F.octet_length(
+        F.encode("key", "utf-8")
+    )
+    return (
+        tree.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_children"),
+            F.sum(nbytes).cast("bigint").alias("approx_bytes"),
+        )
+        .withColumn("go_deeper", F.col("approx_bytes") > 300)
+    )
