@@ -72,6 +72,7 @@ HEADLINE = [
     "dedup_fuzzy_names",
     "events_markov_transitions",
     "events_rfm_segments",
+    "events_rfm_scaled",
     "agg_histogram_equiwidth",
     "sample_stratified_topk",
     "quality_column_profile",

@@ -2813,3 +2813,92 @@ def quality_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), "join_key")
         .limit(20)
     )
+
+
+@REG.query(
+    "events_rfm_scaled",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(EPOCH_MS(MAX(ts)) AS BIGINT) AS last_seen_ms,
+             COUNT(*) AS frequency,
+             ROUND(CAST(CAST(SUM(value) AS VARCHAR) AS DECIMAL(38,18)), 2)::DOUBLE
+               AS monetary
+      FROM events GROUP BY user_id
+    ),
+    bounds AS (
+      SELECT QUANTILE_CONT(last_seen_ms, 0.25) AS r1,
+             QUANTILE_CONT(last_seen_ms, 0.50) AS r2,
+             QUANTILE_CONT(last_seen_ms, 0.75) AS r3,
+             QUANTILE_CONT(frequency, 0.25) AS f1,
+             QUANTILE_CONT(frequency, 0.50) AS f2,
+             QUANTILE_CONT(frequency, 0.75) AS f3,
+             QUANTILE_CONT(monetary, 0.25) AS m1,
+             QUANTILE_CONT(monetary, 0.50) AS m2,
+             QUANTILE_CONT(monetary, 0.75) AS m3
+      FROM per_user
+    )
+    SELECT user_id, last_seen_ms, frequency, monetary,
+           4 - ((last_seen_ms > r1)::INT + (last_seen_ms > r2)::INT
+                + (last_seen_ms > r3)::INT) AS r_quartile,
+           4 - ((frequency > f1)::INT + (frequency > f2)::INT
+                + (frequency > f3)::INT) AS f_quartile,
+           4 - ((monetary > m1)::INT + (monetary > m2)::INT
+                + (monetary > m3)::INT) AS m_quartile
+    FROM per_user, bounds
+    """,
+)
+def events_rfm_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation, production form: quartile BOUNDS via one
+    percentile aggregate, broadcast back, quartile ASSIGNMENT as three
+    map-side comparisons — no global sort at any point.  The NTILE
+    variant (events_rfm_segments) is exact-equal-count but its three
+    single-partition windows measured 21× at 100× users; this form's
+    only post-aggregate cost is a 1-row broadcast, so it scales with
+    the user-metric aggregate alone.  Quantile-boundary buckets differ
+    from NTILE only in tie handling (ties share a bucket here, NTILE
+    splits them by the tiebreaker), which is usually what segmentation
+    wants anyway.
+
+    Bound comparisons are engine-stable: at g ∈ {.25,.5,.75} the
+    interpolated bound either equals a data value exactly (both engines
+    compute (1-g)a+gb with exact-at-endpoints arithmetic) or lies
+    strictly between two data values — either way `v > bound` cannot
+    flip between engines."""
+    events = read_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.unix_millis(F.max("ts")).alias("last_seen_ms"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("value"), 2).alias("monetary"),
+    )
+    bounds = per_user.agg(
+        *[
+            F.percentile(c, q).alias(f"{a}{i}")
+            for c, a in (
+                ("last_seen_ms", "r"),
+                ("frequency", "f"),
+                ("monetary", "m"),
+            )
+            for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+
+    def quart(col, a):
+        return (
+            4
+            - (
+                (F.col(col) > F.col(f"{a}1")).cast("int")
+                + (F.col(col) > F.col(f"{a}2")).cast("int")
+                + (F.col(col) > F.col(f"{a}3")).cast("int")
+            )
+        ).alias(f"{a}_quartile")
+
+    return per_user.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        "last_seen_ms",
+        "frequency",
+        "monetary",
+        quart("last_seen_ms", "r"),
+        quart("frequency", "f"),
+        quart("monetary", "m"),
+    )
