@@ -99,6 +99,7 @@ HEADLINE = [
     "dedup_content_hash",
     "text_normalize",
     "dedup_minhash_lsh",
+    "dedup_minhash_xxhash",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_scaled",
     "sim_cosine_topk",

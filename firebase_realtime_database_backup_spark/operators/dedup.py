@@ -1036,3 +1036,86 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.select(
         "doc_a", "doc_b", "fp_a", "fp_b", hamming.cast("bigint").alias("hamming")
     ).filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+
+
+@REG.query("dedup_minhash_xxhash")  # rows-only: xxhash64 isn't SQL-portable
+def dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, PRODUCTION form: shingle ids come
+    straight from xxhash64 (JVM intrinsic) instead of the dictionary
+    join — no distinct-vocab build, no single-partition row_number
+    window, no broadcast.  The dictionary variant (dedup_minhash_lsh)
+    exists because an affine hash over dense ids is reproducible in
+    DuckDB; THIS is what you run at 100 TB, where the vocabulary
+    itself is billions of shingles and any global id assignment is a
+    bottleneck (measured: the vocab window dominates the dictionary
+    variant's scaling; see BASELINE.md scale tables).
+
+    Same banding and verification as the oracle-checked twin; the
+    signature arithmetic folds the 64-bit hash to 30 bits so the
+    affine rehash stays in int64 under ANSI.  Correctness is pinned by
+    pytest against brute-force ground truth: every exact-duplicate
+    pair MUST appear (identical shingle sets → identical signatures
+    under any hash family) and every emitted pair is Jaccard-verified,
+    so precision is 1.0 by construction."""
+    docs = spread(
+        read_table(spark, sf_dir, "documents").select(
+            "doc_id", F.split("text", " ").alias("toks")
+        )
+    )
+    n_sh = F.size("toks") - 2
+    shingled = docs.filter(n_sh > 0).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, 3)),
+            )
+        ).alias("shingle"),
+    )
+    dshingle = (
+        shingled.select(
+            "doc_id",
+            F.pmod(F.xxhash64("shingle"), F.lit(1 << 30)).alias("sid"),
+        )
+        .distinct()
+        .cache()
+    )
+    sig = dshingle.groupBy("doc_id").agg(
+        *[
+            F.min(
+                ((2 * i + 3) * F.col("sid") + (5 * i + 7)) % F.lit(2147483647)
+            ).alias(f"mh{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    bands = _band_keys(sig)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    doc_sets = dshingle.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("sid")).alias("sids")
+    )
+    sa = doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("sids").alias("sids_a"))
+    sb = doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("sids").alias("sids_b"))
+    n_common = F.size(F.array_intersect(F.col("sids_a"), F.col("sids_b")))
+    n_union = F.size("sids_a") + F.size("sids_b") - n_common
+    return (
+        cands.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_common.cast("bigint").alias("n_common"),
+            (n_common.cast("double") / n_union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )

@@ -396,3 +396,47 @@ def test_jsonl_corrupt_record_handling(spark, tmp_path):
     )
     with pytest.raises(Exception):
         strict_reader.json(str(p)).collect()
+
+
+def test_minhash_xxhash_variant_correctness(spark, queries):
+    """The production (xxhash64, dictionary-free) MinHash variant has no
+    SQL oracle, so pin it against brute-force ground truth directly:
+    perfect recall on exact-duplicate pairs (identical shingle sets →
+    identical signatures under ANY hash family) and precision 1.0
+    (candidates are Jaccard-verified before emission)."""
+    from firebase_realtime_database_backup_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+    )
+    from firebase_realtime_database_backup_spark.operators.text import (
+        doc_shingle_ids,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    dsh = doc_shingle_ids(spark, sf)
+    sets = {
+        r.doc_id: frozenset(r.sids)
+        for r in dsh.groupBy("doc_id")
+        .agg(F.collect_set("sid").alias("sids"))
+        .collect()
+    }
+    ids = sorted(sets)
+    truth, exact_dups = set(), set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            j = inter / len(sets[a] | sets[b])
+            if j >= JACCARD_THRESHOLD:
+                truth.add((a, b))
+                if j == 1.0:
+                    exact_dups.add((a, b))
+
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in queries["dedup_minhash_xxhash"](spark, sf).collect()
+    }
+    assert exact_dups <= found, "xxhash variant missed an exact-duplicate pair"
+    assert found <= truth, "xxhash variant emitted a below-threshold pair"
+    assert len(truth & found) / len(truth) >= 0.4
