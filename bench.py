@@ -76,6 +76,8 @@ HEADLINE = [
     "agg_histogram_equiwidth",
     "sample_stratified_topk",
     "quality_column_profile",
+    "window_streaks",
+    "quality_drift_chi2",
     "events_anomaly_mad",
     "events_moving_median",
     "quality_skew_report",

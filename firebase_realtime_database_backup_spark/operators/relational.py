@@ -2902,3 +2902,136 @@ def events_rfm_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         quart("frequency", "f"),
         quart("monetary", "m"),
     )
+
+
+@REG.query(
+    "window_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    grouped AS (
+      SELECT user_id, day,
+             CAST(EPOCH(day) / 86400 AS BIGINT)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, MIN(day) AS streak_start, MAX(day) AS streak_end,
+             COUNT(*) AS streak_days
+      FROM grouped GROUP BY user_id, grp
+    )
+    SELECT user_id, streak_start, streak_end, streak_days
+    FROM streaks
+    WHERE streak_days >= 3
+    """,
+)
+def window_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-day activity streaks per user (the
+    classic epoch-day-minus-row-number trick — consecutive days share a
+    constant difference, so the difference IS the island id), reporting
+    streaks of 3+ days.  The engagement-streak metric every product
+    dashboard wants, and the canonical SQL pattern missing between
+    sessionize (time-gap islands) and SCD2 (validity islands).
+
+    One user_id shuffle covers the distinct, the window, and the island
+    aggregate — all three key on user_id, so AQE reuses the exchange.
+    Nothing scales with raw events beyond the first distinct's partial
+    agg."""
+    events = read_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    grouped = days.withColumn(
+        "grp",
+        (F.unix_date("day").cast("bigint") - rn),
+    )
+    return (
+        grouped.groupBy("user_id", "grp")
+        .agg(
+            F.min("day").alias("streak_start"),
+            F.max("day").alias("streak_end"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .filter(F.col("streak_days") >= 3)
+        .drop("grp")
+    )
+
+
+@REG.query(
+    "quality_drift_chi2",
+    oracle="""
+    WITH old_h AS (
+      SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+             COUNT(*) AS n
+      FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+      GROUP BY 1
+    ),
+    new_h AS (
+      SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+             COUNT(*) AS n
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT SUM(n) FROM old_h) AS n_old,
+             (SELECT SUM(n) FROM new_h) AS n_new
+    )
+    SELECT COALESCE(o.bucket, w.bucket) AS bucket,
+           COALESCE(o.n, 0) AS n_old, COALESCE(w.n, 0) AS n_new,
+           CAST(COALESCE(o.n, 0) AS DOUBLE) / t.n_old AS p_old,
+           CAST(COALESCE(w.n, 0) AS DOUBLE) / t.n_new AS p_new,
+           (CAST(COALESCE(w.n, 0) AS DOUBLE) / t.n_new
+            - CAST(COALESCE(o.n, 0) AS DOUBLE) / t.n_old)
+           * (CAST(COALESCE(w.n, 0) AS DOUBLE) / t.n_new
+              - CAST(COALESCE(o.n, 0) AS DOUBLE) / t.n_old)
+           / ((CAST(COALESCE(o.n, 0) AS DOUBLE) / t.n_old + 0.0001))
+             AS chi2_term
+    FROM old_h o FULL OUTER JOIN new_h w ON o.bucket = w.bucket, tot t
+    """,
+)
+def quality_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report between two data slices (orders before
+    vs since 1996 as the old/new corpus stand-in): per-bucket rates and
+    a chi-square-style drift term — the per-feature drift monitor that
+    gates retraining pipelines.  Chi-square arithmetic instead of
+    PSI/KL because (p-q)²/(p+ε) is pure +,×,÷ — bit-identical across
+    engines, where ln() is not.
+
+    Both histograms reduce to bucket grain inside one scan each (the
+    two slices share a scan in Spark via conditional aggregation ... or
+    two pushdown-filtered scans, as here, so each side's filter reaches
+    parquet); the full-outer join and rate math run on dozens of
+    bucket rows.  Drift score = SUM(chi2_term) downstream."""
+    orders = read_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000.0).cast("bigint")
+    cut = "1996-01-01"
+    old_h = (
+        orders.filter(F.col("o_orderdate") < cut)
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_old"))
+    )
+    new_h = (
+        orders.filter(F.col("o_orderdate") >= cut)
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    tot = old_h.agg(F.sum("n_old").alias("t_old")).crossJoin(
+        new_h.agg(F.sum("n_new").alias("t_new"))
+    )
+    joined = (
+        old_h.join(new_h, "bucket", "full_outer")
+        .na.fill({"n_old": 0, "n_new": 0})
+        .crossJoin(F.broadcast(tot))
+    )
+    p_old = F.col("n_old").cast("double") / F.col("t_old")
+    p_new = F.col("n_new").cast("double") / F.col("t_new")
+    return joined.select(
+        "bucket",
+        "n_old",
+        "n_new",
+        p_old.alias("p_old"),
+        p_new.alias("p_new"),
+        ((p_new - p_old) * (p_new - p_old) / (p_old + 0.0001)).alias("chi2_term"),
+    )
