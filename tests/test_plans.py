@@ -264,6 +264,8 @@ BNL_ALLOWED = {
     "join_bloom_prefilter",
     "text_lang_rebalance",
     "quality_skew_report",
+    "events_rfm_scaled",
+    "quality_drift_chi2",
 }
 
 
