@@ -102,6 +102,56 @@ def _band_keys(sig: DataFrame) -> DataFrame:
     ).withColumn("band", F.col("band").cast("long"))
 
 
+
+
+def _candidate_pairs(a_bands, b_bands, a_name: str, b_name: str, ordered: bool):
+    """LSH candidate generation: equi join on (band, band_key).
+
+    `ordered=True` (self-join dedup) keeps doc_a < doc_b so each pair
+    appears once; `ordered=False` (two-sided, e.g. new-batch vs corpus)
+    keeps every cross pair.  Shared by all banded-LSH operators so the
+    join shape — the scale-critical part — is defined exactly once."""
+    a = a_bands.alias("a")
+    b = b_bands.alias("b")
+    cond = (F.col("a.band") == F.col("b.band")) & (
+        F.col("a.band_key") == F.col("b.band_key")
+    )
+    if ordered:
+        cond = cond & (F.col("a.doc_id") < F.col("b.doc_id"))
+    return (
+        a.join(b, cond)
+        .select(F.col("a.doc_id").alias(a_name), F.col("b.doc_id").alias(b_name))
+        .distinct()
+    )
+
+
+def _pair_overlap(cands, dshingle, a_name: str, b_name: str):
+    """Attach exact set-overlap stats to candidate pairs: fold each
+    doc's shingle set into ONE sorted array row, broadcast both sides,
+    and intersect map-side — no (doc_id, sid)-grain join, no per-pair
+    shuffle.  Past broadcast range, drop the hints and these become
+    doc_id-key shuffles AQE right-sizes; the array representation still
+    avoids the row-grain intersection join.  Returns the pair columns
+    plus (n_common, sz_a, sz_b) for the caller's metric of choice."""
+    doc_sets = dshingle.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("sid")).alias("sids")
+    )
+    sa = doc_sets.select(F.col("doc_id").alias(a_name), F.col("sids").alias("sids_a"))
+    sb = doc_sets.select(F.col("doc_id").alias(b_name), F.col("sids").alias("sids_b"))
+    n_common = F.size(F.array_intersect(F.col("sids_a"), F.col("sids_b")))
+    return (
+        cands.join(F.broadcast(sa), a_name)
+        .join(F.broadcast(sb), b_name)
+        .select(
+            a_name,
+            b_name,
+            n_common.cast("bigint").alias("n_common"),
+            F.size("sids_a").cast("bigint").alias("sz_a"),
+            F.size("sids_b").cast("bigint").alias("sz_b"),
+        )
+    )
+
+
 @REG.query(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -155,50 +205,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup clusters) are exactly what AQE skew-join splits."""
     dshingle = doc_shingle_ids(spark, sf_dir).cache()
     bands = _band_keys(_minhash_signatures(dshingle))
-
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-
-    # Verification: fold each doc's shingle set into ONE sorted array row
-    # (per-doc, not per-(doc,sid)), then candidate pairs verify map-side
-    # with array_intersect — no (doc_id, sid)-grain join, no per-pair
-    # shuffle.  doc_sets is one row per document; at sizes past broadcast
-    # range drop the hints and the joins become doc_id-key shuffles that
-    # AQE right-sizes — the array representation still avoids the
-    # row-grain intersection join.
-    doc_sets = dshingle.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("sid")).alias("sids")
-    )
-    sa = doc_sets.select(
-        F.col("doc_id").alias("doc_a"), F.col("sids").alias("sids_a")
-    )
-    sb = doc_sets.select(
-        F.col("doc_id").alias("doc_b"), F.col("sids").alias("sids_b")
-    )
-    n_common = F.size(F.array_intersect(F.col("sids_a"), F.col("sids_b")))
-    n_union = F.size("sids_a") + F.size("sids_b") - n_common
-    out = (
-        cands.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .select(
+    cands = _candidate_pairs(bands, bands, "doc_a", "doc_b", ordered=True)
+    overlap = _pair_overlap(cands, dshingle, "doc_a", "doc_b")
+    n_union = F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    return (
+        overlap.select(
             "doc_a",
             "doc_b",
-            n_common.cast("bigint").alias("n_common"),
-            n_union.cast("bigint").alias("n_union"),
-            (n_common.cast("double") / n_union).alias("jaccard"),
+            "n_common",
+            n_union.alias("n_union"),
+            (F.col("n_common").cast("double") / n_union).alias("jaccard"),
         )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    return out.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 @REG.query(
@@ -804,39 +823,21 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups drift more than same-crawl dups."""
     dshingle = doc_shingle_ids(spark, sf_dir).cache()
     bands = _band_keys(_minhash_signatures(dshingle))
-    new_side = bands.filter(F.col("doc_id") % 10 == 0).alias("a")
-    corpus_side = bands.filter(F.col("doc_id") % 10 != 0).alias("b")
-    cands = (
-        new_side.join(
-            corpus_side,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key")),
-        )
-        .select(
-            F.col("a.doc_id").alias("new_doc_id"),
-            F.col("b.doc_id").alias("corpus_doc_id"),
-        )
-        .distinct()
+    cands = _candidate_pairs(
+        bands.filter(F.col("doc_id") % 10 == 0),
+        bands.filter(F.col("doc_id") % 10 != 0),
+        "new_doc_id",
+        "corpus_doc_id",
+        ordered=False,
     )
-    doc_sets = dshingle.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("sid")).alias("sids")
-    )
-    sa = doc_sets.select(
-        F.col("doc_id").alias("new_doc_id"), F.col("sids").alias("sids_a")
-    )
-    sb = doc_sets.select(
-        F.col("doc_id").alias("corpus_doc_id"), F.col("sids").alias("sids_b")
-    )
-    n_common = F.size(F.array_intersect(F.col("sids_a"), F.col("sids_b")))
-    n_union = F.size("sids_a") + F.size("sids_b") - n_common
+    overlap = _pair_overlap(cands, dshingle, "new_doc_id", "corpus_doc_id")
+    n_union = F.col("sz_a") + F.col("sz_b") - F.col("n_common")
     return (
-        cands.join(F.broadcast(sa), "new_doc_id")
-        .join(F.broadcast(sb), "corpus_doc_id")
-        .select(
+        overlap.select(
             "new_doc_id",
             "corpus_doc_id",
-            n_common.cast("bigint").alias("n_common"),
-            (n_common.cast("double") / n_union).alias("jaccard"),
+            "n_common",
+            (F.col("n_common").cast("double") / n_union).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= CROSS_THRESHOLD)
     )
@@ -904,36 +905,18 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries over verbatim."""
     dshingle = doc_shingle_ids(spark, sf_dir).cache()
     bands = _band_keys(_minhash_signatures(dshingle))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    doc_sets = dshingle.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("sid")).alias("sids")
-    )
-    sa = doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("sids").alias("sids_a"))
-    sb = doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("sids").alias("sids_b"))
-    n_common = F.size(F.array_intersect(F.col("sids_a"), F.col("sids_b")))
-    containment = n_common.cast("double") / F.least(
-        F.size("sids_a"), F.size("sids_b")
+    cands = _candidate_pairs(bands, bands, "doc_a", "doc_b", ordered=True)
+    overlap = _pair_overlap(cands, dshingle, "doc_a", "doc_b")
+    containment = F.col("n_common").cast("double") / F.least(
+        F.col("sz_a"), F.col("sz_b")
     )
     return (
-        cands.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .select(
+        overlap.select(
             "doc_a",
             "doc_b",
-            n_common.cast("bigint").alias("n_common"),
-            F.size("sids_a").cast("bigint").alias("sz_a"),
-            F.size("sids_b").cast("bigint").alias("sz_b"),
+            "n_common",
+            "sz_a",
+            "sz_b",
             containment.alias("containment"),
         )
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
@@ -1057,23 +1040,11 @@ def dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair MUST appear (identical shingle sets → identical signatures
     under any hash family) and every emitted pair is Jaccard-verified,
     so precision is 1.0 by construction."""
-    docs = spread(
-        read_table(spark, sf_dir, "documents").select(
-            "doc_id", F.split("text", " ").alias("toks")
-        )
-    )
-    n_sh = F.size("toks") - 2
-    shingled = docs.filter(n_sh > 0).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), n_sh),
-                lambda i: F.concat_ws(" ", F.slice("toks", i, 3)),
-            )
-        ).alias("shingle"),
-    )
+    from firebase_realtime_database_backup_spark.operators.text import doc_shingles
+
     dshingle = (
-        shingled.select(
+        doc_shingles(spark, sf_dir)
+        .select(
             "doc_id",
             F.pmod(F.xxhash64("shingle"), F.lit(1 << 30)).alias("sid"),
         )
@@ -1089,33 +1060,15 @@ def dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     bands = _band_keys(sig)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    doc_sets = dshingle.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("sid")).alias("sids")
-    )
-    sa = doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("sids").alias("sids_a"))
-    sb = doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("sids").alias("sids_b"))
-    n_common = F.size(F.array_intersect(F.col("sids_a"), F.col("sids_b")))
-    n_union = F.size("sids_a") + F.size("sids_b") - n_common
+    cands = _candidate_pairs(bands, bands, "doc_a", "doc_b", ordered=True)
+    overlap = _pair_overlap(cands, dshingle, "doc_a", "doc_b")
+    n_union = F.col("sz_a") + F.col("sz_b") - F.col("n_common")
     return (
-        cands.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .select(
+        overlap.select(
             "doc_a",
             "doc_b",
-            n_common.cast("bigint").alias("n_common"),
-            (n_common.cast("double") / n_union).alias("jaccard"),
+            "n_common",
+            (F.col("n_common").cast("double") / n_union).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )

@@ -48,6 +48,32 @@ REG = Registry()
 
 FRAME_STRIDE = 16  # frame-sampling stride in bytes
 
+#: Non-ASCII bytes are folded to '?' BEFORE encoding on BOTH sides, so
+#: byte == codepoint holds for ANY corpus, not just today's ASCII one —
+#: without this, a regenerated testdata with accented/CJK text would
+#: silently diverge the UNICODE(SUBSTRING(...)) char-indexed oracles
+#: from the np.frombuffer byte-indexed kernels (multi-byte UTF-8).
+ASCII_DOCS_CTE = (
+    "docs_ascii AS (SELECT doc_id, "
+    "REGEXP_REPLACE(text, '[^' || CHR(1) || '-' || CHR(127) || ']', '?', 'g')"
+    " AS text FROM documents)"
+)
+
+
+def ascii_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload): the module's binary test column, sanitized to
+    ASCII at the boundary (see ASCII_DOCS_CTE)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return spread(
+        docs.select(
+            "doc_id",
+            F.encode(
+                F.regexp_replace("text", "[^\\x01-\\x7f]", "?"), "utf-8"
+            ).alias("payload"),
+        )
+    )
+
+
 
 def decode_image(payload: bytes) -> "object":
     """Decode an image payload to an HxWxC array.  STUB: image codecs
@@ -108,6 +134,7 @@ def _media_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @REG.query(
     "multimodal_media_features",
     oracle=f"""
+    WITH {ASCII_DOCS_CTE}
     SELECT doc_id,
            CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT)                    AS n_bytes,
            CAST(UNICODE(SUBSTRING(text, 1, 1)) AS INT)           AS first_byte,
@@ -115,7 +142,7 @@ def _media_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                                                                  AS n_frames,
            CAST(SUM(UNICODE(SUBSTRING(text, p, 1))) % 65536 AS BIGINT)
                                                                  AS frame_checksum
-    FROM documents,
+    FROM docs_ascii,
          UNNEST(RANGE(1, OCTET_LENGTH(ENCODE(text)) + 1, {FRAME_STRIDE})) AS r(p)
     GROUP BY doc_id, text
     """,
@@ -125,10 +152,7 @@ def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     plumbing (mapInPandas, Arrow batches).  The oracle recomputes the
     byte-wise features in SQL — possible because the fake payload is
     ASCII (byte == codepoint), which is the whole point of the fake."""
-    docs = read_table(spark, sf_dir, "documents")
-    payloads = spread(
-        docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
-    )
+    payloads = ascii_payloads(spark, sf_dir)
     return payloads.mapInPandas(_media_features, MEDIA_FEATURE_SCHEMA)
 
 
@@ -168,10 +192,7 @@ def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the array-returning UDF path (the shape a real image decoder
     produces).  Rows-only: the byte-repetition fake is deliberately not
     re-implemented in SQL."""
-    docs = read_table(spark, sf_dir, "documents")
-    payloads = spread(
-        docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
-    )
+    payloads = ascii_payloads(spark, sf_dir)
     return payloads.mapInPandas(_fake_decode_batch, RASTER_SCHEMA)
 
 
@@ -181,11 +202,12 @@ FRAME_BYTES = 32  # bytes per sampled "frame"
 @REG.query(
     "multimodal_frame_explode",
     oracle=f"""
+    WITH {ASCII_DOCS_CTE}
     SELECT doc_id,
            CAST((p - 1) // {FRAME_BYTES} AS BIGINT)       AS frame_no,
            CAST(SUM(UNICODE(SUBSTRING(text, p + o, 1))) AS BIGINT) AS frame_sum,
            CAST(COUNT(*) AS BIGINT)                        AS frame_len
-    FROM documents,
+    FROM docs_ascii,
          UNNEST(RANGE(1, OCTET_LENGTH(ENCODE(text)) + 1, {FRAME_BYTES})) AS r(p),
          UNNEST(RANGE(0, LEAST({FRAME_BYTES},
                 OCTET_LENGTH(ENCODE(text)) - p + 1))) AS s(o)
@@ -201,10 +223,7 @@ def multimodal_frame_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the explode never concentrates on one worker."""
     import numpy as np
 
-    docs = read_table(spark, sf_dir, "documents")
-    payloads = spread(
-        docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
-    )
+    payloads = ascii_payloads(spark, sf_dir)
 
     schema = "doc_id bigint, frame_no bigint, frame_sum bigint, frame_len bigint"
 
@@ -232,12 +251,13 @@ POOL = 2  # 2x2 average pooling: 8x8 raster -> 4x4
 
 @REG.query(
     "multimodal_resize_pool",
-    oracle="""
-    WITH cells AS (
+    oracle=f"""
+    WITH {ASCII_DOCS_CTE},
+    cells AS (
       SELECT doc_id, text,
              OCTET_LENGTH(ENCODE(text)) AS n,
              UNNEST(RANGE(0, 16)) AS cell
-      FROM documents
+      FROM docs_ascii
     ),
     corners AS (
       SELECT doc_id, text, n, cell,
@@ -262,10 +282,7 @@ def multimodal_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle.  Integer division keeps the oracle exact: the SQL twin
     recomputes each pooled cell from the same byte-tiling arithmetic
     (ASCII payload => byte == codepoint)."""
-    docs = read_table(spark, sf_dir, "documents")
-    payloads = spread(
-        docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
-    )
+    payloads = ascii_payloads(spark, sf_dir)
 
     schema = "doc_id bigint, cell bigint, pooled bigint"
 
@@ -291,13 +308,14 @@ def multimodal_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.query(
     "multimodal_phash_dedup",
-    oracle="""
-    WITH cells AS (
+    oracle=f"""
+    WITH {ASCII_DOCS_CTE},
+    cells AS (
       SELECT doc_id,
              UNNEST(RANGE(0, 64)) AS i,
              UNICODE(SUBSTRING(text,
                (UNNEST(RANGE(0, 64)) % OCTET_LENGTH(ENCODE(text))) + 1, 1)) AS v
-      FROM documents
+      FROM docs_ascii
     ),
     stats AS (
       SELECT doc_id, SUM(v) // 64 AS mean_v FROM cells GROUP BY doc_id
@@ -335,10 +353,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH keys exactly like dedup_minhash_lsh's bands; exact-equality
     clusters keep the oracle checkable here (POWER(2,i) stays exact in
     doubles through 2^53, far above any 32-bit half)."""
-    docs = read_table(spark, sf_dir, "documents")
-    payloads = spread(
-        docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
-    )
+    payloads = ascii_payloads(spark, sf_dir)
 
     schema = "doc_id bigint, phash_hi bigint, phash_lo bigint"
 

@@ -2141,12 +2141,12 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.query(
     "events_rfm_segments",
-    oracle="""
+    oracle=f"""
     WITH per_user AS (
       SELECT user_id,
              CAST(EPOCH_MS(MAX(ts)) AS BIGINT) AS last_seen_ms,
              COUNT(*) AS frequency,
-             ROUND(CAST(CAST(SUM(value) AS VARCHAR) AS DECIMAL(38,18)), 2)::DOUBLE
+             {oround("SUM(value)")}
                AS monetary
       FROM events GROUP BY user_id
     )
@@ -2349,10 +2349,10 @@ def quality_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.query(
     "events_anomaly_mad",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             ROUND(CAST(CAST(SUM(value) AS VARCHAR) AS DECIMAL(38,18)), 2)::DOUBLE
+             {oround("SUM(value)")}
                AS day_total
       FROM events GROUP BY event_type, CAST(ts AS DATE)
     ),
@@ -2444,11 +2444,15 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select(F.explode(F.split("text", " ")).alias("term")).filter(
         F.col("term") != ""
     )
-    vocab = (
-        terms.distinct()
-        .withColumn(
-            "tid", F.row_number().over(Window.orderBy("term")).cast("long")
-        )
+    # Dense lexicographic term ids via the bucketed two-phase rank
+    # (text.shingle_vocab) — a plain row_number over all terms would be
+    # a single-partition window, the exact serial cliff SURVEY.md's
+    # lessons list warns about; the bucketed form's only serial window
+    # is the <=257-row per-bucket offset table.
+    from firebase_realtime_database_backup_spark.operators.text import shingle_vocab
+
+    vocab = shingle_vocab(terms.select(F.col("term").alias("shingle"))).select(
+        F.col("shingle").alias("term"), F.col("sid").cast("long").alias("tid")
     )
     occs = terms.join(F.broadcast(vocab), "term").select("tid")
     return (
@@ -2610,7 +2614,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # jobs, inherent to driver-looped iteration on a tiny graph.
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
     nodes = edges.select(F.col("src").alias("item")).distinct().cache()
-    n_nodes = nodes.count()
+    # nodes/edges caches materialize during the initial eager checkpoint;
+    # sum(rank) == |nodes| stays a loop invariant (asserted in tests)
     ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint(eager=True)
     for _ in range(PAGERANK_ITERS):
         contribs = (
@@ -2719,10 +2724,10 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.query(
     "events_moving_median",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS day,
-             ROUND(CAST(CAST(SUM(value) AS VARCHAR) AS DECIMAL(38,18)), 2)::DOUBLE
+             {oround("SUM(value)")}
                AS day_total
       FROM events GROUP BY CAST(ts AS DATE)
     )
@@ -2817,12 +2822,12 @@ def quality_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.query(
     "events_rfm_scaled",
-    oracle="""
+    oracle=f"""
     WITH per_user AS (
       SELECT user_id,
              CAST(EPOCH_MS(MAX(ts)) AS BIGINT) AS last_seen_ms,
              COUNT(*) AS frequency,
-             ROUND(CAST(CAST(SUM(value) AS VARCHAR) AS DECIMAL(38,18)), 2)::DOUBLE
+             {oround("SUM(value)")}
                AS monetary
       FROM events GROUP BY user_id
     ),

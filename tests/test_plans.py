@@ -320,14 +320,11 @@ def test_ann_recall_vs_exact_topk(spark, queries):
         assert recall >= floor, f"{name} recall {recall:.3f} < {floor}"
 
 
-def test_minhash_lsh_recall_vs_brute_force(spark, queries):
-    """LSH banding is a recall/cost trade: at 16 hashes in 4x4 bands the
-    collision probability at jaccard 0.6 is ~0.42 and rises steeply
-    toward 1.0 for true duplicates.  Pin a recall floor against the
-    brute-force all-pairs ground truth at sf0.001 (where O(n^2) is
-    affordable), and require perfect recall for exact-duplicate pairs —
-    a band of an identical signature ALWAYS collides, so missing a
-    jaccard-1.0 pair would mean the banding arithmetic itself broke."""
+def _minhash_ground_truth(spark):
+    """Brute-force all-pairs Jaccard ground truth at sf0.001 (where
+    O(n^2) is affordable): returns (truth, exact_dups) pair sets at the
+    production JACCARD_THRESHOLD.  Shared by both MinHash recall tests
+    so the two variants are pinned against the SAME truth."""
     from firebase_realtime_database_backup_spark.operators.dedup import (
         JACCARD_THRESHOLD,
     )
@@ -336,8 +333,7 @@ def test_minhash_lsh_recall_vs_brute_force(spark, queries):
     )
     from pyspark.sql import functions as F
 
-    sf = "/root/testdata/sf0.001"
-    dsh = doc_shingle_ids(spark, sf)
+    dsh = doc_shingle_ids(spark, "/root/testdata/sf0.001")
     sets = {
         r.doc_id: frozenset(r.sids)
         for r in dsh.groupBy("doc_id")
@@ -345,8 +341,7 @@ def test_minhash_lsh_recall_vs_brute_force(spark, queries):
         .collect()
     }
     ids = sorted(sets)
-    truth = set()
-    exact_dups = set()
+    truth, exact_dups = set(), set()
     for i, a in enumerate(ids):
         for b in ids[i + 1 :]:
             inter = len(sets[a] & sets[b])
@@ -357,6 +352,19 @@ def test_minhash_lsh_recall_vs_brute_force(spark, queries):
                 truth.add((a, b))
                 if j == 1.0:
                     exact_dups.add((a, b))
+    return truth, exact_dups
+
+
+def test_minhash_lsh_recall_vs_brute_force(spark, queries):
+    """LSH banding is a recall/cost trade: at 16 hashes in 4x4 bands the
+    collision probability at jaccard 0.6 is ~0.42 and rises steeply
+    toward 1.0 for true duplicates.  Pin a recall floor against the
+    brute-force all-pairs ground truth at sf0.001 (where O(n^2) is
+    affordable), and require perfect recall for exact-duplicate pairs —
+    a band of an identical signature ALWAYS collides, so missing a
+    jaccard-1.0 pair would mean the banding arithmetic itself broke."""
+    sf = "/root/testdata/sf0.001"
+    truth, exact_dups = _minhash_ground_truth(spark)
     assert truth, "ground truth empty at sf0.001 — corpus has no near-dups"
 
     found = {
@@ -406,34 +414,8 @@ def test_minhash_xxhash_variant_correctness(spark, queries):
     perfect recall on exact-duplicate pairs (identical shingle sets →
     identical signatures under ANY hash family) and precision 1.0
     (candidates are Jaccard-verified before emission)."""
-    from firebase_realtime_database_backup_spark.operators.dedup import (
-        JACCARD_THRESHOLD,
-    )
-    from firebase_realtime_database_backup_spark.operators.text import (
-        doc_shingle_ids,
-    )
-    from pyspark.sql import functions as F
-
     sf = "/root/testdata/sf0.001"
-    dsh = doc_shingle_ids(spark, sf)
-    sets = {
-        r.doc_id: frozenset(r.sids)
-        for r in dsh.groupBy("doc_id")
-        .agg(F.collect_set("sid").alias("sids"))
-        .collect()
-    }
-    ids = sorted(sets)
-    truth, exact_dups = set(), set()
-    for i, a in enumerate(ids):
-        for b in ids[i + 1 :]:
-            inter = len(sets[a] & sets[b])
-            if not inter:
-                continue
-            j = inter / len(sets[a] | sets[b])
-            if j >= JACCARD_THRESHOLD:
-                truth.add((a, b))
-                if j == 1.0:
-                    exact_dups.add((a, b))
+    truth, exact_dups = _minhash_ground_truth(spark)
 
     found = {
         (r.doc_a, r.doc_b)
