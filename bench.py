@@ -174,13 +174,29 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
+    # The stdout line must stay compact — round 1's full 107-entry map
+    # overflowed the driver's capture and left BENCH_r01 "parsed": null.
+    # Headline JSON carries the total + the 10 slowest queries; the full
+    # per-query map goes to BENCH_DETAIL.json next to this script.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {"sf": sf, "n_queries": len(times), "queries": times}, fh, indent=1
+        )
+    slowest = dict(
+        sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
+                "queries": slowest,
+                "n_queries": len(times),
+                "detail": "BENCH_DETAIL.json",
                 "sf": sf,
             }
         )

@@ -187,7 +187,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.name is None:
             for name in sorted(reg.queries):
                 marker = "oracle" if name in reg.oracles else "rows-only"
-                print(f"{name}  [{marker}]")
+                twin = reg.prod_twins.get(name)
+                scale = f"  [teaching variant — at scale use {twin}]" if twin else ""
+                print(f"{name}  [{marker}]{scale}")
             return 0
         if args.name not in reg.queries:
             print(f"unknown query {args.name!r}; run with no name to list",

@@ -125,19 +125,33 @@ def _candidate_pairs(a_bands, b_bands, a_name: str, b_name: str, ordered: bool):
     )
 
 
-def _pair_overlap(cands, dshingle, a_name: str, b_name: str):
+def _pair_overlap(cands, dshingle, a_name: str, b_name: str,
+                  dshingle_a=None, dshingle_b=None):
     """Attach exact set-overlap stats to candidate pairs: fold each
     doc's shingle set into ONE sorted array row, broadcast both sides,
     and intersect map-side — no (doc_id, sid)-grain join, no per-pair
     shuffle.  Past broadcast range, drop the hints and these become
     doc_id-key shuffles AQE right-sizes; the array representation still
     avoids the row-grain intersection join.  Returns the pair columns
-    plus (n_common, sz_a, sz_b) for the caller's metric of choice."""
-    doc_sets = dshingle.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("sid")).alias("sids")
-    )
-    sa = doc_sets.select(F.col("doc_id").alias(a_name), F.col("sids").alias("sids_a"))
-    sb = doc_sets.select(F.col("doc_id").alias(b_name), F.col("sids").alias("sids_b"))
+    plus (n_common, sz_a, sz_b) for the caller's metric of choice.
+
+    Asymmetric callers (cross-corpus: small new batch vs standing
+    corpus) pass ``dshingle_a``/``dshingle_b`` pre-filtered to the docs
+    that can actually appear on that join side, so each broadcast
+    carries only live rows instead of the full per-doc table twice."""
+    def _sets(side):
+        return side.groupBy("doc_id").agg(
+            F.sort_array(F.collect_set("sid")).alias("sids")
+        )
+
+    if dshingle_a is None and dshingle_b is None:
+        shared = _sets(dshingle)
+        sets_a = sets_b = shared
+    else:
+        sets_a = _sets(dshingle if dshingle_a is None else dshingle_a)
+        sets_b = _sets(dshingle if dshingle_b is None else dshingle_b)
+    sa = sets_a.select(F.col("doc_id").alias(a_name), F.col("sids").alias("sids_a"))
+    sb = sets_b.select(F.col("doc_id").alias(b_name), F.col("sids").alias("sids_b"))
     n_common = F.size(F.array_intersect(F.col("sids_a"), F.col("sids_b")))
     return (
         cands.join(F.broadcast(sa), a_name)
@@ -154,6 +168,7 @@ def _pair_overlap(cands, dshingle, a_name: str, b_name: str):
 
 @REG.query(
     "dedup_minhash_lsh",
+    prod_twin="dedup_minhash_xxhash",
     oracle=f"""
     WITH {SHINGLE_SQL_CTE},
     ks AS (SELECT UNNEST(RANGE(0, {MINHASH_K})) AS i),
@@ -395,7 +410,8 @@ def _emb_dup_oracle() -> str:
     """
 
 
-@REG.query("dedup_embedding_cosine", oracle=_emb_dup_oracle())
+@REG.query("dedup_embedding_cosine", oracle=_emb_dup_oracle(),
+           prod_twin="dedup_embedding_cosine_scaled")
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: each vector's nearest neighbor among
     vectors sharing its random-hyperplane LSH bucket, flagged as a
@@ -830,7 +846,14 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "corpus_doc_id",
         ordered=False,
     )
-    overlap = _pair_overlap(cands, dshingle, "new_doc_id", "corpus_doc_id")
+    overlap = _pair_overlap(
+        cands,
+        dshingle,
+        "new_doc_id",
+        "corpus_doc_id",
+        dshingle_a=dshingle.filter(F.col("doc_id") % 10 == 0),
+        dshingle_b=dshingle.filter(F.col("doc_id") % 10 != 0),
+    )
     n_union = F.col("sz_a") + F.col("sz_b") - F.col("n_common")
     return (
         overlap.select(
@@ -1034,19 +1057,23 @@ def dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant's scaling; see BASELINE.md scale tables).
 
     Same banding and verification as the oracle-checked twin; the
-    signature arithmetic folds the 64-bit hash to 30 bits so the
-    affine rehash stays in int64 under ANSI.  Correctness is pinned by
-    pytest against brute-force ground truth: every exact-duplicate
-    pair MUST appear (identical shingle sets → identical signatures
-    under any hash family) and every emitted pair is Jaccard-verified,
-    so precision is 1.0 by construction."""
+    signature arithmetic folds the 64-bit hash to 57 bits — the affine
+    multipliers are ≤ 33 < 2^6, so 33·2^57 + 87 still fits int64 under
+    ANSI, and a 2^57 id space keeps the birthday-collision probability
+    below 1e-4 even at a billion distinct shingles (a 2^30 fold would
+    hit 50% collision odds at only ~40k shingles).  Correctness is
+    pinned by pytest against brute-force ground truth: every
+    exact-duplicate pair MUST appear (identical shingle sets →
+    identical signatures under any hash family) and every emitted pair
+    is Jaccard-verified on the folded ids, so precision is 1.0 up to
+    57-bit hash collisions."""
     from firebase_realtime_database_backup_spark.operators.text import doc_shingles
 
     dshingle = (
         doc_shingles(spark, sf_dir)
         .select(
             "doc_id",
-            F.pmod(F.xxhash64("shingle"), F.lit(1 << 30)).alias("sid"),
+            F.pmod(F.xxhash64("shingle"), F.lit(1 << 57)).alias("sid"),
         )
         .distinct()
         .cache()

@@ -314,7 +314,8 @@ def multimodal_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              UNNEST(RANGE(0, 64)) AS i,
              UNICODE(SUBSTRING(text,
-               (UNNEST(RANGE(0, 64)) % OCTET_LENGTH(ENCODE(text))) + 1, 1)) AS v
+               (UNNEST(RANGE(0, 64))
+                % NULLIF(OCTET_LENGTH(ENCODE(text)), 0)) + 1, 1)) AS v
       FROM docs_ascii
     ),
     stats AS (

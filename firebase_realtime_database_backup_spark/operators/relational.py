@@ -1031,10 +1031,10 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_priority_lines",
     oracle="""
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -1274,10 +1274,14 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale path for percentiles over 100 TB (bounded memory,
     map-side mergeable, accuracy knob).  Sketch internals aren't
     SQL-reproducible → rows-only; agg_percentiles is the exact
-    oracle-checked twin."""
+    oracle-checked twin.  Output is three scalar quantile columns (not
+    an array) so the driver's pandas canonicalizer can sort the rows."""
     lineitem = read_table(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000)
     return lineitem.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000).alias("approx_q"),
+        F.element_at(q, 1).alias("approx_q25"),
+        F.element_at(q, 2).alias("approx_q50"),
+        F.element_at(q, 3).alias("approx_q75"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
     )
 
@@ -2141,6 +2145,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.query(
     "events_rfm_segments",
+    prod_twin="events_rfm_scaled",
     oracle=f"""
     WITH per_user AS (
       SELECT user_id,

@@ -179,6 +179,7 @@ def tree_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.query(
     "ingest_schema_inference",
+    prod_twin="ingest_schema_inference_sampled",
     oracle="""
     WITH long_form AS (
       SELECT 'l_quantity' AS column_name, CAST(l_quantity AS VARCHAR) AS s FROM lineitem
