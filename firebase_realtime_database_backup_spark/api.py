@@ -20,10 +20,10 @@ positional command dispatch (frdbackup:15-35), -p/-k required options
 (AbstractCommand.php:11), default backup name <project>-<ISO-8601> with
 filename sanitizing (BackupProcessor.php:23-24,227), and the
 destructive-restore confirmation guard (ImportCommand.php:33-44) as
---yes.  A real HTTP client is deliberately out of scope in this
-offline environment: pass any FirebaseClient implementation
-programmatically; the CLI wires FakeFirebase when given a JSON file
-(--tree-json), which also makes the full pipeline runnable in tests.
+--yes.  Live databases are reached through the real REST client
+(sources/http_client.py, stub-server-tested); --tree-json swaps in the
+offline FakeFirebase so the full pipeline also runs hermetically in
+tests and sandboxes.
 """
 
 from __future__ import annotations
@@ -163,18 +163,26 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _offline_client(tree_json: str | None):
-    import json
+def _make_client(args):
+    """--tree-json → offline FakeFirebase; otherwise the real HTTP REST
+    client against https://<project_id>.firebaseio.com with the -k
+    database secret (AbstractCommand.php:95-114)."""
+    if args.tree_json is not None:
+        import json
 
-    from firebase_realtime_database_backup_spark.sources.firebase import FakeFirebase
-
-    if tree_json is None:
-        raise SystemExit(
-            "no HTTP client available in this environment; pass --tree-json "
-            "or use the programmatic API with your own FirebaseClient"
+        from firebase_realtime_database_backup_spark.sources.firebase import (
+            FakeFirebase,
         )
-    with open(tree_json) as f:
-        return FakeFirebase(json.load(f))
+
+        with open(args.tree_json) as f:
+            return FakeFirebase(json.load(f))
+    from firebase_realtime_database_backup_spark.sources.http_client import (
+        HttpFirebase,
+    )
+
+    return HttpFirebase(
+        project_url(args.project_id), auth_token=args.project_key or None
+    )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -209,7 +217,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.command == "export":
         out = args.output_dir or default_backup_name(args.project_id)
-        client = _offline_client(args.tree_json)
+        client = _make_client(args)
         tree = do_backup(
             spark,
             client,
@@ -233,7 +241,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         from firebase_realtime_database_backup_spark.sources.firebase import extract
 
-        client = _offline_client(args.tree_json)
+        client = _make_client(args)
         tree = extract(spark, client)
         counts = incremental_backup(spark, tree, args.prev_dir, args.output_dir)
         print(
@@ -251,7 +259,7 @@ def main(argv: list[str] | None = None) -> int:
         if input().strip().lower() != "yes":
             print("aborted")
             return 1
-    client = _offline_client(args.tree_json)
+    client = _make_client(args)
     backup_dir = args.backup_dir
     if backup_dir.endswith((".tar.gz", ".tgz")):  # R1: archived backup
         import tempfile
