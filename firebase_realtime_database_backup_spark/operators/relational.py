@@ -107,6 +107,111 @@ def flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bucket count for the co-located fact⋈fact layout.  On a cluster this
+#: is sized to data volume (e.g. 4096 buckets for 100 TB of lineitem);
+#: locally 16 keeps files sane at every test SF.
+FLAGSHIP_BUCKETS = 16
+
+
+def ensure_bucketed_facts(spark: SparkSession, sf_dir: str):
+    """Idempotently materialize lineitem/orders bucketed+sorted by
+    orderkey into the session warehouse, one table pair per sf_dir.
+
+    This is the LAYOUT half of the bucketed-join answer to the measured
+    12.6× sort-merge-join dominance at 100× facts (BASELINE.md): both
+    fact tables are pre-shuffled ONCE into the same bucket scheme, and
+    every subsequent orderkey join reads co-located buckets with no
+    Exchange and no per-query sort — the amortization a daily 100 TB
+    pipeline lives on.  Returns (lineitem_df, orders_df) backed by the
+    bucketed tables."""
+    import os
+    import shutil
+
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    li_name, od_name = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
+
+    def build(name: str, table: str, key: str) -> None:
+        if spark.catalog.tableExists(name):
+            return
+        # an orphaned location can linger from a previous session (the
+        # in-memory catalog forgets the table, the warehouse dir does
+        # not); bucket metadata lives in the catalog, so the directory
+        # alone is untrusted — clear it and rebuild
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(wh.removeprefix("file:"), name.lower())
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
+        (
+            read_table(spark, sf_dir, table)
+            .write.bucketBy(FLAGSHIP_BUCKETS, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+
+    build(li_name, "lineitem", "l_orderkey")
+    build(od_name, "orders", "o_orderkey")
+    return spark.table(li_name), spark.table(od_name)
+
+
+@REG.query(
+    "flagship_revenue_bucketed",
+    oracle="""
+    SELECT r_name, l_returnflag,
+           CAST(ROUND(SUM(CAST(CAST(l_extendedprice * (1 - l_discount)
+                     AS VARCHAR) AS DECIMAL(38,22))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey  = o_orderkey
+    JOIN customer ON o_custkey   = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY r_name, l_returnflag
+    ORDER BY revenue DESC
+    """,
+)
+def flagship_revenue_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flagship_revenue over the bucketed-layout fact tables:
+    lineitem⋈orders runs Exchange-free on the co-located buckets
+    (asserted in tests/test_plans.py).  The orderkey shuffle — the
+    12.6×-at-100× bottleneck in the plain flagship (BASELINE.md scale
+    experiment #3) — is paid once at layout time in
+    ensure_bucketed_facts, not per query.
+
+    Revenue accumulates in DECIMAL, not double: the bucket layout
+    changes partial-aggregation order, and double summation is not
+    associative — the plain twin's last rounded digit flips under the
+    new order.  Per-row products stay IEEE (bit-identical on both
+    engines), each converts through its shortest decimal repr (Spark's
+    double→decimal cast; VARCHAR→DECIMAL in DuckDB, the oround trick),
+    and decimal addition is exact and order-independent — so the result
+    is layout-invariant, which a 100 TB pipeline needs anyway (rerun
+    with different partitioning must not change reported revenue)."""
+    lineitem_b, orders_b = ensure_bucketed_facts(spark, sf_dir)
+    lineitem = lineitem_b.filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    rev_term = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,22)"
+    )
+    return (
+        lineitem.join(orders_b, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "l_returnflag")
+        .agg(
+            F.round(F.sum(rev_term), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scan / filter / project
 # ---------------------------------------------------------------------------

@@ -460,6 +460,48 @@ def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REG.query("pipeline_prepare_corpus_scaled")  # rows-only: xxhash64 LSH isn't SQL-portable
+def pipeline_prepare_corpus_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION corpus-prep pipeline: the oracle-checked composition
+    (pipeline_prepare_corpus: normalize → score → filter → exact dedup
+    → split) extended with near-duplicate removal routed through the
+    SCALED twins — this is the entry point a 100 TB run uses:
+
+    - shingle near-dups via dedup_minhash_xxhash (dictionary-free
+      banded LSH; no global vocab state), dropping the larger doc_id of
+      each verified pair (keep-first greedy, same rule as the exact
+      dedup stage);
+    - embedding near-dups via dedup_embedding_cosine_scaled (plane
+      count derived from corpus size, so bucket occupancy — and the
+      quadratic in-bucket cost — stays flat as N grows), dropping a doc
+      whose nearest neighbor is a smaller-id dup.
+
+    The teaching twins (dedup_minhash_lsh, dedup_embedding_cosine) stay
+    registered as oracle-exact baselines; the registry marks them with
+    prod_twin so nothing routes production traffic through them.  The
+    removal sets anti-join against the kept corpus — two hash
+    semi-join-shaped exchanges on doc_id, nothing quadratic."""
+    from firebase_realtime_database_backup_spark.operators.dedup import (
+        dedup_embedding_cosine_scaled,
+        dedup_minhash_xxhash,
+    )
+
+    base = pipeline_prepare_corpus(spark, sf_dir)
+    near = (
+        dedup_minhash_xxhash(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    emb_dup = (
+        dedup_embedding_cosine_scaled(spark, sf_dir)
+        .filter(F.col("is_dup") & (F.col("nn_id") < F.col("vec_id")))
+        .select(F.col("vec_id").alias("doc_id"))
+        .distinct()
+    )
+    drop = near.unionByName(emb_dup).distinct()
+    return base.join(drop, "doc_id", "left_anti")
+
+
 STOPWORDS = ("the", "a", "of", "and", "to")
 
 

@@ -301,6 +301,126 @@ def ingest_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.query(
+    "ingest_schema_inference_sampled",
+    oracle="""
+    WITH sampled AS (
+      SELECT * FROM lineitem
+      WHERE CAST(((l_orderkey * 7 + l_linenumber) * 2654435761) % 2147483648
+                 AS BIGINT) % 100 < 10
+    ),
+    long_form AS (
+      SELECT 'l_quantity' AS column_name, CAST(l_quantity AS VARCHAR) AS s FROM sampled
+      UNION ALL
+      SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM sampled
+      UNION ALL
+      SELECT 'l_returnflag', CAST(l_returnflag AS VARCHAR) FROM sampled
+      UNION ALL
+      SELECT 'l_shipdate', CAST(l_shipdate AS VARCHAR) FROM sampled
+    ),
+    classed AS (
+      SELECT column_name,
+             CASE
+               WHEN s IS NULL THEN 'null'
+               WHEN REGEXP_MATCHES(s, '^\\d{4}-\\d{2}-\\d{2}([ T].*)?$') THEN 'timestamp'
+               WHEN REGEXP_MATCHES(s, '^-?\\d+$') THEN 'int'
+               WHEN REGEXP_MATCHES(s, '^-?\\d+\\.\\d+$') THEN 'float'
+               WHEN s IN ('true', 'false') THEN 'bool'
+               ELSE 'string'
+             END AS cls
+      FROM long_form
+    ),
+    counts AS (
+      SELECT column_name,
+             COUNT(*) AS n_sampled,
+             SUM(CASE WHEN cls = 'string' THEN 1 ELSE 0 END) AS n_string,
+             SUM(CASE WHEN cls = 'timestamp' THEN 1 ELSE 0 END) AS n_ts,
+             SUM(CASE WHEN cls = 'float' THEN 1 ELSE 0 END) AS n_float,
+             SUM(CASE WHEN cls = 'int' THEN 1 ELSE 0 END) AS n_int,
+             SUM(CASE WHEN cls = 'bool' THEN 1 ELSE 0 END) AS n_bool
+      FROM classed GROUP BY column_name
+    )
+    SELECT column_name, n_sampled,
+           CASE
+             WHEN n_string > 0 THEN 'string'
+             WHEN n_ts > 0 AND n_int + n_float + n_bool > 0 THEN 'string'
+             WHEN n_ts > 0 THEN 'timestamp'
+             WHEN n_float > 0 THEN 'double'
+             WHEN n_int > 0 THEN 'bigint'
+             WHEN n_bool > 0 THEN 'boolean'
+             ELSE 'null'
+           END AS inferred_type
+    FROM counts
+    """,
+)
+def ingest_schema_inference_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION form of ingest_schema_inference: a deterministic
+    Knuth-hash row sample (10%, keyed on the stable (l_orderkey,
+    l_linenumber) identity — the sample_deterministic pattern, so both
+    engines pick the SAME rows) runs BEFORE the unpivot, so the 4-regex
+    classification touches a constant fraction of the corpus instead of
+    every cell.  The full-scan twin measured 12x at 20x data
+    (BASELINE.md); the sample keeps inference cost proportional to the
+    sample rate while type promotion (a max-of-classes decision) is
+    insensitive to uniform sampling.  The sampling predicate sits
+    directly on the scan, before any projection, so Catalyst fuses
+    filter+stack+partial-agg into one stage — at 100 TB this reads
+    every row group but classifies 10%, and a parquet-bucketed layout
+    could push even the read down to a file subset."""
+    lineitem = read_table(spark, sf_dir, "lineitem").filter(
+        (
+            ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) * F.lit(2654435761))
+            % F.lit(2147483648)
+        ).cast("bigint")
+        % 100
+        < 10
+    )
+    cols = ("l_quantity", "l_linenumber", "l_returnflag", "l_shipdate")
+    stack_expr = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    long_form = lineitem.select(
+        F.expr(f"stack({len(cols)}, {stack_expr}) AS (column_name, s)")
+    )
+    cls = (
+        F.when(F.col("s").isNull(), "null")
+        .when(F.col("s").rlike(r"^\d{4}-\d{2}-\d{2}([ T].*)?$"), "timestamp")
+        .when(F.col("s").rlike(r"^-?\d+$"), "int")
+        .when(F.col("s").rlike(r"^-?\d+\.\d+$"), "float")
+        .when(F.col("s").isin("true", "false"), "bool")
+        .otherwise("string")
+    )
+    counts = (
+        long_form.select("column_name", cls.alias("cls"))
+        .groupBy("column_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            *[
+                F.sum((F.col("cls") == c).cast("bigint")).alias(f"n_{a}")
+                for c, a in (
+                    ("string", "string"),
+                    ("timestamp", "ts"),
+                    ("float", "float"),
+                    ("int", "int"),
+                    ("bool", "bool"),
+                )
+            ],
+        )
+    )
+    inferred = (
+        F.when(F.col("n_string") > 0, "string")
+        .when(
+            (F.col("n_ts") > 0)
+            & (F.col("n_int") + F.col("n_float") + F.col("n_bool") > 0),
+            "string",
+        )
+        .when(F.col("n_ts") > 0, "timestamp")
+        .when(F.col("n_float") > 0, "double")
+        .when(F.col("n_int") > 0, "bigint")
+        .when(F.col("n_bool") > 0, "boolean")
+        .otherwise("null")
+    )
+    return counts.select("column_name", "n_sampled", inferred.alias("inferred_type"))
+
+
+@REG.query(
     "tree_subtree_sizes",
     oracle="""
     WITH tree AS (

@@ -251,22 +251,29 @@ def test_range_clustered_layout_gives_disjoint_file_stats(spark, tmp_path):
 # scalar-subquery shape — a 1-row broadcast probe, cost O(rows)).
 # quality_audit_constraints cross-joins two ONE-ROW aggregate results
 # (per-table rule vectors) — same 1-row-broadcast shape as text_tfidf.
-BNL_ALLOWED = {
+BNL_DESIGNED = {
     "join_theta_bnl",
     "sim_cosine_topk",
     "sim_ivf_topk",
     "text_tfidf",
     "quality_audit_constraints",
-    # 1-row broadcast probes (scalar-subquery shape): the broadcast
-    # bloom bitmap, the min-language-count target, winsorize-style
-    # global bounds, and the skew report's totals row each cross-join
-    # a single aggregate row.
-    "join_bloom_prefilter",
-    "text_lang_rebalance",
-    "quality_skew_report",
-    "events_rfm_scaled",
-    "quality_drift_chi2",
 }
+# 1-row broadcast probes (scalar-subquery shape): the broadcast bloom
+# bitmap, the min-language-count target, winsorize-style global bounds,
+# and the skew report's totals row each cross-join a SINGLE aggregate
+# row.  Guarded below with the exact BNL count per plan, so the
+# allowlist can't silently absorb an extra, unintended cross join added
+# later.  quality_drift_chi2 carries two by design: building the 1-row
+# (t_old, t_new) totals row is itself a 1-row x 1-row cross join, then
+# that row attaches to the bucket histogram.
+BNL_ONE_ROW_PROBES = {
+    "join_bloom_prefilter": 1,
+    "text_lang_rebalance": 1,
+    "quality_skew_report": 1,
+    "events_rfm_scaled": 1,
+    "quality_drift_chi2": 2,
+}
+BNL_ALLOWED = BNL_DESIGNED | set(BNL_ONE_ROW_PROBES)
 
 
 def test_registry_wide_plan_lint(spark, queries):
@@ -284,6 +291,13 @@ def test_registry_wide_plan_lint(spark, queries):
             flags.append("cartesian")
         if "BroadcastNestedLoopJoin" in plan and name not in BNL_ALLOWED:
             flags.append("bnl")
+        if name in BNL_ONE_ROW_PROBES and (
+            plan.count("BroadcastNestedLoopJoin") > BNL_ONE_ROW_PROBES[name]
+        ):
+            flags.append(
+                f"probe allowlist widened: "
+                f">{BNL_ONE_ROW_PROBES[name]} BNL in plan"
+            )
         # duplicate/empty column names silently break the driver's
         # column-sorted value-hash compare
         cols = df.columns
@@ -424,3 +438,53 @@ def test_minhash_xxhash_variant_correctness(spark, queries):
     assert exact_dups <= found, "xxhash variant missed an exact-duplicate pair"
     assert found <= truth, "xxhash variant emitted a below-threshold pair"
     assert len(truth & found) / len(truth) >= 0.4
+
+
+def test_flagship_bucketed_orderkey_join_has_no_exchange(spark, queries):
+    """The bucketed-layout flagship variant: lineitem⋈orders over the
+    co-located bucket tables must plan WITHOUT an Exchange on the
+    orderkey join (the 12.6×-at-100× bottleneck in the plain flagship,
+    BASELINE.md scale experiment #3), and the full query must return
+    exactly the plain flagship's rows."""
+    from firebase_realtime_database_backup_spark.operators.relational import (
+        ensure_bucketed_facts,
+    )
+
+    li, od = ensure_bucketed_facts(spark, SF)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        bucketed = queries["flagship_revenue_bucketed"](spark, SF).collect()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024)
+        )
+    plain = queries["flagship_revenue"](spark, SF).collect()
+    # order-insensitive; revenue within one cent — the bucketed twin
+    # accumulates in exact DECIMAL, the plain twin in order-dependent
+    # double, so the last rounded digit may differ by 0.01
+    key = lambda r: (r["r_name"], r["l_returnflag"])  # noqa: E731
+    b = {key(r): r for r in bucketed}
+    p = {key(r): r for r in plain}
+    assert b.keys() == p.keys()
+    for k in b:
+        assert b[k]["n_items"] == p[k]["n_items"], k
+        assert abs(b[k]["revenue"] - p[k]["revenue"]) <= 0.011, k
+
+
+def test_pipeline_scaled_routes_production_ops(spark, queries):
+    """The production corpus-prep entry point must compose the SCALED
+    near-dup twins: the plan carries xxhash64 (dictionary-free MinHash —
+    no global vocab rank window) and the removal stages anti-join on
+    doc_id.  Output is a subset of the oracle-checked base pipeline."""
+    df = queries["pipeline_prepare_corpus_scaled"](spark, SF)
+    plan = _plan(spark, df, mode="formatted")
+    assert "xxhash64" in plan
+    base_ids = {
+        r["doc_id"] for r in queries["pipeline_prepare_corpus"](spark, SF).collect()
+    }
+    kept_ids = {r["doc_id"] for r in df.collect()}
+    assert kept_ids <= base_ids
+    assert kept_ids  # near-dup removal must not wipe the corpus

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from firebase_realtime_database_backup_spark.catalog import read_table
 from firebase_realtime_database_backup_spark.streaming.windows import (
+    dedup_events,
     run_stream_to_memory,
     session_counts,
     sliding_counts,
@@ -258,3 +259,122 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     run_once()
     rows = [r["id"] for r in spark.read.parquet(sink).collect()]
     assert len(rows) == 150 and len(set(rows)) == 150  # no duplicates, no loss
+
+
+def test_session_window_ooo_late_stress(spark, tmp_path):
+    """Out-of-order-heavy session windows under watermark: events arrive
+    shuffled within batches, a closed session must not reopen for a
+    too-late event, and on-time out-of-order events must still merge
+    into one session (gap 10 min, watermark 10 min, append mode)."""
+    import datetime as dt
+
+    d = str(tmp_path / "ooo_events")
+    os.makedirs(d)
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    ms = lambda h, m: int(t(h, m).replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+
+    agg = session_counts(
+        with_watermark(spark.readStream.schema(schema).parquet(d), "10 minutes"),
+        gap="10 minutes",
+    )
+    # batch 1, shuffled order: session A = user1 {10:05, 10:00}; the
+    # 10:40 driver event advances the watermark to 10:30 > A's end 10:15
+    write_file(
+        [(1, t(10, 5), 1, "c", 1.0, "{}"), (2, t(10, 0), 1, "c", 1.0, "{}"),
+         (3, t(10, 40), 9, "c", 1.0, "{}")]
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ooo_sessions")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a too-late user1 event (10:02 < watermark 10:30) MUST
+        # be dropped; out-of-order on-time events {10:50, 10:45, 10:52}
+        # must merge into ONE session B; user2 opens its own; the 11:20
+        # driver event pushes the watermark to 11:10, past B's end 11:02
+        write_file(
+            [(4, t(10, 2), 1, "late", 1.0, "{}"),
+             (5, t(10, 50), 1, "c", 1.0, "{}"),
+             (6, t(10, 45), 1, "c", 1.0, "{}"),
+             (7, t(10, 52), 1, "c", 1.0, "{}"),
+             (8, t(10, 48), 2, "c", 1.0, "{}"),
+             (9, t(11, 20), 9, "c", 1.0, "{}")]
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {
+        (r.user_id, r.session_start_ms): r.n_events
+        for r in spark.table("ooo_sessions").collect()
+    }
+    assert rows[(1, ms(10, 0))] == 2, rows     # late 10:02 never joined A
+    assert rows[(1, ms(10, 45))] == 3, rows    # ooo on-time merged into B
+    assert rows[(2, ms(10, 48))] == 1, rows
+    assert rows[(9, ms(10, 40))] == 1, rows
+    # the too-late event must not have opened its own session either
+    assert (1, ms(10, 2)) not in rows, rows
+    assert len([k for k in rows if k[0] == 1]) == 2, rows
+
+
+def test_dedup_watermark_evicts_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must EVICT expired ids: three
+    batches of 100 fresh ids each, event time advancing 1 h/batch with a
+    10-minute watermark — the state store must end holding ~one batch of
+    ids, not all 300 (the bound that keeps an unbounded stream from
+    accumulating unbounded dedup state)."""
+    import datetime as dt
+
+    d = str(tmp_path / "evict_events")
+    os.makedirs(d)
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+
+    def write_batch(base_id, hour):
+        rows = [
+            (base_id + i, dt.datetime(2024, 1, 1, hour, i % 60), 1, "c", 1.0, "{}")
+            for i in range(100)
+        ]
+        # in-batch duplicates: every id appears twice
+        spark.createDataFrame(rows + rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    deduped = dedup_events(
+        spark.readStream.schema(schema).parquet(d), "10 minutes"
+    ).select("event_id")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("evict_test")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    state_rows = []
+    try:
+        for batch, hour in ((0, 10), (1, 11), (2, 12)):
+            write_batch(batch * 1000, hour)
+            q.processAllAvailable()
+            prog = q.lastProgress
+            ops = prog["stateOperators"] if prog else []
+            if ops:
+                state_rows.append(ops[0]["numRowsTotal"])
+    finally:
+        q.stop()
+
+    got = sorted(r.event_id for r in spark.table("evict_test").collect())
+    assert len(got) == 300 and len(set(got)) == 300  # dups suppressed
+    # eviction: final state must be ~one batch (100 ids + slack), far
+    # below the 300 ids ever seen
+    assert state_rows, "no state operator progress reported"
+    assert state_rows[-1] <= 150, state_rows
