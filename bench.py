@@ -90,6 +90,8 @@ HEADLINE = [
     "agg_countmin_sketch",
     "join_bloom_prefilter",
     "join_asof_forward",
+    "join_shuffle_hash_hint",
+    "agg_string_agg",
     "ingest_schema_inference",
     "ingest_schema_inference_sampled",
     "dedup_containment",
@@ -133,6 +135,10 @@ HEADLINE = [
     "dedup_cross_corpus",
     "multimodal_media_features",
     "multimodal_frame_explode",
+    "multimodal_frame_energy",
+    "sim_dim_stats",
+    "text_source_blocklist",
+    "pipeline_prepare_corpus_scaled",
     "multimodal_resize_pool",
     "multimodal_phash_dedup",
     # pandas-UDF escape hatches

@@ -246,6 +246,53 @@ def multimodal_frame_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(frames, schema)
 
 
+@REG.query(
+    "multimodal_frame_energy",
+    oracle=f"""
+    WITH {ASCII_DOCS_CTE}
+    SELECT doc_id,
+           CAST((p - 1) // {FRAME_BYTES} AS BIGINT) AS frame_no,
+           CAST(SUM(UNICODE(SUBSTRING(text, p + o, 1))
+                    * UNICODE(SUBSTRING(text, p + o, 1))) AS BIGINT) AS energy,
+           CAST(MAX(UNICODE(SUBSTRING(text, p + o, 1))) AS BIGINT)   AS peak
+    FROM docs_ascii,
+         UNNEST(RANGE(1, OCTET_LENGTH(ENCODE(text)) + 1, {FRAME_BYTES})) AS r(p),
+         UNNEST(RANGE(0, LEAST({FRAME_BYTES},
+                OCTET_LENGTH(ENCODE(text)) - p + 1))) AS s(o)
+    GROUP BY doc_id, (p - 1) // {FRAME_BYTES}
+    """,
+)
+def multimodal_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style per-frame energy: sum-of-squares and peak amplitude
+    over fixed-width sample frames — the feature a silence/clipping
+    detector computes over PCM audio before corpus filtering, run here
+    on the byte payload (integer arithmetic keeps the oracle exact; a
+    real PCM decoder slots in behind decode_image's stub pattern).
+    Vectorized numpy kernel in mapInPandas, zero shuffle: every frame
+    row is derived within the scan partition that holds its blob."""
+    import numpy as np
+
+    payloads = ascii_payloads(spark, sf_dir)
+    schema = "doc_id bigint, frame_no bigint, energy bigint, peak bigint"
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, es, ps = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                for fno in range(0, (len(buf) + FRAME_BYTES - 1) // FRAME_BYTES):
+                    fr = buf[fno * FRAME_BYTES : (fno + 1) * FRAME_BYTES]
+                    ids.append(int(doc_id))
+                    nos.append(fno)
+                    es.append(int((fr * fr).sum()))
+                    ps.append(int(fr.max()))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": nos, "energy": es, "peak": ps}
+            )
+
+    return payloads.mapInPandas(energy, schema)
+
+
 POOL = 2  # 2x2 average pooling: 8x8 raster -> 4x4
 
 

@@ -608,3 +608,52 @@ def sim_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("q_id", "c_id", "cosine", "rk")
     )
+
+
+@REG.query(
+    "sim_dim_stats",
+    oracle="""
+    SELECT dim,
+           COUNT(*) AS n_vecs,
+           CAST(ROUND(SUM(CAST(CAST(CAST(v AS DOUBLE) AS VARCHAR)
+                              AS DECIMAL(38,25))), 6) AS DOUBLE) AS sum_v,
+           CAST(ROUND(SUM(CAST(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                              AS VARCHAR) AS DECIMAL(38,25))), 6) AS DOUBLE)
+             AS sum_sq,
+           CAST(MIN(CAST(v AS DOUBLE)) AS DOUBLE) AS min_v,
+           CAST(MAX(CAST(v AS DOUBLE)) AS DOUBLE) AS max_v
+    FROM (
+      SELECT UNNEST(GENERATE_SERIES(0, LEN(embedding) - 1)) AS dim,
+             UNNEST(embedding) AS v
+      FROM embeddings
+    )
+    GROUP BY dim
+    """,
+)
+def sim_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (the monitoring op that
+    catches dead/collapsed/exploding dimensions before they poison ANN
+    recall): posexplode to (dim, value) grain — one (dim)-key shuffle
+    whose reduce side is |dims| rows regardless of corpus size — then
+    n/sum/sum-of-squares/min/max per dimension.  Mean and variance
+    derive from (sum, sum_sq, n) downstream.
+
+    Sums accumulate in exact DECIMAL (per-element double value via its
+    shortest decimal repr, the flagship_revenue_bucketed technique) so
+    the result is partitioning-order-invariant and matches DuckDB
+    digit-for-digit — a float SUM here would flip last digits with
+    every repartition."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    dec = lambda c: c.cast("decimal(38,25)")  # noqa: E731
+    return exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum(dec(F.col("v"))), 6).cast("double").alias("sum_v"),
+        F.round(F.sum(dec(F.col("v") * F.col("v"))), 6).cast("double").alias(
+            "sum_sq"
+        ),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )

@@ -1126,3 +1126,39 @@ def text_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("target").alias("target_count"),
         )
     )
+
+
+#: Static stand-in for a curated domain/source blocklist (in production
+#: a broadcast table refreshed from the governance system).
+SOURCE_BLOCKLIST = ("src3", "src7", "src13")
+
+
+@REG.query(
+    "text_source_blocklist",
+    oracle="""
+    SELECT d.doc_id, d.source,
+           d.source IN ('src3', 'src7', 'src13') AS blocked,
+           CAST(LENGTH(d.text) AS BIGINT) AS n_chars
+    FROM documents d
+    WHERE d.doc_id % 3 = 0
+    """,
+)
+def text_source_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/domain blocklist filtering — the first gate of every web
+    corpus pipeline (spam domains, paywalled mirrors, opted-out sites).
+    The blocklist joins as a BROADCAST in-set test so the corpus scan
+    stays map-only: no shuffle, no corpus-side state, and the flag
+    column (rather than a hard filter) preserves the audit trail a
+    governance review needs.  At 100 TB the literal list becomes a
+    broadcast table + left-semi probe; the plan shape is identical.
+    The doc_id % 3 slice keeps the oracle row set small while covering
+    every source."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.col("source").isin(*SOURCE_BLOCKLIST).alias("blocked"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )

@@ -488,3 +488,11 @@ def test_pipeline_scaled_routes_production_ops(spark, queries):
     kept_ids = {r["doc_id"] for r in df.collect()}
     assert kept_ids <= base_ids
     assert kept_ids  # near-dup removal must not wipe the corpus
+
+
+def test_shuffle_hash_hint_plans_shj(spark, queries):
+    """The SHUFFLE_HASH hint must actually produce a ShuffledHashJoin —
+    losing the hint silently reverts to sort-merge and re-adds two sort
+    passes on the 100 TB side."""
+    plan = _plan(spark, queries["join_shuffle_hash_hint"](spark, SF), mode="simple")
+    assert "ShuffledHashJoin" in plan, plan
