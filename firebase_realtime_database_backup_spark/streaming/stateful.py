@@ -74,6 +74,60 @@ def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Same accumulator on Spark 4's transformWithStateInPandas — the
+    successor API to applyInPandasWithState: named state variables on a
+    processor handle (ValueState here; ListState/MapState/timers
+    available), native TTL support, and schema evolution of state.
+    Runs only on the RocksDB state store provider (set
+    spark.sql.streaming.stateStore.providerClass accordingly) and
+    requires the `protobuf` package (the processor talks to the JVM
+    state server over a protobuf protocol).  protobuf is not installed
+    in this offline container, so the parity test self-skips here and
+    runs wherever protobuf is present; applyInPandasWithState
+    (stateful_user_totals_stream) is the fully-tested production path
+    in this environment."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator[pd.DataFrame], timer_values: Any
+        ) -> Iterator[pd.DataFrame]:
+            n, total, last_ms = (
+                self._totals.get() if self._totals.exists() else (0, 0.0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                batch_last = int(pdf["ts"].astype("int64").max() // 1_000_000)
+                last_ms = max(last_ms, batch_last)
+            self._totals.update((n, total, last_ms))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "last_ts_ms": [last_ms],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotalsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 @REG.query(
     "stream_stateful_user_totals",
     oracle=f"""

@@ -208,3 +208,32 @@ def test_http_scalar_and_missing_paths(stub_server):
     assert client.get("/nope/nothing") is None
     shallow = client.get("/users", shallow=True)
     assert set(shallow) == set(TREE["users"]) and all(shallow.values())
+
+
+def test_http_extract_distributed(spark, stub_server):
+    """Cluster-scale export through HTTP: extract_distributed ships
+    subtree roots to executors, each task builds its own HttpFirebase
+    from the picklable factory and pages its subtree over REST."""
+    from firebase_realtime_database_backup_spark.sources.firebase import (
+        extract_distributed,
+    )
+
+    client, _ = stub_server(FakeFirebase(TREE))
+    base_url, token = client.base_url, client.auth_token
+    from firebase_realtime_database_backup_spark.sources.http_client import (
+        HttpFirebase,
+    )
+
+    df = extract_distributed(
+        spark,
+        lambda: HttpFirebase(base_url, auth_token=token),
+        ["/users", "/config"],
+        max_ipp=8,
+    )
+    rows = sorted(tuple(r) for r in df.collect())
+    direct = sorted(
+        list(FirebaseExtractor(FakeFirebase(TREE), max_ipp=8).iter_rows("/users"))
+        + list(FirebaseExtractor(FakeFirebase(TREE), max_ipp=8).iter_rows("/config"))
+    )
+    assert rows == direct
+    assert len(rows) >= 40  # users paged at ipp=8 into leaf-grained rows

@@ -92,3 +92,72 @@ def test_stateful_stream_is_incremental(spark, events_dir):
         .collect()[0][0]
     )
     assert counts >= 2
+
+
+def test_transform_with_state_matches_batch(spark, events_dir):
+    """Spark 4 transformWithStateInPandas parity: the ValueState
+    processor's final per-key state equals the batch aggregation,
+    across multiple micro-batches, on the RocksDB state store.
+
+    Self-skips where `protobuf` is unavailable (offline container):
+    the TWS processor API speaks protobuf to the JVM state server."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf for its state protocol",
+    )
+    from firebase_realtime_database_backup_spark.streaming.stateful import (
+        stateful_user_totals_tws,
+    )
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.unix_millis(F.max("ts")).alias("last_ts_ms"),
+        )
+    )
+    expected = {r.user_id: r for r in batch.collect()}
+
+    old_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        ).option("maxFilesPerTrigger", 1).parquet(events_dir)
+        q = (
+            stateful_user_totals_tws(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_totals")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if old_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old_provider
+            )
+
+    final = {}
+    for r in spark.table("tws_totals").collect():
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events > cur.n_events:
+            final[r.user_id] = r
+
+    assert set(final) == set(expected)
+    for uid, exp in expected.items():
+        got = final[uid]
+        assert got.n_events == exp.n_events, uid
+        assert got.total_value == pytest.approx(exp.total_value, rel=1e-12), uid
+        assert got.last_ts_ms == exp.last_ts_ms, uid
