@@ -378,3 +378,61 @@ def test_dedup_watermark_evicts_state(spark, tmp_path):
     # below the 300 ids ever seen
     assert state_rows, "no state operator progress reported"
     assert state_rows[-1] <= 150, state_rows
+
+
+def test_dedup_state_survives_restart(spark, tmp_path):
+    """Checkpointed state must survive a query RESTART: stop the stream,
+    append a batch containing duplicates of already-seen ids, restart
+    from the same checkpointLocation — the recovered dedup state has to
+    suppress them (a fresh query would re-emit every id).  This is the
+    recovery property a production pipeline leans on for exactly-once
+    sinks."""
+    import datetime as dt
+
+    src = str(tmp_path / "restart_src")
+    out = str(tmp_path / "restart_out")
+    ckpt = str(tmp_path / "restart_ckpt")
+    os.makedirs(src)
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+
+    def write_ids(ids, minute):
+        rows = [
+            (i, dt.datetime(2024, 1, 1, 10, minute), 1, "c", 1.0, "{}")
+            for i in ids
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def start_query():
+        stream = dedup_events(
+            spark.readStream.schema(schema).parquet(src), "10 minutes"
+        ).select("event_id")
+        return (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+
+    write_ids(range(0, 50), minute=0)
+    q = start_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # duplicates of 0-49 (same watermark window) + fresh 50-99
+    write_ids(list(range(0, 50)) + list(range(50, 100)), minute=5)
+    q = start_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == list(range(100)), (
+        f"expected each id exactly once across restart, got {len(got)} rows"
+    )
