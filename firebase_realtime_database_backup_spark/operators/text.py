@@ -476,25 +476,39 @@ def pipeline_prepare_corpus_scaled(spark: SparkSession, sf_dir: str) -> DataFram
       quadratic in-bucket cost — stays flat as N grows), dropping a doc
       whose nearest neighbor is a smaller-id dup.
 
+    A drop only fires when the pair's KEEPER side survives the quality
+    gates (left-semi probe against the kept corpus): the near-dup pair
+    table is computed over the RAW corpus, and unconditionally dropping
+    doc_b would delete EVERY copy of a text whose smaller-id duplicate
+    was itself quality-filtered out (e.g. a truncated copy below the
+    token floor) — content loss, not dedup.
+
     The teaching twins (dedup_minhash_lsh, dedup_embedding_cosine) stay
     registered as oracle-exact baselines; the registry marks them with
     prod_twin so nothing routes production traffic through them.  The
-    removal sets anti-join against the kept corpus — two hash
-    semi-join-shaped exchanges on doc_id, nothing quadratic."""
+    removal sets anti-join against the kept corpus — hash semi-join
+    shaped exchanges on doc_id, nothing quadratic."""
     from firebase_realtime_database_backup_spark.operators.dedup import (
         dedup_embedding_cosine_scaled,
         dedup_minhash_xxhash,
     )
 
     base = pipeline_prepare_corpus(spark, sf_dir)
+    base_ids = base.select("doc_id")
     near = (
         dedup_minhash_xxhash(spark, sf_dir)
+        .join(
+            base_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+        )
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
     emb_dup = (
         dedup_embedding_cosine_scaled(spark, sf_dir)
         .filter(F.col("is_dup") & (F.col("nn_id") < F.col("vec_id")))
+        .join(
+            base_ids.withColumnRenamed("doc_id", "nn_id"), "nn_id", "left_semi"
+        )
         .select(F.col("vec_id").alias("doc_id"))
         .distinct()
     )

@@ -51,11 +51,29 @@ class HttpFirebase:
 
     # -- wire helpers -----------------------------------------------------
     def _url(self, path: str, params: dict[str, str]) -> str:
-        path = "/" + path.strip("/")  # root -> "/.json", Firebase style
+        # percent-encode each segment: RTDB keys may legally contain
+        # spaces, '?', '%', '&', or non-ASCII (only . $ # [ ] / are
+        # forbidden) — raw interpolation would let a key like 'a?b'
+        # truncate the path into the query string and silently fetch
+        # the wrong node
+        segs = [
+            urllib.parse.quote(s, safe="")
+            for s in path.strip("/").split("/")
+            if s
+        ]
+        path = "/" + "/".join(segs)  # root -> "/.json", Firebase style
         if self.auth_token:
             params = {**params, "auth": self.auth_token}
         qs = f"?{urllib.parse.urlencode(params)}" if params else ""
         return f"{self.base_url}{path}.json{qs}"
+
+    def _redact(self, url: str) -> str:
+        """Strip the auth secret from URLs quoted in error messages."""
+        if not self.auth_token:
+            return url
+        return url.replace(
+            f"auth={urllib.parse.quote_plus(self.auth_token)}", "auth=REDACTED"
+        )
 
     def _request(self, url: str, *, method: str = "GET",
                  body: bytes | None = None) -> Any:
@@ -71,11 +89,11 @@ class HttpFirebase:
                 raise PayloadTooLarge(_PAYLOAD_ERROR) from exc
             detail = exc.read().decode("utf-8", "replace")[:200]
             raise FirebaseTransportError(
-                f"HTTP {exc.code} for {method} {url}: {detail}"
+                f"HTTP {exc.code} for {method} {self._redact(url)}: {detail}"
             ) from exc
         except (urllib.error.URLError, OSError, TimeoutError) as exc:
             raise FirebaseTransportError(
-                f"transport failure for {method} {url}: {exc}"
+                f"transport failure for {method} {self._redact(url)}: {exc}"
             ) from exc
         data = json.loads(raw) if raw else None
         # the reference string-matches this error in a 200 body

@@ -177,44 +177,34 @@ def tree_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REG.query(
-    "ingest_schema_inference",
-    prod_twin="ingest_schema_inference_sampled",
-    oracle="""
-    WITH long_form AS (
-      SELECT 'l_quantity' AS column_name, CAST(l_quantity AS VARCHAR) AS s FROM lineitem
-      UNION ALL
-      SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem
-      UNION ALL
-      SELECT 'l_returnflag', CAST(l_returnflag AS VARCHAR) FROM lineitem
-      UNION ALL
-      SELECT 'l_shipdate', CAST(l_shipdate AS VARCHAR) FROM lineitem
-    ),
-    classed AS (
-      SELECT column_name,
-             CASE
+# --- shared schema-inference machinery (full-scan + sampled twins) -------
+
+#: Columns sniffed by both schema-inference twins.
+_INFER_COLS = ("l_quantity", "l_linenumber", "l_returnflag", "l_shipdate")
+
+#: Class ladder (regex type sniff) and promotion rules exist ONCE per
+#: engine and are shared by both twins — the prod_twin contract says
+#: the sampled and full forms must classify identically on the same
+#: rows, which duplicated CASE blocks would silently break on edit.
+_CLASSES = (
+    ("int", "int"),
+    ("float", "float"),
+    ("bool", "bool"),
+    ("timestamp", "ts"),
+    ("string", "string"),
+    ("null", "null"),
+)
+
+_CLASS_SQL = """CASE
                WHEN s IS NULL THEN 'null'
                WHEN REGEXP_MATCHES(s, '^\\d{4}-\\d{2}-\\d{2}([ T].*)?$') THEN 'timestamp'
                WHEN REGEXP_MATCHES(s, '^-?\\d+$') THEN 'int'
                WHEN REGEXP_MATCHES(s, '^-?\\d+\\.\\d+$') THEN 'float'
                WHEN s IN ('true', 'false') THEN 'bool'
                ELSE 'string'
-             END AS cls
-      FROM long_form
-    ),
-    counts AS (
-      SELECT column_name,
-             COUNT(*) AS n_values,
-             SUM(CASE WHEN cls = 'int' THEN 1 ELSE 0 END) AS n_int,
-             SUM(CASE WHEN cls = 'float' THEN 1 ELSE 0 END) AS n_float,
-             SUM(CASE WHEN cls = 'bool' THEN 1 ELSE 0 END) AS n_bool,
-             SUM(CASE WHEN cls = 'timestamp' THEN 1 ELSE 0 END) AS n_ts,
-             SUM(CASE WHEN cls = 'string' THEN 1 ELSE 0 END) AS n_string,
-             SUM(CASE WHEN cls = 'null' THEN 1 ELSE 0 END) AS n_null
-      FROM classed GROUP BY column_name
-    )
-    SELECT column_name, n_values, n_int, n_float, n_bool, n_ts, n_string, n_null,
-           CASE
+             END"""
+
+_PROMOTE_SQL = """CASE
              WHEN n_string > 0 THEN 'string'
              WHEN n_ts > 0 AND n_int + n_float + n_bool > 0 THEN 'string'
              WHEN n_ts > 0 THEN 'timestamp'
@@ -222,7 +212,85 @@ def tree_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN n_int > 0 THEN 'bigint'
              WHEN n_bool > 0 THEN 'boolean'
              ELSE 'null'
-           END AS inferred_type
+           END"""
+
+
+def _long_form_sql(src_rel: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS s FROM {src_rel}"
+        for c in _INFER_COLS
+    )
+
+
+def _counts_sql(count_alias: str) -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN cls = '{c}' THEN 1 ELSE 0 END) AS n_{a}"
+        for c, a in _CLASSES
+    )
+    return (
+        f"SELECT column_name, COUNT(*) AS {count_alias}, {sums} "
+        "FROM classed GROUP BY column_name"
+    )
+
+
+def _classify_col():
+    return (
+        F.when(F.col("s").isNull(), "null")
+        .when(F.col("s").rlike(r"^\d{4}-\d{2}-\d{2}([ T].*)?$"), "timestamp")
+        .when(F.col("s").rlike(r"^-?\d+$"), "int")
+        .when(F.col("s").rlike(r"^-?\d+\.\d+$"), "float")
+        .when(F.col("s").isin("true", "false"), "bool")
+        .otherwise("string")
+    )
+
+
+def _promote_col():
+    return (
+        F.when(F.col("n_string") > 0, "string")
+        .when(
+            (F.col("n_ts") > 0)
+            & (F.col("n_int") + F.col("n_float") + F.col("n_bool") > 0),
+            "string",
+        )
+        .when(F.col("n_ts") > 0, "timestamp")
+        .when(F.col("n_float") > 0, "double")
+        .when(F.col("n_int") > 0, "bigint")
+        .when(F.col("n_bool") > 0, "boolean")
+        .otherwise("null")
+    )
+
+
+def _class_counts(rows: DataFrame, count_alias: str) -> DataFrame:
+    """stack() unpivot of _INFER_COLS inside the scan stage, classify,
+    and reduce to per-column class counts — shared by both twins."""
+    stack_expr = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in _INFER_COLS)
+    long_form = rows.select(
+        F.expr(f"stack({len(_INFER_COLS)}, {stack_expr}) AS (column_name, s)")
+    )
+    return (
+        long_form.select("column_name", _classify_col().alias("cls"))
+        .groupBy("column_name")
+        .agg(
+            F.count(F.lit(1)).alias(count_alias),
+            *[
+                F.sum((F.col("cls") == c).cast("bigint")).alias(f"n_{a}")
+                for c, a in _CLASSES
+            ],
+        )
+    )
+
+
+@REG.query(
+    "ingest_schema_inference",
+    prod_twin="ingest_schema_inference_sampled",
+    oracle=f"""
+    WITH long_form AS ({_long_form_sql("lineitem")}),
+    classed AS (
+      SELECT column_name, {_CLASS_SQL} AS cls FROM long_form
+    ),
+    counts AS ({_counts_sql("n_values")})
+    SELECT column_name, n_values, n_int, n_float, n_bool, n_ts, n_string, n_null,
+           {_PROMOTE_SQL} AS inferred_type
     FROM counts
     """,
 )
@@ -239,54 +307,10 @@ def ingest_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     One scan: the four columns unpivot via stack() into (column, value)
     rows inside the scan stage (map-only, like the profiling op), the
     class counts partial-aggregate to |columns| rows, and the promotion
-    CASE runs on the aggregate.  At 100 TB you'd sample
-    (TABLESAMPLE / mod-hash filter) before the unpivot; exact counts
-    keep the oracle meaningful here."""
-    lineitem = read_table(spark, sf_dir, "lineitem")
-    cols = ("l_quantity", "l_linenumber", "l_returnflag", "l_shipdate")
-    stack_expr = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
-    long_form = lineitem.select(
-        F.expr(f"stack({len(cols)}, {stack_expr}) AS (column_name, s)")
-    )
-    cls = (
-        F.when(F.col("s").isNull(), "null")
-        .when(F.col("s").rlike(r"^\d{4}-\d{2}-\d{2}([ T].*)?$"), "timestamp")
-        .when(F.col("s").rlike(r"^-?\d+$"), "int")
-        .when(F.col("s").rlike(r"^-?\d+\.\d+$"), "float")
-        .when(F.col("s").isin("true", "false"), "bool")
-        .otherwise("string")
-    )
-    counts = (
-        long_form.select("column_name", cls.alias("cls"))
-        .groupBy("column_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_values"),
-            *[
-                F.sum((F.col("cls") == c).cast("bigint")).alias(f"n_{a}")
-                for c, a in (
-                    ("int", "int"),
-                    ("float", "float"),
-                    ("bool", "bool"),
-                    ("timestamp", "ts"),
-                    ("string", "string"),
-                    ("null", "null"),
-                )
-            ],
-        )
-    )
-    inferred = (
-        F.when(F.col("n_string") > 0, "string")
-        .when(
-            (F.col("n_ts") > 0)
-            & (F.col("n_int") + F.col("n_float") + F.col("n_bool") > 0),
-            "string",
-        )
-        .when(F.col("n_ts") > 0, "timestamp")
-        .when(F.col("n_float") > 0, "double")
-        .when(F.col("n_int") > 0, "bigint")
-        .when(F.col("n_bool") > 0, "boolean")
-        .otherwise("null")
-    )
+    CASE runs on the aggregate.  At 100 TB you sample first —
+    ingest_schema_inference_sampled is that production twin; exact
+    counts keep this full-scan oracle meaningful here."""
+    counts = _class_counts(read_table(spark, sf_dir, "lineitem"), "n_values")
     return counts.select(
         "column_name",
         "n_values",
@@ -296,59 +320,24 @@ def ingest_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ts",
         "n_string",
         "n_null",
-        inferred.alias("inferred_type"),
+        _promote_col().alias("inferred_type"),
     )
 
 
 @REG.query(
     "ingest_schema_inference_sampled",
-    oracle="""
+    oracle=f"""
     WITH sampled AS (
       SELECT * FROM lineitem
-      WHERE CAST(((l_orderkey * 7 + l_linenumber) * 2654435761) % 2147483648
-                 AS BIGINT) % 100 < 10
+      WHERE CAST((((l_orderkey * 7 + l_linenumber) % 2147483648)
+                  * 2654435761) % 2147483648 AS BIGINT) % 100 < 10
     ),
-    long_form AS (
-      SELECT 'l_quantity' AS column_name, CAST(l_quantity AS VARCHAR) AS s FROM sampled
-      UNION ALL
-      SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM sampled
-      UNION ALL
-      SELECT 'l_returnflag', CAST(l_returnflag AS VARCHAR) FROM sampled
-      UNION ALL
-      SELECT 'l_shipdate', CAST(l_shipdate AS VARCHAR) FROM sampled
-    ),
+    long_form AS ({_long_form_sql("sampled")}),
     classed AS (
-      SELECT column_name,
-             CASE
-               WHEN s IS NULL THEN 'null'
-               WHEN REGEXP_MATCHES(s, '^\\d{4}-\\d{2}-\\d{2}([ T].*)?$') THEN 'timestamp'
-               WHEN REGEXP_MATCHES(s, '^-?\\d+$') THEN 'int'
-               WHEN REGEXP_MATCHES(s, '^-?\\d+\\.\\d+$') THEN 'float'
-               WHEN s IN ('true', 'false') THEN 'bool'
-               ELSE 'string'
-             END AS cls
-      FROM long_form
+      SELECT column_name, {_CLASS_SQL} AS cls FROM long_form
     ),
-    counts AS (
-      SELECT column_name,
-             COUNT(*) AS n_sampled,
-             SUM(CASE WHEN cls = 'string' THEN 1 ELSE 0 END) AS n_string,
-             SUM(CASE WHEN cls = 'timestamp' THEN 1 ELSE 0 END) AS n_ts,
-             SUM(CASE WHEN cls = 'float' THEN 1 ELSE 0 END) AS n_float,
-             SUM(CASE WHEN cls = 'int' THEN 1 ELSE 0 END) AS n_int,
-             SUM(CASE WHEN cls = 'bool' THEN 1 ELSE 0 END) AS n_bool
-      FROM classed GROUP BY column_name
-    )
-    SELECT column_name, n_sampled,
-           CASE
-             WHEN n_string > 0 THEN 'string'
-             WHEN n_ts > 0 AND n_int + n_float + n_bool > 0 THEN 'string'
-             WHEN n_ts > 0 THEN 'timestamp'
-             WHEN n_float > 0 THEN 'double'
-             WHEN n_int > 0 THEN 'bigint'
-             WHEN n_bool > 0 THEN 'boolean'
-             ELSE 'null'
-           END AS inferred_type
+    counts AS ({_counts_sql("n_sampled")})
+    SELECT column_name, n_sampled, {_PROMOTE_SQL} AS inferred_type
     FROM counts
     """,
 )
@@ -365,59 +354,23 @@ def ingest_schema_inference_sampled(spark: SparkSession, sf_dir: str) -> DataFra
     directly on the scan, before any projection, so Catalyst fuses
     filter+stack+partial-agg into one stage — at 100 TB this reads
     every row group but classifies 10%, and a parquet-bucketed layout
-    could push even the read down to a file subset."""
-    lineitem = read_table(spark, sf_dir, "lineitem").filter(
-        (
-            ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) * F.lit(2654435761))
-            % F.lit(2147483648)
-        ).cast("bigint")
-        % 100
+    could push even the read down to a file subset.
+
+    The row key folds to 31 bits BEFORE the Knuth multiply: orderkeys
+    at large SF would otherwise overflow int64 in the multiply and
+    fail under ANSI (TPC-H orderkeys reach 6e6·SF — the unreduced form
+    breaks around SF 83, far below this op's target scale)."""
+    key = F.pmod(
+        F.col("l_orderkey") * 7 + F.col("l_linenumber"), F.lit(2147483648)
+    )
+    sampled = read_table(spark, sf_dir, "lineitem").filter(
+        F.pmod(key * F.lit(2654435761), F.lit(2147483648)).cast("bigint") % 100
         < 10
     )
-    cols = ("l_quantity", "l_linenumber", "l_returnflag", "l_shipdate")
-    stack_expr = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
-    long_form = lineitem.select(
-        F.expr(f"stack({len(cols)}, {stack_expr}) AS (column_name, s)")
+    counts = _class_counts(sampled, "n_sampled")
+    return counts.select(
+        "column_name", "n_sampled", _promote_col().alias("inferred_type")
     )
-    cls = (
-        F.when(F.col("s").isNull(), "null")
-        .when(F.col("s").rlike(r"^\d{4}-\d{2}-\d{2}([ T].*)?$"), "timestamp")
-        .when(F.col("s").rlike(r"^-?\d+$"), "int")
-        .when(F.col("s").rlike(r"^-?\d+\.\d+$"), "float")
-        .when(F.col("s").isin("true", "false"), "bool")
-        .otherwise("string")
-    )
-    counts = (
-        long_form.select("column_name", cls.alias("cls"))
-        .groupBy("column_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_sampled"),
-            *[
-                F.sum((F.col("cls") == c).cast("bigint")).alias(f"n_{a}")
-                for c, a in (
-                    ("string", "string"),
-                    ("timestamp", "ts"),
-                    ("float", "float"),
-                    ("int", "int"),
-                    ("bool", "bool"),
-                )
-            ],
-        )
-    )
-    inferred = (
-        F.when(F.col("n_string") > 0, "string")
-        .when(
-            (F.col("n_ts") > 0)
-            & (F.col("n_int") + F.col("n_float") + F.col("n_bool") > 0),
-            "string",
-        )
-        .when(F.col("n_ts") > 0, "timestamp")
-        .when(F.col("n_float") > 0, "double")
-        .when(F.col("n_int") > 0, "bigint")
-        .when(F.col("n_bool") > 0, "boolean")
-        .otherwise("null")
-    )
-    return counts.select("column_name", "n_sampled", inferred.alias("inferred_type"))
 
 
 @REG.query(

@@ -58,7 +58,7 @@ class _StubHandler(BaseHTTPRequestHandler):
         if not parsed.path.endswith(".json"):
             self._reply(404, {"error": "not a .json path"})
             return None, None
-        path = parsed.path[: -len(".json")] or "/"
+        path = urllib.parse.unquote(parsed.path[: -len(".json")]) or "/"
         q = {k: v[-1] for k, v in urllib.parse.parse_qs(parsed.query).items()}
         type(self).seen_queries.append({"path": path, **q})
         if self.required_token is not None and q.get("auth") != self.required_token:
@@ -237,3 +237,31 @@ def test_http_extract_distributed(spark, stub_server):
     )
     assert rows == direct
     assert len(rows) >= 40  # users paged at ipp=8 into leaf-grained rows
+
+
+def test_http_awkward_keys_roundtrip(stub_server):
+    """RTDB keys may contain spaces, '?', '&', '%', '+' (only . $ # [ ]
+    / are forbidden): path segments must be percent-encoded or a key
+    like 'a?b' would truncate into the query string and fetch the WRONG
+    node silently."""
+    tree = {"a?b": {"x": 1}, "with space": 2, "pct%25": 3, "plus+c": 4}
+    client, _ = stub_server(FakeFirebase(tree))
+    assert client.get("/a?b") == {"x": 1}
+    assert client.get("/with space") == 2
+    assert client.get("/pct%25") == 3
+    assert client.get("/plus+c") == 4
+    rows = sorted(FirebaseExtractor(client, max_ipp=16).iter_rows())
+    direct = sorted(FirebaseExtractor(FakeFirebase(tree), max_ipp=16).iter_rows())
+    assert rows == direct
+
+
+def test_http_error_messages_redact_auth_secret(stub_server):
+    """Transport errors must never quote the auth secret — the -k
+    database key grants full read-write access and error text lands in
+    logs and tracebacks."""
+    client, handler = stub_server(FakeFirebase(TREE))
+    handler.fail_next.append(500)
+    with pytest.raises(FirebaseTransportError) as ei:
+        client.get("/users", shallow=True)
+    assert "s3cret" not in str(ei.value)
+    assert "auth=REDACTED" in str(ei.value)

@@ -488,6 +488,18 @@ def test_pipeline_scaled_routes_production_ops(spark, queries):
     kept_ids = {r["doc_id"] for r in df.collect()}
     assert kept_ids <= base_ids
     assert kept_ids  # near-dup removal must not wipe the corpus
+    # no content loss: every dropped doc must have a KEEPER that
+    # survives — a pair whose smaller-id side was quality-filtered out
+    # must not delete the surviving copy
+    dropped = base_ids - kept_ids
+    keepers_ok = set()
+    for r in queries["dedup_minhash_xxhash"](spark, SF).collect():
+        if r["doc_a"] in base_ids:
+            keepers_ok.add(r["doc_b"])
+    for r in queries["dedup_embedding_cosine_scaled"](spark, SF).collect():
+        if r["is_dup"] and r["nn_id"] < r["vec_id"] and r["nn_id"] in base_ids:
+            keepers_ok.add(r["vec_id"])
+    assert dropped <= keepers_ok, dropped - keepers_ok
 
 
 def test_shuffle_hash_hint_plans_shj(spark, queries):
