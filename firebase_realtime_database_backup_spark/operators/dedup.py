@@ -1044,6 +1044,33 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
 
 
+#: session-scoped xxhash shingle-id relations, keyed by (session,
+#: sf_dir) — the dictionary-free twin of text._DSHINGLE_CACHE, shared
+#: by dedup_minhash_xxhash and the production corpus pipeline so the
+#: shingle pass over the corpus runs once per session, not per caller.
+_XXHASH_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _xxhash_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firebase_realtime_database_backup_spark.operators.text import doc_shingles
+
+    key = (id(spark), sf_dir)
+    cached = _XXHASH_SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    out = (
+        doc_shingles(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.pmod(F.xxhash64("shingle"), F.lit(1 << 57)).alias("sid"),
+        )
+        .distinct()
+        .cache()
+    )
+    _XXHASH_SHINGLE_CACHE[key] = out
+    return out
+
+
 @REG.query("dedup_minhash_xxhash")  # rows-only: xxhash64 isn't SQL-portable
 def dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, PRODUCTION form: shingle ids come
@@ -1067,17 +1094,7 @@ def dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical signatures under any hash family) and every emitted pair
     is Jaccard-verified on the folded ids, so precision is 1.0 up to
     57-bit hash collisions."""
-    from firebase_realtime_database_backup_spark.operators.text import doc_shingles
-
-    dshingle = (
-        doc_shingles(spark, sf_dir)
-        .select(
-            "doc_id",
-            F.pmod(F.xxhash64("shingle"), F.lit(1 << 57)).alias("sid"),
-        )
-        .distinct()
-        .cache()
-    )
+    dshingle = _xxhash_shingle_ids(spark, sf_dir)
     sig = dshingle.groupBy("doc_id").agg(
         *[
             F.min(

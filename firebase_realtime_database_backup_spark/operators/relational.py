@@ -2714,13 +2714,24 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     principle, but cross-engine float-sum ordering makes hash equality
     meaningless — parity is pytest-asserted against numpy instead."""
     pairs = events_item_cooccurrence(spark, sf_dir).select("item_a", "item_b")
+    # symmetrize by exploding each pair into both directions MAP-SIDE
+    # (a union of pairs with its own mirror computes the co-occurrence
+    # self-join twice when the cache materializes — measured ~2x the
+    # cold build cost of this operator's dominant stage)
     edges = (
-        pairs.unionByName(
-            pairs.select(
-                F.col("item_b").alias("item_a"), F.col("item_a").alias("item_b")
-            )
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("item_b").alias("src"), F.col("item_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
-        .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+        .select("e.src", "e.dst")
         .cache()
     )
     # rank/degree sides are |items| rows — catalog-sized, orders of
@@ -2733,7 +2744,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # remaining floor is the per-iteration broadcast-collect + gather
     # jobs, inherent to driver-looped iteration on a tiny graph.
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
-    nodes = edges.select(F.col("src").alias("item")).distinct().cache()
+    # every node appears as src (edges are symmetric), so the degree
+    # table's key set IS the node set — no second distinct pass
+    nodes = out_deg.select(F.col("src").alias("item")).cache()
     # nodes/edges caches materialize during the initial eager checkpoint;
     # sum(rank) == |nodes| stays a loop invariant (asserted in tests).
     # Checkpoint every 4 iterations, not every one: each eager
