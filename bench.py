@@ -138,6 +138,8 @@ HEADLINE = [
     "multimodal_frame_energy",
     "sim_dim_stats",
     "text_source_blocklist",
+    "text_rarity_score",
+    "dedup_keep_best_quality",
     "pipeline_prepare_corpus_scaled",
     "multimodal_resize_pool",
     "multimodal_phash_dedup",

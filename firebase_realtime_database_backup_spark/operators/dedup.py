@@ -1116,3 +1116,100 @@ def dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+@REG.query(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH {SHINGLE_SQL_CTE},
+    ks AS (SELECT UNNEST(RANGE(0, {MINHASH_K})) AS i),
+    hashes AS (
+      SELECT doc_id, i,
+             MIN(((2*i + 3) * CAST(sid AS BIGINT) + (5*i + 7)) % {MINHASH_P}) AS mh
+      FROM dshingle, ks
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {ROWS_PER_BAND} AS band,
+             CAST(SUM(mh * CASE i % {ROWS_PER_BAND}
+                             WHEN 0 THEN {BAND_WEIGHTS[0]}
+                             WHEN 1 THEN {BAND_WEIGHTS[1]}
+                             WHEN 2 THEN {BAND_WEIGHTS[2]}
+                             ELSE {BAND_WEIGHTS[3]} END) AS BIGINT) AS band_key
+      FROM hashes GROUP BY doc_id, i // {ROWS_PER_BAND}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cands c
+      JOIN dshingle x ON x.doc_id = c.doc_a
+      JOIN dshingle y ON y.doc_id = c.doc_b AND y.sid = x.sid
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    near_pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN doc_sizes sa ON sa.doc_id = i.doc_a
+      JOIN doc_sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common)
+            >= {JACCARD_THRESHOLD}
+    ),
+    uniq AS (
+      SELECT doc_id,
+             CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT)
+               AS n_unique
+      FROM documents
+    ),
+    losers AS (
+      SELECT DISTINCT
+             CASE WHEN ub.n_unique > ua.n_unique
+                    OR (ub.n_unique = ua.n_unique AND p.doc_b < p.doc_a)
+                  THEN p.doc_a ELSE p.doc_b END AS doc_id
+      FROM near_pairs p
+      JOIN uniq ua ON ua.doc_id = p.doc_a
+      JOIN uniq ub ON ub.doc_id = p.doc_b
+    )
+    SELECT u.doc_id, u.n_unique
+    FROM uniq u
+    WHERE u.doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup survivor selection: instead of the
+    keep-smallest-id greedy every other dedup op uses, each verified
+    near-dup pair is lost by the LOWER-quality side (fewer unique
+    tokens; ties break to the larger doc_id) — the policy a training
+    corpus actually wants, since the min-id copy may be the truncated
+    or boilerplate-padded one.
+
+    A doc survives iff it wins (or ties-and-is-smaller in) EVERY pair
+    it appears in — pairwise greedy, no cluster materialization needed.
+    Plan shape: the banded-LSH pair table (shared machinery) joins the
+    vocabulary-free per-doc unique-token counts twice (both joins are
+    doc_id-key hash joins), losers reduce by doc_id, and the survivor
+    set is one anti-join — nothing quadratic, nothing single-partition.
+    At 100 TB the quality signal swaps for the full Gopher-style score;
+    the integer unique-token count keeps this oracle engine-exact."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    docs = read_table(spark, sf_dir, "documents")
+    uniq = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("bigint")
+        .alias("n_unique"),
+    )
+    ua = uniq.select(F.col("doc_id").alias("doc_a"), F.col("n_unique").alias("ua"))
+    ub = uniq.select(F.col("doc_id").alias("doc_b"), F.col("n_unique").alias("ub"))
+    loser = F.when(
+        (F.col("ub") > F.col("ua"))
+        | ((F.col("ub") == F.col("ua")) & (F.col("doc_b") < F.col("doc_a"))),
+        F.col("doc_a"),
+    ).otherwise(F.col("doc_b"))
+    losers = (
+        pairs.join(ua, "doc_a").join(ub, "doc_b").select(loser.alias("doc_id")).distinct()
+    )
+    return uniq.join(losers, "doc_id", "left_anti")

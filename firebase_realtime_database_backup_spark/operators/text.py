@@ -1176,3 +1176,54 @@ def text_source_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").isin(*SOURCE_BLOCKLIST).alias("blocked"),
         F.length("text").cast("bigint").alias("n_chars"),
     )
+
+
+#: A token is "rare" when its corpus frequency is at or below this.
+RARE_MAX_FREQ = 2
+
+
+@REG.query(
+    "text_rarity_score",
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+    ),
+    freq AS (SELECT term, COUNT(*) AS f FROM occ GROUP BY term)
+    SELECT o.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN f.f <= {RARE_MAX_FREQ} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rare,
+           CAST(SUM(CASE WHEN f.f <= {RARE_MAX_FREQ} THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS rare_ratio
+    FROM occ o JOIN freq f USING (term)
+    GROUP BY o.doc_id
+    """,
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token ratio per document — the cheap engine-exact stand-in
+    for LM-perplexity quality signals (documents dominated by tokens
+    the corpus has barely seen are disproportionately OCR noise, hash
+    dumps, or gibberish; documents with zero rare tokens are often
+    boilerplate).  Integer corpus frequencies keep the oracle exact
+    where a log-probability would diverge between engines.
+
+    Plan: one corpus shuffle builds the term-frequency table (map-side
+    combined, vocabulary-sized result), which joins back onto the
+    occurrence stream as a BROADCAST — the occurrence side never
+    reshuffles — and the per-doc ratio reduces on doc_id.  At 100 TB
+    the broadcast becomes a doc_id-copartitioned join or the frequency
+    table is approximated by the count-min sketch (agg_countmin_sketch
+    is the mergeable form of exactly this table)."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    occ = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    freq = occ.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    rare = F.sum((F.col("f") <= RARE_MAX_FREQ).cast("bigint"))
+    return (
+        occ.join(F.broadcast(freq), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            rare.alias("n_rare"),
+            (rare.cast("double") / F.count(F.lit(1))).alias("rare_ratio"),
+        )
+    )

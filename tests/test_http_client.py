@@ -265,3 +265,31 @@ def test_http_error_messages_redact_auth_secret(stub_server):
         client.get("/users", shallow=True)
     assert "s3cret" not in str(ei.value)
     assert "auth=REDACTED" in str(ei.value)
+
+
+def test_http_end_to_end_backup_restore_roundtrip(spark, stub_server, tmp_path):
+    """Full-system parity over the wire: export a tree through the HTTP
+    client into a parquet snapshot, then restore the snapshot into an
+    EMPTY database through the same client (executor-side PATCH
+    batches) — the restored tree must equal the source tree.  This is
+    the reference's export→import contract driven end-to-end over REST
+    instead of in-process doubles."""
+    from firebase_realtime_database_backup_spark.api import do_backup, do_restore
+    from firebase_realtime_database_backup_spark.sources.http_client import (
+        HttpFirebase,
+    )
+
+    src_client, _ = stub_server(FakeFirebase(TREE))
+    snap = str(tmp_path / "http_snapshot")
+    do_backup(spark, src_client, snap, max_ipp=8, parallelism=2)
+
+    dest_fake = FakeFirebase({})
+    dest_client, _ = stub_server(dest_fake)
+    base_url, token = dest_client.base_url, dest_client.auth_token
+    do_restore(
+        spark,
+        snap,
+        lambda: HttpFirebase(base_url, auth_token=token),
+        max_batch=8,
+    )
+    assert dest_fake.tree == TREE
