@@ -170,8 +170,8 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract_props",
     oracle="""
     SELECT event_id, event_type,
-           CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS prop_k,
-           CAST(JSON_EXTRACT_STRING(props, '$.missing') AS BIGINT) AS prop_missing
+           TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS prop_k,
+           TRY_CAST(JSON_EXTRACT_STRING(props, '$.missing') AS BIGINT) AS prop_missing
     FROM events
     WHERE JSON_EXTRACT_STRING(props, '$.k') IS NOT NULL
     """,
@@ -180,13 +180,17 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction over events.props — the typed face of the
     reference's schema-agnostic JSON values (json_decode at
     src/BackupProcessor.php:172).  get_json_object is codegen'd
-    JsonPath, no Python."""
+    JsonPath, no Python.  try_cast, not cast: a non-numeric payload is
+    NULL, never an ANSI job abort — ingest boundaries must tolerate
+    dirty JSON (TRY_CAST on the DuckDB side is the exact twin)."""
     ev = read_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
         "event_type",
-        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
-        F.get_json_object("props", "$.missing").cast("bigint").alias("prop_missing"),
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("prop_k"),
+        F.get_json_object("props", "$.missing")
+        .try_cast("bigint")
+        .alias("prop_missing"),
     ).filter(F.get_json_object("props", "$.k").isNotNull())
 
 
@@ -195,9 +199,9 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(MIN(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-           CAST(MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+           CAST(SUM(TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
     FROM events
     GROUP BY event_type
     """,

@@ -452,7 +452,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         "nn_id",
-        (_dot(F.col("ae"), F.col("be")) / (F.col("an") * F.col("bn"))).alias("nn_cosine"),
+        F.try_divide(
+            _dot(F.col("ae"), F.col("be")), F.col("an") * F.col("bn")
+        ).alias("nn_cosine"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("nn_cosine"), F.col("nn_id"))
     return (
@@ -708,7 +710,9 @@ def dedup_embedding_cosine_scaled(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select(
         "vec_id",
         "nn_id",
-        (_dot(F.col("ae"), F.col("be")) / (F.col("an") * F.col("bn"))).alias("nn_cosine"),
+        F.try_divide(
+            _dot(F.col("ae"), F.col("be")), F.col("an") * F.col("bn")
+        ).alias("nn_cosine"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("nn_cosine"), F.col("nn_id"))
     return (

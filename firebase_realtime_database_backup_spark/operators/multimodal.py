@@ -140,18 +140,23 @@ def _media_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
            CAST(UNICODE(SUBSTRING(text, 1, 1)) AS INT)           AS first_byte,
            CAST((OCTET_LENGTH(ENCODE(text)) + {FRAME_STRIDE} - 1) // {FRAME_STRIDE} AS BIGINT)
                                                                  AS n_frames,
-           CAST(SUM(UNICODE(SUBSTRING(text, p, 1))) % 65536 AS BIGINT)
-                                                                 AS frame_checksum
-    FROM docs_ascii,
-         UNNEST(RANGE(1, OCTET_LENGTH(ENCODE(text)) + 1, {FRAME_STRIDE})) AS r(p)
-    GROUP BY doc_id, text
+           CAST(COALESCE((SELECT SUM(UNICODE(SUBSTRING(text, p, 1)))
+                          FROM UNNEST(RANGE(1, OCTET_LENGTH(ENCODE(text)) + 1,
+                                            {FRAME_STRIDE})) AS r(p)), 0)
+                % 65536 AS BIGINT)                               AS frame_checksum
+    FROM docs_ascii
     """,
 )
 def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction through the real pandas-UDF
     plumbing (mapInPandas, Arrow batches).  The oracle recomputes the
     byte-wise features in SQL — possible because the fake payload is
-    ASCII (byte == codepoint), which is the whole point of the fake."""
+    ASCII (byte == codepoint), which is the whole point of the fake.
+    The checksum is a COALESCE'd scalar subquery, not a lateral cross
+    join: an empty payload must keep its feature row (n_bytes 0,
+    first_byte -1 — DuckDB's UNICODE('') — checksum 0, exactly what the
+    kernel emits), where a cross join with an empty frame range would
+    silently drop the document."""
     payloads = ascii_payloads(spark, sf_dir)
     return payloads.mapInPandas(_media_features, MEDIA_FEATURE_SCHEMA)
 
@@ -312,11 +317,12 @@ POOL = 2  # 2x2 average pooling: 8x8 raster -> 4x4
       FROM cells
     )
     SELECT doc_id, CAST(cell AS BIGINT) AS cell,
-           CAST((  UNICODE(SUBSTRING(text, (( r      * 8 + c    ) % n) + 1, 1))
-                 + UNICODE(SUBSTRING(text, (( r      * 8 + c + 1) % n) + 1, 1))
-                 + UNICODE(SUBSTRING(text, (((r + 1) * 8 + c    ) % n) + 1, 1))
-                 + UNICODE(SUBSTRING(text, (((r + 1) * 8 + c + 1) % n) + 1, 1))
-                ) // 4 AS BIGINT) AS pooled
+           CAST(COALESCE(
+                (  UNICODE(SUBSTRING(text, (( r      * 8 + c    ) % NULLIF(n, 0)) + 1, 1))
+                 + UNICODE(SUBSTRING(text, (( r      * 8 + c + 1) % NULLIF(n, 0)) + 1, 1))
+                 + UNICODE(SUBSTRING(text, (((r + 1) * 8 + c    ) % NULLIF(n, 0)) + 1, 1))
+                 + UNICODE(SUBSTRING(text, (((r + 1) * 8 + c + 1) % NULLIF(n, 0)) + 1, 1))
+                ) // 4, 0) AS BIGINT) AS pooled
     FROM corners
     """,
 )
@@ -328,7 +334,11 @@ def multimodal_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy kernel inside mapInPandas, partition-parallel with zero
     shuffle.  Integer division keeps the oracle exact: the SQL twin
     recomputes each pooled cell from the same byte-tiling arithmetic
-    (ASCII payload => byte == codepoint)."""
+    (ASCII payload => byte == codepoint).  The oracle's NULLIF/COALESCE
+    pair makes an empty payload pool to 0 in every cell — matching the
+    kernel's np.resize of an empty buffer — instead of erroring on
+    modulo-by-zero.  (Registry oracles collapse to one line, so no
+    `--` comments inside the SQL itself.)"""
     payloads = ascii_payloads(spark, sf_dir)
 
     schema = "doc_id bigint, cell bigint, pooled bigint"

@@ -2082,9 +2082,9 @@ COOC_USER_CAP = 64
     oracle=f"""
     WITH items AS (
       SELECT DISTINCT user_id,
-             CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS item
+             TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS item
       FROM events
-      WHERE JSON_EXTRACT_STRING(props, '$.k') IS NOT NULL
+      WHERE TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) IS NOT NULL
     ),
     capped AS (
       SELECT user_id, item FROM (
@@ -2117,7 +2117,9 @@ def events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = (
         ev.select(
             "user_id",
-            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+            # try_cast: a malformed item id is dropped by the NotNull
+            # filter instead of aborting the job under ANSI
+            F.get_json_object("props", "$.k").try_cast("bigint").alias("item"),
         )
         .filter(F.col("item").isNotNull())
         .distinct()

@@ -99,7 +99,7 @@ def bucket_column(emb_col, n_planes: int) -> "F.Column":
 
 
 def _cosine(a, b) -> "F.Column":
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    return F.try_divide(_dot(a, b), F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
 def _norm(a) -> "F.Column":
@@ -155,7 +155,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "c_id",
-            (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+            F.try_divide(_dot(F.col("qe"), F.col("ce")), F.col("qn") * F.col("cn")).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("c_id"))
@@ -256,7 +256,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "c_id",
             "bucket",
-            (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+            F.try_divide(_dot(F.col("qe"), F.col("ce")), F.col("qn") * F.col("cn")).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("c_id"))
@@ -400,7 +400,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.col("vec_id").alias("c_id"),
-            (_dot(F.col("qe"), F.col("emb")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+            F.try_divide(
+                _dot(F.col("qe"), F.col("emb")), F.col("qn") * F.col("cn")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("c_id"))
@@ -478,7 +480,9 @@ def sim_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         "dim",
-        F.floor(F.col("v") / F.col("nrm") * 127 + 0.5).cast("int").alias("q8"),
+        F.floor(F.try_divide(F.col("v"), F.col("nrm")) * 127 + 0.5)
+        .cast("int")
+        .alias("q8"),
     )
 
 
@@ -597,7 +601,7 @@ def sim_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "c_id",
-            (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
+            F.try_divide(_dot(F.col("qe"), F.col("ce")), F.col("qn") * F.col("cn")).alias(
                 "cosine"
             ),
         )
