@@ -46,6 +46,29 @@ ROWS_PER_BAND = 4
 BAND_WEIGHTS = (1, 31, 961, 29791)  # 31^(i % 4)
 JACCARD_THRESHOLD = 0.6
 
+#: DuckDB CTE fragment turning `dshingle` into per-doc MinHash band
+#: keys — the ks/hashes/bands chain every banded-LSH oracle shares
+#: (twin of _minhash_signatures + _band_keys).  Defined ONCE so the
+#: hash family and band fold can never silently diverge between the
+#: four oracles that verify the same machinery.
+MINHASH_BANDS_SQL_CTE = f"""
+    ks AS (SELECT UNNEST(RANGE(0, {MINHASH_K})) AS i),
+    hashes AS (
+      SELECT doc_id, i,
+             MIN(((2*i + 3) * CAST(sid AS BIGINT) + (5*i + 7)) % {MINHASH_P}) AS mh
+      FROM dshingle, ks
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {ROWS_PER_BAND} AS band,
+             CAST(SUM(mh * CASE i % {ROWS_PER_BAND}
+                             WHEN 0 THEN {BAND_WEIGHTS[0]}
+                             WHEN 1 THEN {BAND_WEIGHTS[1]}
+                             WHEN 2 THEN {BAND_WEIGHTS[2]}
+                             ELSE {BAND_WEIGHTS[3]} END) AS BIGINT) AS band_key
+      FROM hashes GROUP BY doc_id, i // {ROWS_PER_BAND}
+    )"""
+
 
 @REG.query(
     "dedup_exact",
@@ -171,22 +194,7 @@ def _pair_overlap(cands, dshingle, a_name: str, b_name: str,
     prod_twin="dedup_minhash_xxhash",
     oracle=f"""
     WITH {SHINGLE_SQL_CTE},
-    ks AS (SELECT UNNEST(RANGE(0, {MINHASH_K})) AS i),
-    hashes AS (
-      SELECT doc_id, i,
-             MIN(((2*i + 3) * CAST(sid AS BIGINT) + (5*i + 7)) % {MINHASH_P}) AS mh
-      FROM dshingle, ks
-      GROUP BY doc_id, i
-    ),
-    bands AS (
-      SELECT doc_id, i // {ROWS_PER_BAND} AS band,
-             CAST(SUM(mh * CASE i % {ROWS_PER_BAND}
-                             WHEN 0 THEN {BAND_WEIGHTS[0]}
-                             WHEN 1 THEN {BAND_WEIGHTS[1]}
-                             WHEN 2 THEN {BAND_WEIGHTS[2]}
-                             ELSE {BAND_WEIGHTS[3]} END) AS BIGINT) AS band_key
-      FROM hashes GROUP BY doc_id, i // {ROWS_PER_BAND}
-    ),
+    {MINHASH_BANDS_SQL_CTE},
     cands AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -789,22 +797,7 @@ CROSS_THRESHOLD = 0.5
     "dedup_cross_corpus",
     oracle=f"""
     WITH {SHINGLE_SQL_CTE},
-    ks AS (SELECT UNNEST(RANGE(0, {MINHASH_K})) AS i),
-    hashes AS (
-      SELECT doc_id, i,
-             MIN(((2*i + 3) * CAST(sid AS BIGINT) + (5*i + 7)) % {MINHASH_P}) AS mh
-      FROM dshingle, ks
-      GROUP BY doc_id, i
-    ),
-    bands AS (
-      SELECT doc_id, i // {ROWS_PER_BAND} AS band,
-             CAST(SUM(mh * CASE i % {ROWS_PER_BAND}
-                             WHEN 0 THEN {BAND_WEIGHTS[0]}
-                             WHEN 1 THEN {BAND_WEIGHTS[1]}
-                             WHEN 2 THEN {BAND_WEIGHTS[2]}
-                             ELSE {BAND_WEIGHTS[3]} END) AS BIGINT) AS band_key
-      FROM hashes GROUP BY doc_id, i // {ROWS_PER_BAND}
-    ),
+    {MINHASH_BANDS_SQL_CTE},
     cands AS (
       SELECT DISTINCT a.doc_id AS new_doc_id, b.doc_id AS corpus_doc_id
       FROM bands a JOIN bands b
@@ -880,22 +873,7 @@ CONTAINMENT_THRESHOLD = 0.8
     "dedup_containment",
     oracle=f"""
     WITH {SHINGLE_SQL_CTE},
-    ks AS (SELECT UNNEST(RANGE(0, {MINHASH_K})) AS i),
-    hashes AS (
-      SELECT doc_id, i,
-             MIN(((2*i + 3) * CAST(sid AS BIGINT) + (5*i + 7)) % {MINHASH_P}) AS mh
-      FROM dshingle, ks
-      GROUP BY doc_id, i
-    ),
-    bands AS (
-      SELECT doc_id, i // {ROWS_PER_BAND} AS band,
-             CAST(SUM(mh * CASE i % {ROWS_PER_BAND}
-                             WHEN 0 THEN {BAND_WEIGHTS[0]}
-                             WHEN 1 THEN {BAND_WEIGHTS[1]}
-                             WHEN 2 THEN {BAND_WEIGHTS[2]}
-                             ELSE {BAND_WEIGHTS[3]} END) AS BIGINT) AS band_key
-      FROM hashes GROUP BY doc_id, i // {ROWS_PER_BAND}
-    ),
+    {MINHASH_BANDS_SQL_CTE},
     cands AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -1058,7 +1036,10 @@ _XXHASH_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
 def _xxhash_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from firebase_realtime_database_backup_spark.operators.text import doc_shingles
 
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): a recycled object address after a
+    # session restart must not resurrect DataFrames bound to the dead
+    # session
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _XXHASH_SHINGLE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -1126,22 +1107,7 @@ def dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_keep_best_quality",
     oracle=f"""
     WITH {SHINGLE_SQL_CTE},
-    ks AS (SELECT UNNEST(RANGE(0, {MINHASH_K})) AS i),
-    hashes AS (
-      SELECT doc_id, i,
-             MIN(((2*i + 3) * CAST(sid AS BIGINT) + (5*i + 7)) % {MINHASH_P}) AS mh
-      FROM dshingle, ks
-      GROUP BY doc_id, i
-    ),
-    bands AS (
-      SELECT doc_id, i // {ROWS_PER_BAND} AS band,
-             CAST(SUM(mh * CASE i % {ROWS_PER_BAND}
-                             WHEN 0 THEN {BAND_WEIGHTS[0]}
-                             WHEN 1 THEN {BAND_WEIGHTS[1]}
-                             WHEN 2 THEN {BAND_WEIGHTS[2]}
-                             ELSE {BAND_WEIGHTS[3]} END) AS BIGINT) AS band_key
-      FROM hashes GROUP BY doc_id, i // {ROWS_PER_BAND}
-    ),
+    {MINHASH_BANDS_SQL_CTE},
     cands AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -1171,7 +1137,6 @@ def dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers AS (
       SELECT DISTINCT
              CASE WHEN ub.n_unique > ua.n_unique
-                    OR (ub.n_unique = ua.n_unique AND p.doc_b < p.doc_a)
                   THEN p.doc_a ELSE p.doc_b END AS doc_id
       FROM near_pairs p
       JOIN uniq ua ON ua.doc_id = p.doc_a
@@ -1186,7 +1151,8 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dup survivor selection: instead of the
     keep-smallest-id greedy every other dedup op uses, each verified
     near-dup pair is lost by the LOWER-quality side (fewer unique
-    tokens; ties break to the larger doc_id) — the policy a training
+    tokens; on a tie the larger doc_id loses, since pairs are ordered
+    doc_a < doc_b) — the policy a training
     corpus actually wants, since the min-id copy may be the truncated
     or boilerplate-padded one.
 
@@ -1208,11 +1174,11 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ua = uniq.select(F.col("doc_id").alias("doc_a"), F.col("n_unique").alias("ua"))
     ub = uniq.select(F.col("doc_id").alias("doc_b"), F.col("n_unique").alias("ub"))
-    loser = F.when(
-        (F.col("ub") > F.col("ua"))
-        | ((F.col("ub") == F.col("ua")) & (F.col("doc_b") < F.col("doc_a"))),
-        F.col("doc_a"),
-    ).otherwise(F.col("doc_b"))
+    # pairs guarantee doc_a < doc_b, so a tie always drops doc_b (the
+    # larger id) — the smaller id survives, matching the other dedup ops
+    loser = F.when(F.col("ub") > F.col("ua"), F.col("doc_a")).otherwise(
+        F.col("doc_b")
+    )
     losers = (
         pairs.join(ua, "doc_a").join(ub, "doc_b").select(loser.alias("doc_id")).distinct()
     )

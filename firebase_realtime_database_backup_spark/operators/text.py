@@ -115,7 +115,10 @@ def doc_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     freshly-computed aggregate subplan is too conservative to pick the
     broadcast automatically — without the hint this becomes a sort-merge
     join shuffling the full occurrence stream by shingle string."""
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): a recycled object address after a
+    # session restart must not resurrect DataFrames bound to the dead
+    # session
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _DSHINGLE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -1213,7 +1216,11 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     reshuffles — and the per-doc ratio reduces on doc_id.  At 100 TB
     the broadcast becomes a doc_id-copartitioned join or the frequency
     table is approximated by the count-min sketch (agg_countmin_sketch
-    is the mergeable form of exactly this table)."""
+    is the mergeable form of exactly this table).  The occurrence
+    stream is deliberately NOT cached even though it feeds both the
+    frequency build and the probe side: at production scale the right
+    amortization is persisting the vocabulary-sized frequency table,
+    not pinning a corpus-sized explode in executor memory."""
     docs = spread(read_table(spark, sf_dir, "documents"))
     occ = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     freq = occ.groupBy("term").agg(F.count(F.lit(1)).alias("f"))

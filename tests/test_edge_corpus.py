@@ -46,7 +46,7 @@ def edge_dir(tmp_path_factory):
           (9002, 'x', 'en', 'src1', 1),
           (9003, '   ', 'de', 'src2', 3),
           (9004, 'a a a a a a a a a a a a', 'es', 'src3', 23),
-          (9005, 'café 中文 emoji', 'zh', 'src4', 10)
+          (9005, 'café 中文 emoji', 'zh', 'src4', 13)
         ) t(doc_id, text, lang, source, n_chars)
         """,
         "documents.parquet",
