@@ -126,6 +126,8 @@ HEADLINE = [
     "pipeline_prepare_corpus",
     "dedup_decontaminate",
     "text_chunk_fixed",
+    "text_chunk_overlap",
+    "text_vocab_unk",
     "text_pack_sequences",
     "text_inverted_index",
     "mix_weighted_sources",

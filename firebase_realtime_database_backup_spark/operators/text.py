@@ -1234,3 +1234,131 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rare.cast("double") / F.count(F.lit(1))).alias("rare_ratio"),
         )
     )
+
+
+#: Overlapping-chunk geometry: window of 16 tokens advancing 8 — each
+#: token (except edges) appears in two windows, the standard training
+#: trick that keeps context at window boundaries learnable.
+CHUNK_WIN = 16
+CHUNK_STRIDE = 8
+
+
+@REG.query(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tok_arr FROM documents)
+    SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+           CAST(c * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+           ARRAY_TO_STRING(
+             tok_arr[(c*{CHUNK_STRIDE}+1):(c*{CHUNK_STRIDE}+{CHUNK_WIN})], ' ')
+             AS chunk_text,
+           CAST(LEAST({CHUNK_WIN}, LEN(tok_arr) - c*{CHUNK_STRIDE}) AS BIGINT)
+             AS n_tokens
+    FROM toks,
+         UNNEST(RANGE(0, GREATEST(1, CAST(CEIL((LEN(tok_arr) - {CHUNK_WIN})
+                / {CHUNK_STRIDE}.0) AS BIGINT) + 1))) AS r(c)
+    WHERE c * {CHUNK_STRIDE} < LEN(tok_arr) OR c = 0
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking with overlap (window 16, stride 8):
+    the training-data form of text_chunk_fixed — boundary context
+    appears in two windows so no bigram is ever split across every
+    window it occurs in.  Same zero-shuffle plan shape: the window
+    starts are a sequence() the scan stage explodes, each chunk row is
+    map-derived from its document's token array.  Output doubles vs
+    non-overlapping chunking (stride = window/2) — the deliberate
+    storage-for-quality trade; chunk_id * stride = start offset keeps
+    provenance reconstructible."""
+    toks = spread(
+        read_table(spark, sf_dir, "documents").select(
+            "doc_id", F.split("text", " ").alias("toks")
+        )
+    )
+    n = F.size("toks")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(CHUNK_WIN)) / F.lit(float(CHUNK_STRIDE))).cast("int")
+        + 1,
+    )
+    chunked = toks.select(
+        "doc_id",
+        n.alias("n_toks"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda c: F.concat_ws(
+                    " ", F.slice("toks", c * CHUNK_STRIDE + 1, CHUNK_WIN)
+                ),
+            )
+        ).alias("chunk_id", "chunk_text"),
+    ).filter(
+        (F.col("chunk_id") * CHUNK_STRIDE < F.col("n_toks"))
+        | (F.col("chunk_id") == 0)
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        (F.col("chunk_id") * CHUNK_STRIDE).cast("bigint").alias("start_tok"),
+        "chunk_text",
+        F.least(
+            F.lit(CHUNK_WIN), F.col("n_toks") - F.col("chunk_id") * CHUNK_STRIDE
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+
+#: Terms below this corpus frequency map to the unknown token.
+UNK_MIN_FREQ = 3
+
+
+@REG.query(
+    "text_vocab_unk",
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+    ),
+    freq AS (SELECT term, COUNT(*) AS f FROM occ GROUP BY term)
+    SELECT o.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN f.f < {UNK_MIN_FREQ} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unk,
+           CAST(COUNT(DISTINCT CASE WHEN f.f >= {UNK_MIN_FREQ} THEN o.term END)
+                AS BIGINT) AS n_vocab_types,
+           CAST(SUM(CASE WHEN f.f < {UNK_MIN_FREQ} THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS unk_ratio
+    FROM occ o JOIN freq f USING (term)
+    GROUP BY o.doc_id
+    """,
+)
+def text_vocab_unk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary truncation / UNK mapping stats: tokens whose corpus
+    frequency falls below UNK_MIN_FREQ map to the unknown token — the
+    closed-vocabulary preprocessing step of any count-based tokenizer
+    build, reported per document (unk count, surviving vocab types,
+    unk ratio) so over-UNKed documents can be routed to review before
+    training.  A frequency THRESHOLD, not a global top-K rank: the
+    threshold form needs no global ordering (no single-partition
+    window, no total sort) — at 100 TB the top-K form is approximated
+    by thresholding on the count-min estimate anyway.  Plan: same
+    one-shuffle frequency build + broadcast probe as
+    text_rarity_score."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    occ = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    freq = occ.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    is_unk = F.col("f") < UNK_MIN_FREQ
+    return (
+        occ.join(F.broadcast(freq), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(is_unk.cast("bigint")).alias("n_unk"),
+            F.count_distinct(F.when(~is_unk, F.col("term"))).alias(
+                "n_vocab_types"
+            ),
+            (F.sum(is_unk.cast("bigint")).cast("double") / F.count(F.lit(1))).alias(
+                "unk_ratio"
+            ),
+        )
+    )
