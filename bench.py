@@ -88,6 +88,8 @@ HEADLINE = [
     "events_moving_median",
     "quality_skew_report",
     "agg_countmin_sketch",
+    "agg_heavy_hitters",
+    "layout_zorder",
     "join_bloom_prefilter",
     "join_asof_forward",
     "join_shuffle_hash_hint",
@@ -133,6 +135,8 @@ HEADLINE = [
     "mix_weighted_sources",
     "text_gopher_rules",
     "text_repeated_passages",
+    "text_scrub_passages",
+    "dedup_semantic_kmeans",
     "text_lang_rebalance",
     "dedup_cross_corpus",
     "multimodal_media_features",

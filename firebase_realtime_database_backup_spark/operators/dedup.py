@@ -1183,3 +1183,107 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(ua, "doc_a").join(ub, "doc_b").select(loser.alias("doc_id")).distinct()
     )
     return uniq.join(losers, "doc_id", "left_anti")
+
+
+SEMDEDUP_K = 8        # k-means cells (SemDeDup partitions the space first)
+SEMDEDUP_ITERS = 3    # fixed Lloyd's iterations, deterministic init
+SEMDEDUP_TAU = 0.45   # within-cell cosine dup threshold (matches
+                      # EMB_DUP_THRESHOLD's tuning for the synthetic corpus)
+
+
+@REG.query("dedup_semantic_kmeans")  # rows-only: parallel float means
+# aren't bit-portable across engines (summation order), so there is no
+# exact SQL twin; structural parity is pinned by a full numpy replay in
+# tests/test_dedup_clusters.py::test_semantic_kmeans_matches_numpy_replay
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    2303.09540): partition the embedding space with k-means FIRST, then
+    search for cosine near-duplicates only WITHIN each cell — the
+    cluster-then-compare move that cuts the candidate space from O(n²)
+    to Σ|cell|² without any LSH hash family, and catches *semantic*
+    duplicates (same content, different words) that shingle MinHash
+    can't see.
+
+    Spark-first shape, fully declarative — no .collect(), no pyspark.ml
+    RNG: init centroids are the K smallest vec_ids (deterministic);
+    each Lloyd's iteration is (a) a K-row broadcast cross join scoring
+    every vector against every centroid (argmin via min-of-struct with
+    cid tie-break), then (b) a per-(cell, dim) partial-agg mean via
+    posexplode — two shuffles per iteration, both keyed small.  The
+    final within-cell pair scan is an equi self-join on the cell id.
+    At 100 TB: the centroid table stays K rows (broadcast regardless of
+    corpus size), the posexplode mean carries K×dim grouped rows, and
+    the self-join never crosses cell boundaries — the documented
+    SemDeDup recipe at cluster scale.  Tie-breaks (equidistant
+    centroids → lower cid; dup pair → lower vec_id survives) follow the
+    repo-wide smaller-id-wins rule."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    from firebase_realtime_database_backup_spark.operators.similarity import (
+        _dot,
+        _norm,
+    )
+
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(SEMDEDUP_K)
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("ce"))
+    )
+
+    def assign(centroids):
+        d2 = F.aggregate(
+            F.zip_with(F.col("emb"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            emb.crossJoin(F.broadcast(centroids))
+            .select("vec_id", d2.alias("d2"), "cid")
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"))
+        )
+
+    for _ in range(SEMDEDUP_ITERS):
+        assigned = assign(cents)
+        cents = (
+            emb.join(assigned, "vec_id")
+            .select("cid", F.posexplode("emb").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.avg("x").alias("mu"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+                    lambda s: s["mu"],
+                ).alias("ce")
+            )
+        )
+    final = assign(cents).join(emb, "vec_id")
+    a = final.select(
+        "cid", F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("ae"), _norm(F.col("emb")).alias("an"),
+    )
+    b = final.select(
+        F.col("cid").alias("b_cid"), F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("be"), _norm(F.col("emb")).alias("bn"),
+    )
+    dup_pairs = (
+        a.join(b, (F.col("cid") == F.col("b_cid")) & (F.col("vec_a") < F.col("vec_b")))
+        .filter(
+            F.try_divide(_dot(F.col("ae"), F.col("be")), F.col("an") * F.col("bn"))
+            >= SEMDEDUP_TAU
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        final.join(dup_pairs, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster"),
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )

@@ -3244,3 +3244,145 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+HEAVY_HITTER_K = 200  # report items with frequency > n_total / K
+
+
+@REG.query(
+    "agg_heavy_hitters",
+    oracle=f"""
+    WITH occ AS (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM occ),
+    freq AS (SELECT tok, COUNT(*) AS cnt FROM occ GROUP BY tok)
+    SELECT tok, cnt, n_total,
+           CAST(cnt AS DOUBLE) / n_total AS frac
+    FROM freq, tot
+    WHERE cnt * {HEAVY_HITTER_K} > n_total
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: every token whose corpus frequency exceeds
+    n/K — the frequent-items query that pairs with agg_countmin_sketch
+    (the sketch ESTIMATES any item's count; this one EMITS the items
+    over the phi=1/K support threshold, the classic Misra-Gries
+    guarantee computed exactly).
+
+    Plan: one explode-in-scan, one token groupBy with map-side partial
+    aggregation (the only shuffle carries one row per distinct token,
+    not per occurrence), and the 1-row corpus total broadcast into the
+    filter.  Output size is bounded by construction: at most K items
+    can exceed n/K, so the result is ≤ K rows no matter the corpus
+    size — this shape is 100 TB-safe end-to-end.  The threshold
+    comparison is pure integers (cnt * K > n_total); only the reported
+    fraction is a double, one division on ≤ K rows."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    occ = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    freq = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = occ.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * HEAVY_HITTER_K > F.col("n_total"))
+        .select(
+            "tok",
+            "cnt",
+            "n_total",
+            (F.col("cnt").cast("double") / F.col("n_total")).alias("frac"),
+        )
+    )
+
+
+ZORDER_BITS = 8
+
+
+def _zvalue(a, b):
+    """Bit-interleave two ZORDER_BITS-wide non-negative int columns
+    (a gets the odd bits, b the even) into one Morton/Z code — pure
+    integer column arithmetic, map-side only."""
+    z = F.lit(0).cast("bigint")
+    for i in range(ZORDER_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a.cast("bigint"), i).bitwiseAND(1), 2 * i + 1)
+            + F.shiftleft(F.shiftright(b.cast("bigint"), i).bitwiseAND(1), 2 * i)
+        )
+    return z
+
+
+_ZBIN_MAX = (1 << ZORDER_BITS) - 1
+
+
+@REG.query(
+    "layout_zorder",
+    # the interleave is an INLINE generated bit-sum (not UNNEST+GROUP BY:
+    # a GROUP BY would silently merge the corpus's intentional duplicate
+    # rows and drop them from the oracle count)
+    oracle=f"""
+    WITH mm AS (
+      SELECT MIN(l_partkey) AS pmn, GREATEST(MAX(l_partkey) - MIN(l_partkey), 1) AS pspan,
+             MIN(l_suppkey) AS smn, GREATEST(MAX(l_suppkey) - MIN(l_suppkey), 1) AS sspan
+      FROM lineitem
+    ),
+    binned AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             ((l_partkey - pmn) * {_ZBIN_MAX}) // pspan AS pbin,
+             ((l_suppkey - smn) * {_ZBIN_MAX}) // sspan AS sbin
+      FROM lineitem, mm
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST({" + ".join(
+               f"((pbin // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+               f" + ((sbin // {1 << i}) % 2) * {1 << (2 * i)}"
+               for i in range(ZORDER_BITS)
+           )} AS BIGINT) AS zval
+    FROM binned
+    """,
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey): scale
+    each key to a common {ZORDER_BITS}-bit domain by its global min/max
+    (unequal domains are the classic Morton failure — raw interleave
+    lets the wider key's high bits dominate and the narrow key keeps no
+    locality), then bit-interleave so that range-partitioning + sorting
+    on the single zval column co-locates rows that are close in BOTH
+    dimensions — the multi-column data-layout move (Delta/Iceberg
+    OPTIMIZE ZORDER) that lets min/max footer pruning serve predicates
+    on either key from one physical ordering.  At 100 TB this is the
+    write-side layout pass for a corpus queried by more than one
+    selective column; the write-and-prune effect itself is pinned in
+    tests/test_plans.py::test_zorder_layout_footer_locality.
+
+    Plan: the min/max bounds are ONE 1-row aggregate broadcast into the
+    scan (the scalar-subquery probe shape); binning + interleave are
+    per-row integer arithmetic, codegen'd, shuffle-free; the one
+    Exchange is the explicit repartitionByRange on zval — exactly the
+    shuffle a layout rewrite exists to pay, sampling-based so a skewed
+    key space still yields balanced files.  Integer-exact end-to-end
+    (scale-then-floor-divide), so the oracle reproduces every bit."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    mm = lineitem.agg(
+        F.min("l_partkey").alias("pmn"),
+        F.greatest(
+            F.max("l_partkey") - F.min("l_partkey"), F.lit(1)
+        ).alias("pspan"),
+        F.min("l_suppkey").alias("smn"),
+        F.greatest(
+            F.max("l_suppkey") - F.min("l_suppkey"), F.lit(1)
+        ).alias("sspan"),
+    )
+    pbin = ((F.col("l_partkey") - F.col("pmn")) * _ZBIN_MAX).cast("bigint") / F.col(
+        "pspan"
+    )
+    sbin = ((F.col("l_suppkey") - F.col("smn")) * _ZBIN_MAX).cast("bigint") / F.col(
+        "sspan"
+    )
+    with_z = lineitem.crossJoin(F.broadcast(mm)).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        _zvalue(F.floor(pbin), F.floor(sbin)).alias("zval"),
+    )
+    return with_z.repartitionByRange(32, "zval").sortWithinPartitions("zval")

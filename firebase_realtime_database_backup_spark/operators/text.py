@@ -1362,3 +1362,85 @@ def text_vocab_unk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@REG.query(
+    "text_scrub_passages",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS tok_arr FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, c AS chunk_id,
+             ARRAY_TO_STRING(tok_arr[(c*16+1):(c*16+16)], ' ') AS chunk_text
+      FROM toks, UNNEST(RANGE(0, CAST(CEIL(LEN(tok_arr) / 16.0) AS BIGINT))) AS r(c)
+    ),
+    freq AS (
+      SELECT chunk_text, COUNT(DISTINCT doc_id) AS n_docs
+      FROM chunks GROUP BY chunk_text
+    )
+    SELECT c.doc_id,
+           COALESCE(STRING_AGG(c.chunk_text, ' ' ORDER BY c.chunk_id)
+                      FILTER (WHERE f.n_docs = 1), '') AS scrubbed_text,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed
+    FROM chunks c JOIN freq f USING (chunk_text)
+    GROUP BY c.doc_id
+    """,
+)
+def text_scrub_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level scrub (the CCNet/RefinedWeb line-dedup move): chunk
+    every document into fixed 16-token passages, drop every passage that
+    appears verbatim in MORE THAN ONE document (boilerplate headers,
+    license blocks, templated spam), and REBUILD each document from its
+    surviving passages in original order.  The constructive counterpart
+    of text_repeated_passages, which only scores the overlap — this one
+    emits the cleaned corpus a tokenizer would actually train on.
+
+    Plan: chunking is explode-in-scan (zero shuffle); passage frequency
+    is one groupBy on chunk_text; the probe joins back on the same key
+    so AQE reuses the partitioning; the rebuild is a doc_id groupBy over
+    sort_array(collect_list(struct(chunk_id, chunk_text))) — order
+    restored per doc without a window.  At 100 TB the chunk_text keys
+    would be xxhash64-folded for the frequency pass (8-byte shuffle
+    keys) with the text carried only on the rebuild side; kept as raw
+    text here so the oracle is portable.  Reference tie-in: generalizes
+    the reference's boundary-row drop (src/BackupProcessor.php:195-197)
+    from page artifacts to corpus-wide repeated content."""
+    docs = spread(
+        read_table(spark, sf_dir, "documents").select(
+            "doc_id", F.split("text", " ").alias("toks")
+        )
+    )
+    n_chunks = F.ceil(F.size("toks") / F.lit(16.0)).cast("int")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda c: F.concat_ws(" ", F.slice("toks", c * 16 + 1, 16)),
+            )
+        ).alias("chunk_id", "chunk_text"),
+    )
+    freq = chunks.groupBy("chunk_text").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    kept_struct = F.when(
+        F.col("n_docs") == 1, F.struct("chunk_id", "chunk_text")
+    )
+    return (
+        chunks.join(freq, "chunk_text")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["chunk_text"],
+                ),
+            ).alias("scrubbed_text"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("n_docs") > 1).cast("bigint")).alias("n_removed"),
+        )
+    )

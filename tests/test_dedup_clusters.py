@@ -72,3 +72,79 @@ def test_pagerank_matches_numpy_replay(spark):
     assert abs(sum(got.values()) - n) < 1e-3
     for node in nodes:
         assert abs(got[node] - rank[idx[node]]) < 1e-5, node
+
+
+def test_semantic_kmeans_matches_numpy_replay(spark):
+    """dedup_semantic_kmeans is rows-only (parallel float means aren't
+    bit-portable), so its full algorithm is replayed here in numpy
+    float64: same deterministic init (K smallest vec_ids), same fixed
+    Lloyd's iterations, same lower-cid / lower-vec_id tie-breaks.
+    Assignments must agree wherever the best-vs-second-best margin
+    exceeds float tolerance (in practice: everywhere), and dup flags
+    must agree wherever the cosine clears the threshold by more than
+    float tolerance."""
+    import numpy as np
+
+    from firebase_realtime_database_backup_spark.operators.dedup import (
+        SEMDEDUP_ITERS,
+        SEMDEDUP_K,
+        SEMDEDUP_TAU,
+        dedup_semantic_kmeans,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r.vec_id: (r.cluster, r.is_dup)
+        for r in dedup_semantic_kmeans(spark, sf).collect()
+    }
+
+    import duckdb
+
+    rows = (
+        duckdb.connect()
+        .execute(
+            f"SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+            f"read_parquet('{sf}/embeddings.parquet') ORDER BY vec_id"
+        )
+        .fetchall()
+    )
+    ids = [r[0] for r in rows]
+    E = np.array([r[1] for r in rows], dtype=np.float64)
+    assert len(got) == len(ids)
+
+    cid_ids = ids[:SEMDEDUP_K]            # K smallest vec_ids (sorted)
+    C = E[:SEMDEDUP_K].copy()
+    for _ in range(SEMDEDUP_ITERS):
+        d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)        # argmin ties → lowest index ==
+        margins = np.partition(d2, 1, axis=1)  # lowest cid (cids sorted)
+        assert (margins[:, 1] - margins[:, 0] > 1e-9).all(), (
+            "degenerate tie in replay; margin guard can't attest"
+        )
+        C = np.array(
+            [
+                E[assign == k].mean(axis=0) if (assign == k).any() else C[k]
+                for k in range(SEMDEDUP_K)
+            ]
+        )
+    d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)
+    margins = np.partition(d2, 1, axis=1)
+    assert (margins[:, 1] - margins[:, 0] > 1e-9).all()
+
+    for i, v in enumerate(ids):
+        assert got[v][0] == cid_ids[assign[i]], f"cluster mismatch for {v}"
+
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    cos = En @ En.T
+    for j, v in enumerate(ids):
+        dup = False
+        for i in range(j):
+            if assign[i] == assign[j] and cos[i, j] >= SEMDEDUP_TAU + 1e-9:
+                dup = True
+        boundary = any(
+            assign[i] == assign[j] and abs(cos[i, j] - SEMDEDUP_TAU) <= 1e-9
+            for i in range(j)
+        )
+        if not boundary:
+            assert got[v][1] == dup, f"dup flag mismatch for {v}"

@@ -244,6 +244,55 @@ def test_range_clustered_layout_gives_disjoint_file_stats(spark, tmp_path):
         assert hi_prev <= lo_next, (hi_prev, lo_next)
 
 
+def test_zorder_layout_footer_locality(spark, queries, tmp_path):
+    """Z-order layout must deliver what it exists for: after writing
+    lineitem ordered by the Morton code of (l_partkey, l_suppkey), the
+    per-file min/max footer ranges must be (a) disjoint in zval — the
+    single physical sort key — and (b) LOCAL in *both* source
+    dimensions: the average per-file key span must be a small fraction
+    of the global span for l_partkey and l_suppkey simultaneously,
+    which no single-column sort can achieve.  That bi-dimensional
+    locality is exactly what lets min/max pruning serve predicates on
+    either key from one layout at 100 TB."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "lineitem_zorder")
+    df = queries["layout_zorder"](spark, SF)
+    df.write.mode("overwrite").parquet(out)
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) >= 8
+    spans = {"zval": [], "l_partkey": [], "l_suppkey": []}
+    glo = {
+        c: (r["lo"], r["hi"])
+        for c in spans
+        for r in [df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()]
+        if not spans[c]
+    }
+    z_ranges = []
+    for f in files:
+        part = spark.read.parquet(f)
+        row = part.agg(
+            *[F.min(c).alias(f"lo_{c}") for c in spans],
+            *[F.max(c).alias(f"hi_{c}") for c in spans],
+        ).first()
+        if row["lo_zval"] is None:
+            continue
+        z_ranges.append((row["lo_zval"], row["hi_zval"]))
+        for c in spans:
+            spans[c].append(row[f"hi_{c}"] - row[f"lo_{c}"])
+    z_ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(z_ranges, z_ranges[1:]):
+        assert hi_prev <= lo_next, (hi_prev, lo_next)
+    for c in ("l_partkey", "l_suppkey"):
+        global_span = glo[c][1] - glo[c][0]
+        avg_span = sum(spans[c]) / len(spans[c])
+        # interleaving 16 bits over >=8 files must localize BOTH keys;
+        # a plain sort on one key leaves the other's span at ~100%
+        assert avg_span <= 0.75 * global_span, (c, avg_span, global_span)
+
+
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan, not an
 # accident: the explicit theta-join demo, the two similarity ops whose
 # small side (query set / centroid table) is broadcast on purpose for
@@ -257,6 +306,10 @@ BNL_DESIGNED = {
     "sim_ivf_topk",
     "text_tfidf",
     "quality_audit_constraints",
+    # SemDeDup Lloyd's iterations: each scores all vectors against the
+    # K-row broadcast centroid table — the K-row cross join IS the
+    # algorithm (same shape as sim_ivf_topk's centroid assign).
+    "dedup_semantic_kmeans",
 }
 # 1-row broadcast probes (scalar-subquery shape): the broadcast bloom
 # bitmap, the min-language-count target, winsorize-style global bounds,
@@ -272,6 +325,8 @@ BNL_ONE_ROW_PROBES = {
     "quality_skew_report": 1,
     "events_rfm_scaled": 1,
     "quality_drift_chi2": 2,
+    "agg_heavy_hitters": 1,  # 1-row corpus-total probe under the n/K cut
+    "layout_zorder": 1,      # 1-row min/max bounds row for key binning
 }
 BNL_ALLOWED = BNL_DESIGNED | set(BNL_ONE_ROW_PROBES)
 
