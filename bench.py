@@ -89,7 +89,11 @@ HEADLINE = [
     "quality_skew_report",
     "agg_countmin_sketch",
     "agg_heavy_hitters",
+    "agg_mode_per_group",
     "layout_zorder",
+    "quality_benford",
+    "events_top_sequences",
+    "events_sliding_distinct",
     "join_bloom_prefilter",
     "join_asof_forward",
     "join_shuffle_hash_hint",
@@ -137,6 +141,7 @@ HEADLINE = [
     "text_repeated_passages",
     "text_scrub_passages",
     "dedup_semantic_kmeans",
+    "dedup_semantic_kmeans_scaled",
     "text_lang_rebalance",
     "dedup_cross_corpus",
     "multimodal_media_features",

@@ -1191,32 +1191,10 @@ SEMDEDUP_TAU = 0.45   # within-cell cosine dup threshold (matches
                       # EMB_DUP_THRESHOLD's tuning for the synthetic corpus)
 
 
-@REG.query("dedup_semantic_kmeans")  # rows-only: parallel float means
-# aren't bit-portable across engines (summation order), so there is no
-# exact SQL twin; structural parity is pinned by a full numpy replay in
-# tests/test_dedup_clusters.py::test_semantic_kmeans_matches_numpy_replay
-def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
-    2303.09540): partition the embedding space with k-means FIRST, then
-    search for cosine near-duplicates only WITHIN each cell — the
-    cluster-then-compare move that cuts the candidate space from O(n²)
-    to Σ|cell|² without any LSH hash family, and catches *semantic*
-    duplicates (same content, different words) that shingle MinHash
-    can't see.
-
-    Spark-first shape, fully declarative — no .collect(), no pyspark.ml
-    RNG: init centroids are the K smallest vec_ids (deterministic);
-    each Lloyd's iteration is (a) a K-row broadcast cross join scoring
-    every vector against every centroid (argmin via min-of-struct with
-    cid tie-break), then (b) a per-(cell, dim) partial-agg mean via
-    posexplode — two shuffles per iteration, both keyed small.  The
-    final within-cell pair scan is an equi self-join on the cell id.
-    At 100 TB: the centroid table stays K rows (broadcast regardless of
-    corpus size), the posexplode mean carries K×dim grouped rows, and
-    the self-join never crosses cell boundaries — the documented
-    SemDeDup recipe at cluster scale.  Tie-breaks (equidistant
-    centroids → lower cid; dup pair → lower vec_id survives) follow the
-    repo-wide smaller-id-wins rule."""
+def _semantic_kmeans(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Shared SemDeDup core, parametrized by the cell count K — see
+    dedup_semantic_kmeans (fixed K teaching form) and
+    dedup_semantic_kmeans_scaled (K ∝ N production form)."""
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -1227,7 +1205,7 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cents = (
         emb.orderBy("vec_id")
-        .limit(SEMDEDUP_K)
+        .limit(k)
         .select(F.col("vec_id").alias("cid"), F.col("emb").alias("ce"))
     )
 
@@ -1286,4 +1264,153 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cid").alias("cluster"),
             F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
         )
+    )
+
+
+@REG.query("dedup_semantic_kmeans",  # rows-only: parallel float means
+           # aren't bit-portable across engines (summation order), so
+           # there is no exact SQL twin; structural parity is pinned by
+           # a full numpy replay in tests/test_dedup_clusters.py
+           prod_twin="dedup_semantic_kmeans_scaled")
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    2303.09540): partition the embedding space with k-means FIRST, then
+    search for cosine near-duplicates only WITHIN each cell — the
+    cluster-then-compare move that cuts the candidate space from O(n²)
+    to Σ|cell|² without any LSH hash family, and catches *semantic*
+    duplicates (same content, different words) that shingle MinHash
+    can't see.
+
+    Spark-first shape, fully declarative — no .collect(), no pyspark.ml
+    RNG: init centroids are the K smallest vec_ids (deterministic);
+    each Lloyd's iteration is (a) a K-row broadcast cross join scoring
+    every vector against every centroid (argmin via min-of-struct with
+    cid tie-break), then (b) a per-(cell, dim) partial-agg mean via
+    posexplode — two shuffles per iteration, both keyed small.  The
+    final within-cell pair scan is an equi self-join on the cell id.
+    Tie-breaks (equidistant centroids → lower cid; dup pair → lower
+    vec_id survives) follow the repo-wide smaller-id-wins rule.
+
+    TEACHING FORM: K is pinned, so mean cell occupancy N/K grows
+    linearly with the corpus and the within-cell pair scan grows
+    QUADRATICALLY — measured 52x at 20x data (BASELINE.md).  The
+    production twin derives K from N so occupancy stays constant."""
+    return _semantic_kmeans(spark, sf_dir, SEMDEDUP_K)
+
+
+SEMDEDUP_CELL_TARGET = 256  # scaled form: expected vectors per cell
+
+
+@REG.query("dedup_semantic_kmeans_scaled")  # rows-only (same replay gate)
+def dedup_semantic_kmeans_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_semantic_kmeans with BOTH scale fixes the measured 52x-at-
+    20x cliff demands (BASELINE.md):
+
+    1. **K ∝ N** — cell count = max(8, ceil(N / SEMDEDUP_CELL_TARGET)),
+       so expected cell occupancy (and the quadratic within-cell pair
+       cost) stays constant as the corpus grows.  The count is one
+       cheap driver-side job before plan build, the same knob
+       derivation as dedup_embedding_cosine_scaled.
+    2. **Arrow-vectorized dense kernels** — the two dense-numeric inner
+       loops (N×K distance assign; within-cell cosine pair scan) are
+       exactly the case where built-in column functions genuinely can't
+       express the computation efficiently: a 64-dim fold per pair runs
+       as an interpreted per-element lambda, measured 35x at 20x even
+       with K ∝ N.  They run here as numpy matmuls inside
+       mapInPandas / applyInPandas (Arrow batches, one BLAS call per
+       batch/cell); centroids round-trip through the driver between
+       iterations (K×dim doubles — the same bounded driver state every
+       k-means implementation keeps, cf. pyspark.ml and the
+       graph_pagerank loop precedent).
+
+    Partitioning story at 100 TB: assign is embarrassingly map-side
+    (broadcast K×dim matrix into each Arrow batch); the mean recompute
+    is a (cell, dim)-grain partial agg; the pair scan shuffles once on
+    cell id with ~CELL_TARGET-row groups.  Past ~10^8 vectors the
+    assign's N×K flops need the HIERARCHICAL form (assign to ~sqrt(K)
+    coarse cells, refine within — IVF-style two-level quantization);
+    the per-stage shapes are unchanged.
+
+    Same deterministic semantics as the teaching form (K-smallest-ids
+    init, lower-cid / lower-vec_id tie-breaks); float summation order
+    differs (BLAS vs left fold), which is inside the replay test's
+    margin guard — the reason this family is rows-only."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    n = emb.count()
+    k = max(SEMDEDUP_K, math.ceil(n / SEMDEDUP_CELL_TARGET))
+
+    cent_rows = (
+        emb.orderBy("vec_id").limit(k).select("vec_id", "emb").collect()
+    )
+    cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+    C = np.array([r.emb for r in cent_rows], dtype=np.float64)
+
+    def make_assign(C_mat):
+        c_sq = (C_mat**2).sum(axis=1)
+
+        def assign_batches(batches):
+            for pdf in batches:
+                X = np.stack(pdf["emb"].values).astype(np.float64)
+                d2 = (
+                    (X**2).sum(axis=1)[:, None]
+                    - 2.0 * (X @ C_mat.T)
+                    + c_sq[None, :]
+                )
+                j = d2.argmin(axis=1)  # tie → lowest index == lowest cid
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"].values, "cid": cids[j]}
+                )
+
+        return assign_batches
+
+    for _ in range(SEMDEDUP_ITERS):
+        assigned = emb.mapInPandas(
+            make_assign(C), "vec_id long, cid long"
+        )
+        mu_rows = (
+            emb.join(assigned, "vec_id")
+            .select("cid", F.posexplode("emb").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.avg("x").alias("mu"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in mu_rows:
+            by_cid.setdefault(r.cid, {})[r.dim] = r.mu
+        C = C.copy()
+        pos = {int(c): i for i, c in enumerate(cids)}
+        for cid, dims in by_cid.items():
+            C[pos[cid]] = [dims[d] for d in sorted(dims)]
+
+    final = emb.mapInPandas(make_assign(C), "vec_id long, cid long").join(
+        emb, "vec_id"
+    )
+
+    def cell_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].values)
+        ids = pdf["vec_id"].values[order]
+        X = np.stack(pdf["emb"].values[order]).astype(np.float64)
+        nrm = np.sqrt((X**2).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (X @ X.T) / np.outer(nrm, nrm)
+        # a vec is a dup iff some LOWER-id cell-mate clears the
+        # threshold (NaN from zero norms compares False → never dup)
+        above = np.tril(cos >= SEMDEDUP_TAU, k=-1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": pdf["cid"].values[order],
+                "is_dup": above.any(axis=1),
+            }
+        )
+
+    return final.groupBy("cid").applyInPandas(
+        cell_dups, "vec_id long, cluster long, is_dup boolean"
     )

@@ -3386,3 +3386,194 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         _zvalue(F.floor(pbin), F.floor(sbin)).alias("zval"),
     )
     return with_z.repartitionByRange(32, "zval").sortWithinPartitions("zval")
+
+
+@REG.query(
+    "events_top_sequences",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    grams AS (
+      SELECT e1, e2, e3, COUNT(*) AS cnt FROM seq
+      WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY e1, e2, e3
+    )
+    SELECT e1, e2, e3, cnt, CAST(rk AS INT) AS rk FROM (
+      SELECT e1, e2, e3, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, e1, e2, e3) AS rk
+      FROM grams
+    ) WHERE rk <= 10
+    """,
+)
+def events_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining lite: the 10 most frequent event-type
+    TRIGRAMS across all per-user event streams — the n-gram view of user
+    behavior that funnels (fixed target sequence) and Markov transitions
+    (single step) both miss.
+
+    Plan: the trigram build is two LEADs over one per-user window (one
+    user_id exchange, no self-joins — the naive approach is a double
+    self-join on adjacency); the count reduces to |types|³ rows at most,
+    and the final top-10 is a TakeOrdered over those few rows, not a
+    global sort.  At 100 TB the user_id window parallelizes per user
+    with bounded state (2 events of lookahead)."""
+    from pyspark.sql import Window
+
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    grams = seq.groupBy("e1", "e2", "e3").agg(F.count(F.lit(1)).alias("cnt"))
+    wr = Window.orderBy(F.desc("cnt"), "e1", "e2", "e3")
+    return (
+        grams.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 10)
+        .select("e1", "e2", "e3", "cnt", "rk")
+    )
+
+
+#: Benford expected first-digit probabilities, precomputed once in
+#: Python so BOTH engines compare against the identical double literals
+#: (log10 in two libms can differ in the last ulp).
+_BENFORD_P = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+
+
+@REG.query(
+    "quality_benford",
+    oracle=f"""
+    WITH digits AS (
+      SELECT ABS(CAST(ROUND(value * 100) AS BIGINT)) AS cents FROM events
+    ),
+    firsts AS (
+      SELECT cents // CAST(POWER(10, LENGTH(CAST(cents AS VARCHAR)) - 1) AS BIGINT)
+               AS d
+      FROM digits
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM firsts),
+    hist AS (SELECT d, COUNT(*) AS n FROM firsts GROUP BY d)
+    SELECT d, n, CAST(n AS DOUBLE) / n_total AS frac,
+           CAST(CASE d {" ".join(f"WHEN {d} THEN {p!r}" for d, p in _BENFORD_P.items())}
+           END AS DOUBLE) AS expected,
+           ABS(CAST(n AS DOUBLE) / n_total -
+               CAST(CASE d {" ".join(f"WHEN {d} THEN {p!r}" for d, p in _BENFORD_P.items())}
+               END AS DOUBLE)) AS abs_dev
+    FROM hist, tot
+    """,
+)
+def quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit over the monetary `value` column: observed
+    first-significant-digit distribution vs the log10(1+1/d) expectation
+    — the classic fraud / synthetic-data / unit-mixing detector (a
+    column whose digits are uniform instead of Benford-ish was generated
+    or truncated, not measured).
+
+    Exactness across engines: the first digit is extracted with INTEGER
+    arithmetic (cents → leading digit via string length, no float
+    log10 whose ulp could flip a boundary value), and the expected
+    probabilities are Python-precomputed literals pasted into both
+    sides, so the only floats are one division and one subtraction in
+    identical order.  Plan: map-side digit extract, 9-row histogram
+    shuffle, 1-row total probe — scans any corpus once."""
+    events = read_table(spark, sf_dir, "events")
+    # first SIGNIFICANT digit is sign-free; abs also dodges the one
+    # divergence between the engines (DuckDB integer // truncates
+    # toward zero, Spark floor() floors — they disagree only below 0)
+    cents = F.abs(F.round(F.col("value") * 100).cast("bigint"))
+    firsts = events.select(
+        F.floor(
+            cents / F.pow(F.lit(10), F.length(cents.cast("string")) - 1)
+        ).cast("bigint").alias("d")
+    )
+    tot = firsts.agg(F.count(F.lit(1)).alias("n_total"))
+    hist = firsts.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    expected = F.element_at(
+        F.create_map(
+            *[F.lit(x) for d, p in _BENFORD_P.items() for x in (d, p)]
+        ),
+        F.col("d").cast("int"),
+    )
+    frac = F.col("n").cast("double") / F.col("n_total")
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "d", "n", frac.alias("frac"), expected.alias("expected"),
+            F.abs(frac - expected).alias("abs_dev"),
+        )
+    )
+
+
+@REG.query(
+    "agg_mode_per_group",
+    oracle="""
+    SELECT user_id, e AS mode_event_type, cnt FROM (
+      SELECT user_id, event_type AS e, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY COUNT(*) DESC, event_type) AS rk
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rk = 1
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MODE (most frequent value, deterministic lexicographic
+    tie-break): each user's dominant event type.  Spark has no MODE()
+    aggregate over groups with a defined tie rule, so the engine
+    composes it: count per (group, value) with map-side partial agg,
+    then a per-group row_number window on the REDUCED counts — the
+    window input is |groups|×|values| rows, never the raw events, which
+    is what keeps the pattern viable on a 100 TB event log."""
+    from pyspark.sql import Window
+
+    events = read_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), "event_type")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event_type"), "cnt")
+    )
+
+
+@REG.query(
+    "events_sliding_distinct",
+    oracle="""
+    WITH contrib AS (
+      SELECT DATE_ADD(CAST(ts AS DATE), CAST(o AS INT)) AS report_day, user_id
+      FROM events, UNNEST(RANGE(0, 7)) AS r(o)
+    )
+    SELECT report_day, COUNT(DISTINCT user_id) AS n_active_7d
+    FROM contrib GROUP BY report_day
+    """,
+)
+def events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day DISTINCT active users per day — the sliding
+    count-distinct that windows can't express (COUNT(DISTINCT) is not
+    frame-able) and self-joins express at O(days × events) cost.  The
+    scale move: each event CONTRIBUTES itself to the 7 report days it
+    is visible from (a bounded 7-row explode in the scan stage), then
+    one (day, user) distinct-aggregate — cost O(7·events) map-side
+    with a single shuffle, independent of the window length ratio.
+    The approximate twin at extreme cardinality is this same shape
+    with approx_count_distinct (HLL merge per day)."""
+    events = read_table(spark, sf_dir, "events")
+    contrib = events.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(6)),
+                lambda o: F.date_add(F.col("ts").cast("date"), o),
+            )
+        ).alias("report_day"),
+        "user_id",
+    )
+    return contrib.groupBy("report_day").agg(
+        F.count_distinct("user_id").alias("n_active_7d")
+    )

@@ -74,29 +74,35 @@ def test_pagerank_matches_numpy_replay(spark):
         assert abs(got[node] - rank[idx[node]]) < 1e-5, node
 
 
-def test_semantic_kmeans_matches_numpy_replay(spark):
-    """dedup_semantic_kmeans is rows-only (parallel float means aren't
-    bit-portable), so its full algorithm is replayed here in numpy
-    float64: same deterministic init (K smallest vec_ids), same fixed
-    Lloyd's iterations, same lower-cid / lower-vec_id tie-breaks.
-    Assignments must agree wherever the best-vs-second-best margin
-    exceeds float tolerance (in practice: everywhere), and dup flags
-    must agree wherever the cosine clears the threshold by more than
-    float tolerance."""
+import pytest
+
+
+@pytest.mark.parametrize("form", ["fixed", "scaled"])
+def test_semantic_kmeans_matches_numpy_replay(spark, form):
+    """dedup_semantic_kmeans (+_scaled) is rows-only (parallel float
+    means aren't bit-portable), so its full algorithm is replayed here
+    in numpy float64: same deterministic init (K smallest vec_ids; the
+    scaled form derives K from N), same fixed Lloyd's iterations, same
+    lower-cid / lower-vec_id tie-breaks.  Assignments must agree
+    wherever the best-vs-second-best margin exceeds float tolerance (in
+    practice: everywhere), and dup flags must agree wherever the cosine
+    clears the threshold by more than float tolerance."""
+    import math
+
     import numpy as np
 
     from firebase_realtime_database_backup_spark.operators.dedup import (
+        SEMDEDUP_CELL_TARGET,
         SEMDEDUP_ITERS,
         SEMDEDUP_K,
         SEMDEDUP_TAU,
         dedup_semantic_kmeans,
+        dedup_semantic_kmeans_scaled,
     )
 
     sf = "/root/testdata/sf0.01"
-    got = {
-        r.vec_id: (r.cluster, r.is_dup)
-        for r in dedup_semantic_kmeans(spark, sf).collect()
-    }
+    fn = dedup_semantic_kmeans if form == "fixed" else dedup_semantic_kmeans_scaled
+    got = {r.vec_id: (r.cluster, r.is_dup) for r in fn(spark, sf).collect()}
 
     import duckdb
 
@@ -112,8 +118,13 @@ def test_semantic_kmeans_matches_numpy_replay(spark):
     E = np.array([r[1] for r in rows], dtype=np.float64)
     assert len(got) == len(ids)
 
-    cid_ids = ids[:SEMDEDUP_K]            # K smallest vec_ids (sorted)
-    C = E[:SEMDEDUP_K].copy()
+    K = (
+        SEMDEDUP_K
+        if form == "fixed"
+        else max(SEMDEDUP_K, math.ceil(len(ids) / SEMDEDUP_CELL_TARGET))
+    )
+    cid_ids = ids[:K]                     # K smallest vec_ids (sorted)
+    C = E[:K].copy()
     for _ in range(SEMDEDUP_ITERS):
         d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)        # argmin ties → lowest index ==
@@ -124,7 +135,7 @@ def test_semantic_kmeans_matches_numpy_replay(spark):
         C = np.array(
             [
                 E[assign == k].mean(axis=0) if (assign == k).any() else C[k]
-                for k in range(SEMDEDUP_K)
+                for k in range(K)
             ]
         )
     d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)

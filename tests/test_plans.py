@@ -310,6 +310,7 @@ BNL_DESIGNED = {
     # K-row broadcast centroid table — the K-row cross join IS the
     # algorithm (same shape as sim_ivf_topk's centroid assign).
     "dedup_semantic_kmeans",
+    "dedup_semantic_kmeans_scaled",
 }
 # 1-row broadcast probes (scalar-subquery shape): the broadcast bloom
 # bitmap, the min-language-count target, winsorize-style global bounds,
@@ -327,6 +328,7 @@ BNL_ONE_ROW_PROBES = {
     "quality_drift_chi2": 2,
     "agg_heavy_hitters": 1,  # 1-row corpus-total probe under the n/K cut
     "layout_zorder": 1,      # 1-row min/max bounds row for key binning
+    "quality_benford": 1,    # 1-row total row under the digit histogram
 }
 BNL_ALLOWED = BNL_DESIGNED | set(BNL_ONE_ROW_PROBES)
 
