@@ -96,6 +96,7 @@ HEADLINE = [
     "events_sliding_distinct",
     "join_bloom_prefilter",
     "join_asof_forward",
+    "join_asof_nearest",
     "join_shuffle_hash_hint",
     "agg_string_agg",
     "ingest_schema_inference",
@@ -147,6 +148,7 @@ HEADLINE = [
     "multimodal_media_features",
     "multimodal_frame_explode",
     "multimodal_frame_energy",
+    "multimodal_scene_cuts",
     "sim_dim_stats",
     "text_source_blocklist",
     "text_rarity_score",

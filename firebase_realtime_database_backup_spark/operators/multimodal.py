@@ -442,3 +442,59 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") >= 2)
     )
+
+
+@REG.query(
+    "multimodal_scene_cuts",
+    oracle=f"""
+    WITH {ASCII_DOCS_CTE},
+    frames AS (
+      SELECT doc_id,
+             CAST((p - 1) // {FRAME_BYTES} AS BIGINT) AS frame_no,
+             CAST(SUM(UNICODE(SUBSTRING(text, p + o, 1))
+                      * UNICODE(SUBSTRING(text, p + o, 1))) AS BIGINT) AS energy
+      FROM docs_ascii,
+           UNNEST(RANGE(1, OCTET_LENGTH(ENCODE(text)) + 1, {FRAME_BYTES})) AS r(p),
+           UNNEST(RANGE(0, LEAST({FRAME_BYTES},
+                  OCTET_LENGTH(ENCODE(text)) - p + 1))) AS s(o)
+      GROUP BY doc_id, (p - 1) // {FRAME_BYTES}
+    ),
+    lagd AS (
+      SELECT doc_id, frame_no, energy,
+             LAG(energy) OVER (PARTITION BY doc_id ORDER BY frame_no)
+               AS prev_energy
+      FROM frames
+    )
+    SELECT doc_id, frame_no, energy, prev_energy
+    FROM lagd
+    WHERE prev_energy IS NOT NULL
+      AND 2 * ABS(energy - prev_energy) > prev_energy
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut / shot-boundary detection, the video-pipeline shape:
+    frames whose energy jumps by more than 50% of the previous frame's
+    energy mark a content boundary (a real detector thresholds a
+    histogram or embedding delta; the per-frame ENERGY delta is the
+    same dataflow with the integer arithmetic that keeps the oracle
+    exact, and a real frame featurizer slots into the same
+    mapInPandas stage).
+
+    Plan: frame energies come from the Arrow-batched kernel
+    (multimodal_frame_energy — fan-out in the scan stage, zero
+    shuffle), then ONE per-doc window computes the lag delta; the
+    threshold compare is pure integers (2·|Δ| > prev), map-side after
+    the window sort.  At 100 TB the window partitions by media item —
+    bounded per-item frame counts, no global ordering anywhere."""
+    from pyspark.sql import Window
+
+    frames = multimodal_frame_energy(spark, sf_dir).select(
+        "doc_id", "frame_no", "energy"
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    lagd = frames.withColumn("prev_energy", F.lag("energy").over(w))
+    return lagd.filter(
+        F.col("prev_energy").isNotNull()
+        & (2 * F.abs(F.col("energy") - F.col("prev_energy"))
+           > F.col("prev_energy"))
+    )

@@ -131,14 +131,21 @@ def ensure_bucketed_facts(spark: SparkSession, sf_dir: str):
     li_name, od_name = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
 
     def build(name: str, table: str, key: str) -> None:
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(wh.removeprefix("file:"), name.lower())
         if spark.catalog.tableExists(name):
-            return
+            # the inverse orphan: catalog remembers the table but the
+            # location is gone/empty (another process rebuilding the
+            # same warehouse swept it) — drop and rebuild
+            if os.path.isdir(loc) and any(
+                f.startswith("part-") for f in os.listdir(loc)
+            ):
+                return
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
         # an orphaned location can linger from a previous session (the
         # in-memory catalog forgets the table, the warehouse dir does
         # not); bucket metadata lives in the catalog, so the directory
         # alone is untrusted — clear it and rebuild
-        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        loc = os.path.join(wh.removeprefix("file:"), name.lower())
         if os.path.exists(loc):
             shutil.rmtree(loc)
         (
@@ -3576,4 +3583,116 @@ def events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return contrib.groupBy("report_day").agg(
         F.count_distinct("user_id").alias("n_active_7d")
+    )
+
+
+@REG.query(
+    "join_asof_nearest",
+    oracle="""
+    WITH ords AS (
+      SELECT o_custkey, o_orderdate,
+             MIN_BY(o_orderkey, o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    b AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             o.o_orderkey AS bk, o.o_orderdate AS bd
+      FROM events e
+      ASOF LEFT JOIN ords o
+        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ),
+    f AS (
+      SELECT e.event_id, o.o_orderkey AS fk, o.o_orderdate AS fd
+      FROM events e
+      ASOF LEFT JOIN ords o
+        ON e.user_id = o.o_custkey AND e.ts < o.o_orderdate
+    )
+    SELECT b.event_id, b.user_id,
+           CAST(EPOCH_MS(b.ts) AS BIGINT) AS ts_ms,
+           CASE WHEN fd IS NULL THEN bk
+                WHEN bd IS NULL THEN fk
+                WHEN CAST(EPOCH_MS(b.ts) AS BIGINT) - CAST(EPOCH_MS(bd) AS BIGINT)
+                     <= CAST(EPOCH_MS(fd) AS BIGINT) - CAST(EPOCH_MS(b.ts) AS BIGINT)
+                THEN bk ELSE fk END AS nearest_orderkey,
+           CASE WHEN fd IS NULL AND bd IS NULL THEN NULL
+                WHEN fd IS NULL THEN 'back'
+                WHEN bd IS NULL THEN 'fwd'
+                WHEN CAST(EPOCH_MS(b.ts) AS BIGINT) - CAST(EPOCH_MS(bd) AS BIGINT)
+                     <= CAST(EPOCH_MS(fd) AS BIGINT) - CAST(EPOCH_MS(b.ts) AS BIGINT)
+                THEN 'back' ELSE 'fwd' END AS direction
+    FROM b JOIN f USING (event_id)
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: for each event, the user's order CLOSEST in
+    time, looking both directions (ties to the past — the backward
+    match is the one that can't leak).  Completes the as-of family:
+    join_asof (last at-or-before), join_asof_forward (first strictly
+    after), and this sensor-fusion/alignment form.
+
+    ONE tagged-union shuffle computes both candidates: the same sorted
+    per-key window yields last(ignorenulls) over the preceding frame
+    (backward, inclusive — order rows sort before event rows at the
+    same instant) AND first(ignorenulls) over the following frame
+    (forward, strict — same-instant orders are behind the event row).
+    Catalyst reuses one Exchange+Sort for both frames, so the nearest
+    variant costs the same single shuffle as either one-sided form —
+    never the O(events×orders) range-join blowup."""
+    events = read_table(spark, sf_dir, "events")
+    orders = read_table(spark, sf_dir, "orders")
+    ords = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.min_by("o_orderkey", "o_orderkey").alias("o_orderkey"),
+    )
+    o_t = "struct<okey:bigint,odate:timestamp>"
+    left = events.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        "ts",
+        F.lit(None).cast(o_t).alias("o"),
+    )
+    right = ords.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.struct(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderdate").alias("odate"),
+        ).alias("o"),
+    )
+    base = Window.partitionBy("k").orderBy("t", "is_event")
+    w_back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = base.rowsBetween(1, Window.unboundedFollowing)
+    merged = (
+        left.unionByName(right)
+        .select(
+            "event_id",
+            "k",
+            "ts",
+            "is_event",
+            F.last("o", ignorenulls=True).over(w_back).alias("b"),
+            F.first("o", ignorenulls=True).over(w_fwd).alias("f"),
+        )
+        .filter(F.col("is_event") == 1)
+    )
+    ts_ms = F.unix_millis("ts")
+    back_d = ts_ms - F.unix_millis(F.col("b.odate"))
+    fwd_d = F.unix_millis(F.col("f.odate")) - ts_ms
+    take_back = F.col("f").isNull() | (
+        F.col("b").isNotNull() & (back_d <= fwd_d)
+    )
+    return merged.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        ts_ms.alias("ts_ms"),
+        F.when(take_back, F.col("b.okey"))
+        .otherwise(F.col("f.okey"))
+        .alias("nearest_orderkey"),
+        F.when(F.col("b").isNull() & F.col("f").isNull(), F.lit(None).cast("string"))
+        .when(take_back, F.lit("back"))
+        .otherwise(F.lit("fwd"))
+        .alias("direction"),
     )
