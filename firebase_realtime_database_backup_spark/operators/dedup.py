@@ -1225,7 +1225,7 @@ def _semantic_kmeans(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
 
     for _ in range(SEMDEDUP_ITERS):
         assigned = assign(cents)
-        cents = (
+        means = (
             emb.join(assigned, "vec_id")
             .select("cid", F.posexplode("emb").alias("dim", "x"))
             .groupBy("cid", "dim")
@@ -1235,8 +1235,16 @@ def _semantic_kmeans(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("dim", "mu"))),
                     lambda s: s["mu"],
-                ).alias("ce")
+                ).alias("ce_new")
             )
+        )
+        # a cell that captured no vectors this round KEEPS its stale
+        # centroid (standard Lloyd's; also what the numpy replay and
+        # the scaled twin do) — the left join + coalesce is what stops
+        # empty cells from silently shrinking K
+        cents = (
+            cents.join(means, "cid", "left")
+            .select("cid", F.coalesce("ce_new", "ce").alias("ce"))
         )
     final = assign(cents).join(emb, "vec_id")
     a = final.select(
@@ -1349,6 +1357,10 @@ def dedup_semantic_kmeans_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows = (
         emb.orderBy("vec_id").limit(k).select("vec_id", "emb").collect()
     )
+    if not cent_rows:  # degenerate empty corpus: nothing to cluster
+        return spark.createDataFrame(
+            [], "vec_id long, cluster long, is_dup boolean"
+        )
     cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
     C = np.array([r.emb for r in cent_rows], dtype=np.float64)
 

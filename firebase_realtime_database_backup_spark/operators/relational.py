@@ -23,6 +23,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -3450,7 +3452,7 @@ def events_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Benford expected first-digit probabilities, precomputed once in
 #: Python so BOTH engines compare against the identical double literals
 #: (log10 in two libms can differ in the last ulp).
-_BENFORD_P = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+_BENFORD_P = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
 
 
 @REG.query(

@@ -159,3 +159,71 @@ def test_semantic_kmeans_matches_numpy_replay(spark, form):
         )
         if not boundary:
             assert got[v][1] == dup, f"dup flag mismatch for {v}"
+
+
+def test_semantic_kmeans_empty_cell_and_empty_corpus(spark, tmp_path):
+    """Regression for two degenerate inputs the twins must agree on:
+
+    1. A k-means cell that EMPTIES mid-iteration (two identical vectors
+       among the K smallest ids tie every point to the lower cid): the
+       declarative form must keep the stale centroid — not silently
+       shrink K — exactly like the scaled twin and the numpy replay.
+       Integer-coordinate vectors make every float path exact, so the
+       two forms must agree row-for-row.
+    2. An empty embeddings table: both forms return an empty result
+       instead of crashing driver-side."""
+    import numpy as np
+    import pandas as pd
+
+    from firebase_realtime_database_backup_spark.operators.dedup import (
+        SEMDEDUP_K,
+        dedup_semantic_kmeans,
+        dedup_semantic_kmeans_scaled,
+    )
+
+    d = str(tmp_path / "emptycell")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.RandomState(7)
+    vecs = []
+    for i in range(SEMDEDUP_K + 12):
+        v = rng.randint(-8, 9, size=16).astype(float)
+        vecs.append(v)
+    vecs[1] = vecs[0].copy()  # tie among the K smallest ids → cell 1 empties
+    pd.DataFrame(
+        {
+            "vec_id": list(range(len(vecs))),
+            "embedding": [v.astype(np.float32) for v in vecs],
+            "label": [0] * len(vecs),
+        }
+    ).to_parquet(os.path.join(d, "embeddings.parquet"))
+
+    fixed = {
+        r.vec_id: (r.cluster, r.is_dup)
+        for r in dedup_semantic_kmeans(spark, d).collect()
+    }
+    scaled = {
+        r.vec_id: (r.cluster, r.is_dup)
+        for r in dedup_semantic_kmeans_scaled(spark, d).collect()
+    }
+    assert fixed == scaled
+    assert len(fixed) == len(vecs)
+
+    e = str(tmp_path / "empty")
+    os.makedirs(e, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+                "label": pa.array([], pa.int32()),
+            }
+        ),
+        os.path.join(e, "embeddings.parquet"),
+    )
+    assert dedup_semantic_kmeans_scaled(spark, e).count() == 0
+    assert dedup_semantic_kmeans(spark, e).count() == 0

@@ -264,12 +264,11 @@ def test_zorder_layout_footer_locality(spark, queries, tmp_path):
     files = sorted(glob.glob(out + "/part-*.parquet"))
     assert len(files) >= 8
     spans = {"zval": [], "l_partkey": [], "l_suppkey": []}
-    glo = {
-        c: (r["lo"], r["hi"])
-        for c in spans
-        for r in [df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()]
-        if not spans[c]
-    }
+    glo_row = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in spans],
+        *[F.max(c).alias(f"hi_{c}") for c in spans],
+    ).first()
+    glo = {c: (glo_row[f"lo_{c}"], glo_row[f"hi_{c}"]) for c in spans}
     z_ranges = []
     for f in files:
         part = spark.read.parquet(f)
