@@ -122,6 +122,7 @@ HEADLINE = [
     "dedup_embedding_cosine_scaled",
     "sim_cosine_topk",
     "sim_ivf_topk",
+    "sim_topk_incremental",
     "sim_ann_multitable",
     "sim_label_centroids",
     "sim_vector_quantize",

