@@ -92,6 +92,7 @@ HEADLINE = [
     "agg_mode_per_group",
     "layout_zorder",
     "quality_benford",
+    "quality_referential_integrity",
     "events_top_sequences",
     "events_sliding_distinct",
     "join_bloom_prefilter",

@@ -3752,3 +3752,78 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("fwd"))
         .alias("direction"),
     )
+
+
+@REG.query(
+    "quality_referential_integrity",
+    oracle="""
+    SELECT fk_name, n_child_rows, n_null_keys, n_orphans FROM (
+      SELECT 'lineitem.l_orderkey->orders' AS fk_name,
+             COUNT(*) AS n_child_rows,
+             CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_keys,
+             CAST(SUM(CASE WHEN l_orderkey IS NOT NULL AND o_orderkey IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+      FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      UNION ALL
+      SELECT 'orders.o_custkey->customer',
+             COUNT(*),
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN o_custkey IS NOT NULL AND c_custkey IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation',
+             COUNT(*),
+             CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN c_nationkey IS NOT NULL AND n_nationkey IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+    )
+    """,
+)
+def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the FK graph: per foreign key,
+    how many child rows exist, how many carry a NULL key, and how many
+    are ORPHANS (non-null key with no parent) — the pre-pipeline gate
+    that catches a truncated dimension load before a 100 TB fact join
+    silently drops (inner) or null-inflates (left) those rows.
+
+    Plan: each FK check is one left join + 1-row aggregate.  The parent
+    side ships only its KEY column (column pruning reaches the scan),
+    and dimension-sized parents broadcast — the fact table is never
+    shuffled for those; output is |fk| rows.  Orphans are counted via
+    the null-extended parent key rather than an anti join so one pass
+    yields all three counters."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+
+    def check(name, child, ckey, parent, pkey, broadcast_parent):
+        p = parent.select(pkey).distinct()
+        if broadcast_parent:
+            p = F.broadcast(p)
+        joined = child.select(ckey).join(
+            p, F.col(ckey) == F.col(pkey), "left"
+        )
+        return joined.agg(
+            F.lit(name).alias("fk_name"),
+            F.count(F.lit(1)).alias("n_child_rows"),
+            F.sum(F.col(ckey).isNull().cast("bigint")).alias("n_null_keys"),
+            F.sum(
+                (F.col(ckey).isNotNull() & F.col(pkey).isNull()).cast("bigint")
+            ).alias("n_orphans"),
+        )
+    return (
+        check("lineitem.l_orderkey->orders", lineitem, "l_orderkey",
+              orders, "o_orderkey", broadcast_parent=False)
+        .unionByName(
+            check("orders.o_custkey->customer", orders, "o_custkey",
+                  customer, "c_custkey", broadcast_parent=True)
+        )
+        .unionByName(
+            check("customer.c_nationkey->nation", customer, "c_nationkey",
+                  nation, "n_nationkey", broadcast_parent=True)
+        )
+    )

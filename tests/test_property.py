@@ -128,3 +128,74 @@ def test_chunking_reconstructs_documents(spark):
     )
     assert joined.count() == docs.count()
     assert bad.count() == 0, bad.limit(3).collect()
+
+
+def test_sliding_distinct_interval_merge_boundaries(spark, tmp_path):
+    """events_sliding_distinct's interval-merge rewrite must equal the
+    brute-force contribute-to-each-visible-day count on a corpus built
+    to hit every island boundary: activity gaps of exactly W-1 (merge),
+    W (merge — still within visibility), and W+1 (split) days,
+    single-day users, same-day duplicates, and users whose intervals
+    abut the domain edges."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from firebase_realtime_database_backup_spark.operators.relational import (
+        events_sliding_distinct,
+    )
+
+    W = 7
+    base = dt.datetime(2024, 3, 1)
+    users_days = {
+        1: [0, 6],            # gap W-1 → one interval
+        2: [0, 7],            # gap W   → islands split at day>prev+6,
+                              # but visibility windows still overlap
+        3: [0, 8],            # gap W+1 → disjoint visibility
+        4: [0],               # single day
+        5: [0, 0, 0],         # same-day duplicates
+        6: [20, 21, 22],      # dense run at domain edge
+        7: [3, 10, 17, 24],   # repeated exact-W gaps
+    }
+    rows = [
+        (uid * 1000 + i, base + dt.timedelta(days=d, hours=1), uid, "click",
+         1.0, "{}")
+        for uid, days in users_days.items()
+        for i, d in enumerate(days)
+    ]
+    d = str(tmp_path / "sliding_edge")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows]),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+
+    got = {
+        r.report_day: r.n_active_7d
+        for r in events_sliding_distinct(spark, d).collect()
+    }
+
+    brute: dict = {}
+    for uid, days in users_days.items():
+        visible = set()
+        for day in days:
+            for o in range(W):
+                visible.add(day + o)
+        for v in visible:
+            brute.setdefault(v, set()).add(uid)
+    want = {
+        (base + dt.timedelta(days=v)).date(): len(us)
+        for v, us in brute.items()
+    }
+    assert got == want
