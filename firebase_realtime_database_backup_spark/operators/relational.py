@@ -3264,8 +3264,8 @@ HEAVY_HITTER_K = 200  # report items with frequency > n_total / K
     WITH occ AS (
       SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
     ),
-    tot AS (SELECT COUNT(*) AS n_total FROM occ),
-    freq AS (SELECT tok, COUNT(*) AS cnt FROM occ GROUP BY tok)
+    freq AS (SELECT tok, COUNT(*) AS cnt FROM occ GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM freq)
     SELECT tok, cnt, n_total,
            CAST(cnt AS DOUBLE) / n_total AS frac
     FROM freq, tot
@@ -3286,11 +3286,13 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     can exceed n/K, so the result is ≤ K rows no matter the corpus
     size — this shape is 100 TB-safe end-to-end.  The threshold
     comparison is pure integers (cnt * K > n_total); only the reported
-    fraction is a double, one division on ≤ K rows."""
+    fraction is a double, one division on ≤ K rows.  The corpus total
+    is derived from the reduced frequency table (Σcnt ≡ token count),
+    so the corpus is exploded exactly once."""
     docs = spread(read_table(spark, sf_dir, "documents"))
     occ = docs.select(F.explode(F.split("text", " ")).alias("tok"))
     freq = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = occ.agg(F.count(F.lit(1)).alias("n_total"))
+    tot = freq.agg(F.sum("cnt").alias("n_total"))
     return (
         freq.crossJoin(F.broadcast(tot))
         .filter(F.col("cnt") * HEAVY_HITTER_K > F.col("n_total"))
@@ -3466,8 +3468,8 @@ _BENFORD_P = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
                AS d
       FROM digits
     ),
-    tot AS (SELECT COUNT(*) AS n_total FROM firsts),
-    hist AS (SELECT d, COUNT(*) AS n FROM firsts GROUP BY d)
+    hist AS (SELECT d, COUNT(*) AS n FROM firsts GROUP BY d),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM hist)
     SELECT d, n, CAST(n AS DOUBLE) / n_total AS frac,
            CAST(CASE d {" ".join(f"WHEN {d} THEN {p!r}" for d, p in _BENFORD_P.items())}
            END AS DOUBLE) AS expected,
@@ -3501,8 +3503,10 @@ def quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents / F.pow(F.lit(10), F.length(cents.cast("string")) - 1)
         ).cast("bigint").alias("d")
     )
-    tot = firsts.agg(F.count(F.lit(1)).alias("n_total"))
+    # total derived from the 9-row histogram (Σn ≡ row count) — one
+    # events scan, not two
     hist = firsts.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = hist.agg(F.sum("n").alias("n_total"))
     expected = F.element_at(
         F.create_map(
             *[F.lit(x) for d, p in _BENFORD_P.items() for x in (d, p)]

@@ -141,28 +141,47 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The corpus side is a straight scan — broadcast(queries) keeps it
     shuffle-free until the tiny per-query top-k window."""
     emb = read_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").cast("array<double>").alias("qe"),
-    ).withColumn("qn", _norm(F.col("qe")))
-    c = emb.select(
-        F.col("vec_id").alias("c_id"),
-        F.col("embedding").cast("array<double>").alias("ce"),
-    ).withColumn("cn", _norm(F.col("ce")))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select(
-            "q_id",
-            "c_id",
-            F.try_divide(_dot(F.col("qe"), F.col("ce")), F.col("qn") * F.col("cn")).alias("cosine"),
-        )
-    )
+    scored = _score_against_queries(_query_side(emb), emb)
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("c_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
         .select("q_id", "c_id", "cosine", "rk")
+    )
+
+
+def _query_side(emb: DataFrame) -> DataFrame:
+    """(q_id, qe, qn): the fixed query set with precomputed norms —
+    shared by the exact top-k and its incremental-maintenance twin so
+    the scored expression (and with it the oracle hash) is defined
+    once."""
+    return (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").cast("array<double>").alias("qe"),
+        )
+        .withColumn("qn", _norm(F.col("qe")))
+    )
+
+
+def _score_against_queries(q: DataFrame, side: DataFrame) -> DataFrame:
+    """(q_id, c_id, cosine) for every (query, corpus-row) pair: the
+    corpus side scans map-side with the query set broadcast."""
+    c = side.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").cast("array<double>").alias("ce"),
+    ).withColumn("cn", _norm(F.col("ce")))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.try_divide(
+                _dot(F.col("qe"), F.col("ce")), F.col("qn") * F.col("cn")
+            ).alias("cosine"),
+        )
     )
 
 
@@ -711,41 +730,16 @@ def sim_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = read_table(spark, sf_dir, "embeddings")
-    q = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("embedding").cast("array<double>").alias("qe"),
-        )
-        .withColumn("qn", _norm(F.col("qe")))
-    )
-
-    def scores(side: DataFrame) -> DataFrame:
-        c = side.select(
-            F.col("vec_id").alias("c_id"),
-            F.col("embedding").cast("array<double>").alias("ce"),
-        ).withColumn("cn", _norm(F.col("ce")))
-        return (
-            c.crossJoin(F.broadcast(q))
-            .filter(F.col("q_id") != F.col("c_id"))
-            .select(
-                "q_id",
-                "c_id",
-                F.try_divide(
-                    _dot(F.col("qe"), F.col("ce")), F.col("qn") * F.col("cn")
-                ).alias("cosine"),
-            )
-        )
-
+    q = _query_side(emb)
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("c_id"))
     base_topk = (
-        scores(emb.filter(F.col("vec_id") % 10 != 0))
+        _score_against_queries(q, emb.filter(F.col("vec_id") % 10 != 0))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
         .drop("rk")
     )
     merged = base_topk.unionByName(
-        scores(emb.filter(F.col("vec_id") % 10 == 0))
+        _score_against_queries(q, emb.filter(F.col("vec_id") % 10 == 0))
     )
     return (
         merged.withColumn("rk", F.row_number().over(w))

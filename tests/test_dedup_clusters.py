@@ -181,15 +181,15 @@ def test_semantic_kmeans_empty_cell_and_empty_corpus(spark, tmp_path):
         dedup_semantic_kmeans_scaled,
     )
 
-    d = str(tmp_path / "emptycell")
     import os
 
+    d = str(tmp_path / "emptycell")
     os.makedirs(d, exist_ok=True)
     rng = np.random.RandomState(7)
-    vecs = []
-    for i in range(SEMDEDUP_K + 12):
-        v = rng.randint(-8, 9, size=16).astype(float)
-        vecs.append(v)
+    vecs = [
+        rng.randint(-8, 9, size=16).astype(float)
+        for _ in range(SEMDEDUP_K + 12)
+    ]
     vecs[1] = vecs[0].copy()  # tie among the K smallest ids → cell 1 empties
     pd.DataFrame(
         {
