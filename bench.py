@@ -94,6 +94,7 @@ HEADLINE = [
     "quality_benford",
     "quality_referential_integrity",
     "events_top_sequences",
+    "events_attribution_linear",
     "events_sliding_distinct",
     "join_bloom_prefilter",
     "join_asof_forward",

@@ -3831,3 +3831,110 @@ def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
                   nation, "n_nationkey", broadcast_parent=True)
         )
     )
+
+
+ATTR_WINDOW_MS = 7 * 86400000  # attribution lookback: purchase within 7d
+
+
+@REG.query(
+    "events_attribution_linear",
+    # ground-truth oracle: per click, the earliest purchase strictly
+    # after it (same user, within the window), then linear credit split
+    # — a correlated pair join is fine as ORACLE (it is the definition);
+    # the engine never materializes the pair space
+    oracle=f"""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id,
+             CAST(EPOCH_MS(ts) AS BIGINT) AS c_ms
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id,
+             CAST(EPOCH_MS(ts) AS BIGINT) AS p_ms
+      FROM events WHERE event_type = 'purchase'
+    ),
+    attributed AS (
+      SELECT click_id, user_id, purchase_id FROM (
+        SELECT c.click_id, c.user_id, p.purchase_id,
+               ROW_NUMBER() OVER (PARTITION BY c.click_id
+                                  ORDER BY p.p_ms, p.purchase_id) AS rk
+        FROM clicks c JOIN purchases p
+          ON c.user_id = p.user_id
+         AND p.p_ms > c.c_ms
+         AND p.p_ms <= c.c_ms + {ATTR_WINDOW_MS}
+      ) WHERE rk = 1
+    )
+    SELECT click_id, user_id, purchase_id,
+           1.0 / (COUNT(*) OVER (PARTITION BY purchase_id)) AS credit
+    FROM attributed
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each click is attributed to the
+    user's NEXT purchase (strictly after it, within a 7-day window),
+    and every click attributed to the same purchase shares its credit
+    equally — the marketing-analytics workload that naively explodes
+    into a clicks×purchases range join.
+
+    Engine shape: the forward as-of tagged union again (ONE per-user
+    shuffle — purchases sort before clicks at the same instant, so the
+    following-frame first() is strictly-after by construction, the
+    same trick as join_asof_forward), then the window cut is an
+    integer-millisecond filter and the credit split is one groupBy on
+    the purchase id.  O((clicks+purchases) log) with no pair blowup;
+    the oracle IS the pair-join definition, which a 100 TB engine must
+    never execute."""
+    events = read_table(spark, sf_dir, "events")
+    p_t = "struct<pid:bigint,pms:bigint>"
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(1).alias("is_click"),
+        F.lit(None).cast(p_t).alias("p"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(0).alias("is_click"),
+        F.struct(
+            F.col("event_id").alias("pid"),
+            F.unix_millis("ts").alias("pms"),
+        ).alias("p"),
+    )
+    # order on the MILLISECOND grain (not raw microsecond timestamps):
+    # "strictly after" is defined in ms on both sides, so a purchase in
+    # the same ms as a click sorts before it and is correctly excluded
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.unix_millis("t"), F.col("is_click"), F.col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    attributed = (
+        clicks.unionByName(purchases)
+        .select(
+            "event_id",
+            "k",
+            "is_click",
+            F.unix_millis("t").alias("c_ms"),
+            F.first("p", ignorenulls=True).over(w).alias("np"),
+        )
+        .filter(
+            (F.col("is_click") == 1)
+            & F.col("np").isNotNull()
+            & (F.col("np.pms") <= F.col("c_ms") + ATTR_WINDOW_MS)
+        )
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("k").alias("user_id"),
+            F.col("np.pid").alias("purchase_id"),
+        )
+    )
+    n_per_purchase = Window.partitionBy("purchase_id")
+    return attributed.select(
+        "click_id",
+        "user_id",
+        "purchase_id",
+        (F.lit(1.0) / F.count(F.lit(1)).over(n_per_purchase)).alias("credit"),
+    )

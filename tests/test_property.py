@@ -199,3 +199,66 @@ def test_sliding_distinct_interval_merge_boundaries(spark, tmp_path):
         for v, us in brute.items()
     }
     assert got == want
+
+
+def test_attribution_same_millisecond_is_not_attributed(spark, tmp_path):
+    """events_attribution_linear defines 'strictly after' on the
+    millisecond grain on BOTH engines: a purchase in the same ms as a
+    click must not capture it, one 1 ms later must, and the 7-day
+    window cut is inclusive at exactly +7d."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from firebase_realtime_database_backup_spark.operators.relational import (
+        events_attribution_linear,
+    )
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    ms = dt.timedelta(milliseconds=1)
+    day = dt.timedelta(days=1)
+    rows = [
+        # user 1: purchase in the SAME ms as the click → unattributed
+        (10, t0, 1, "click"),
+        (11, t0 + dt.timedelta(microseconds=400), 1, "purchase"),
+        # user 2: purchase 1 ms later → attributed
+        (20, t0, 2, "click"),
+        (21, t0 + ms, 2, "purchase"),
+        # user 3: purchase exactly +7d → inclusive boundary, attributed
+        (30, t0, 3, "click"),
+        (31, t0 + 7 * day, 3, "purchase"),
+        # user 4: purchase beyond 7d → unattributed
+        (40, t0, 4, "click"),
+        (41, t0 + 7 * day + ms, 4, "purchase"),
+        # user 5: two clicks share one purchase → credit 0.5 each
+        (50, t0, 5, "click"),
+        (51, t0 + ms, 5, "click"),
+        (52, t0 + 2 * ms, 5, "purchase"),
+    ]
+    d = str(tmp_path / "attr_edge")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    got = {
+        r.click_id: (r.purchase_id, r.credit)
+        for r in events_attribution_linear(spark, d).collect()
+    }
+    assert got == {
+        20: (21, 1.0),
+        30: (31, 1.0),
+        50: (52, 0.5),
+        51: (52, 0.5),
+    }
