@@ -114,6 +114,7 @@ HEADLINE = [
     "stream_window_tumbling",
     "stream_window_session",
     "stream_stateful_user_totals",
+    "stream_daily_active",
     "stream_stream_join",
     # LLM-data operators
     "dedup_content_hash",

@@ -161,6 +161,20 @@ def run_stream_to_memory(
     )
 
 
+
+
+def daily_active_users(events: DataFrame) -> DataFrame:
+    """Distinct users per calendar day: streaming-exact dedup on
+    (day, user) followed by a day-grain count.  In streaming mode the
+    dropDuplicates carries (day, user) state — bounded by watermark
+    eviction on real pipelines (see dedup_events); the count itself is
+    an ordinary windowless keyed aggregate."""
+    d = events.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).dropDuplicates(["day", "user_id"])
+    return d.groupBy("day").agg(F.count(F.lit(1)).alias("n_active"))
+
+
 # --- oracle-checked batch queries ----------------------------------------
 
 @REG.query(
@@ -274,3 +288,20 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(lag).alias("min_lag_us"),
         F.max(lag).alias("max_lag_us"),
     )
+
+@REG.query(
+    "stream_daily_active",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS n_active
+    FROM events GROUP BY 1
+    """,
+)
+def stream_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users as the streaming-capable composition
+    (dropDuplicates + keyed count) rather than a batch-only
+    COUNT(DISTINCT) — the same transformation runs under
+    writeStream (parity-pinned in tests/test_streaming.py) where a
+    distinct aggregate would not be expressible incrementally.  The
+    trailing-window batch cousin is events_sliding_distinct."""
+    return daily_active_users(read_table(spark, sf_dir, "events"))
+

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from firebase_realtime_database_backup_spark.catalog import read_table
 from firebase_realtime_database_backup_spark.streaming.windows import (
+    daily_active_users,
     dedup_events,
     run_stream_to_memory,
     session_counts,
@@ -41,8 +42,9 @@ def _sorted_rows(df):
 
 
 @pytest.mark.parametrize(
-    "transform", [tumbling_counts, sliding_counts, session_counts],
-    ids=["tumbling", "sliding", "session"],
+    "transform",
+    [tumbling_counts, sliding_counts, session_counts, daily_active_users],
+    ids=["tumbling", "sliding", "session", "daily_active"],
 )
 def test_stream_batch_parity(spark, events_dir, transform):
     batch = transform(spark.read.parquet(events_dir))
