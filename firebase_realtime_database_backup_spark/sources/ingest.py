@@ -68,3 +68,43 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE-mode JSONL ingest that ROUTES malformed lines to a
+    quarantine stream instead of dropping (DROPMALFORMED) or aborting
+    (FAILFAST) — at 100 TB a handful of corrupt lines per billion must
+    neither kill the job nor vanish silently.
+
+    Returns (good, quarantined): `good` carries the declared schema's
+    columns for rows that parsed; `quarantined` carries the raw
+    offending line (Spark's `_corrupt_record` channel) for replay or
+    audit.  Both are one single-pass scan of the input — the split is
+    a filter on the corrupt-record column, so Spark reads the files
+    once per consumed branch with full pushdown, no pre-pass.
+
+    The declared `schema` must NOT include `_corrupt_record`; it is
+    appended here.  Spark requires the parsed result to be cached or
+    re-read for `_corrupt_record` filters (SPARK-21610: the column is
+    only populated while parsing) — handled via the internal
+    `columnNameOfCorruptRecord` + immediate materialization contract
+    below."""
+    corrupt_col = "_corrupt_record"
+    full_schema = f"{schema}, {corrupt_col} STRING"
+    parsed = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        # SPARK-21610: referencing only _corrupt_record (or filtering on
+        # it) straight off the scan is disallowed/undefined — cache the
+        # parsed frame so both branches split from materialized rows
+        .cache()
+    )
+    good = parsed.filter(parsed[corrupt_col].isNull()).drop(corrupt_col)
+    quarantined = parsed.filter(parsed[corrupt_col].isNotNull()).select(
+        parsed[corrupt_col].alias("raw_line")
+    )
+    return good, quarantined
