@@ -90,6 +90,7 @@ HEADLINE = [
     "agg_countmin_sketch",
     "agg_heavy_hitters",
     "agg_mode_per_group",
+    "agg_regression_exact",
     "layout_zorder",
     "quality_benford",
     "quality_referential_integrity",

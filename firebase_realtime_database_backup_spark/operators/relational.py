@@ -3938,3 +3938,74 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.lit(1.0) / F.count(F.lit(1)).over(n_per_purchase)).alias("credit"),
     )
+
+
+@REG.query(
+    "agg_regression_exact",
+    # final rounding goes through oround (Spark shortest-repr HALF_UP),
+    # not DuckDB's binary ROUND — see oround's docstring
+    oracle=f"""
+    WITH sums AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(l_quantity * l_quantity AS VARCHAR) AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(CAST(l_extendedprice * l_extendedprice AS VARCHAR) AS DECIMAL(38,10))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(CAST(l_quantity * l_extendedprice AS VARCHAR) AS DECIMAL(38,10))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n AS n_samples,
+           {oround("(n*sxy - sx*sy) / SQRT((n*sxx - sx*sx) * (n*syy - sy*sy))", 6)}
+             AS corr_qty_price,
+           {oround("(n*sxy - sx*sy) / (n*sxx - sx*sx)", 6)} AS slope,
+           {oround("(sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n", 6)}
+             AS intercept
+    FROM sums
+    """,
+)
+def agg_regression_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates with REPRODUCIBLE floats: per-group
+    Pearson correlation and least-squares slope/intercept of
+    (quantity → price), computed from exact DECIMAL moment sums
+    instead of Spark's corr()/regr_slope() streaming aggregates —
+    whose double accumulation is partitioning-order-dependent and
+    therefore non-deterministic run-to-run on a cluster.
+
+    Every product here is exact in double (bounded integers × 2-dp
+    prices stay under 2^53), each converts through its shortest
+    decimal repr to DECIMAL (the flagship_revenue_bucketed move), and
+    decimal addition is exact and order-independent — so the moment
+    sums are bit-identical on ANY partitioning and on both engines.
+    The closed-form corr/slope/intercept is then one fixed-order
+    double expression per group row, rounded at the compare boundary
+    (the text_tfidf precedent).  One shuffle, map-side partial decimal
+    sums, |groups| result rows."""
+    li = read_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,10)"
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(dec))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast(dec))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast(dec))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov_n = n * F.col("sxy") - sx * sy
+    varx_n = n * F.col("sxx") - sx * sx
+    vary_n = n * F.col("syy") - sy * sy
+    slope = cov_n / varx_n
+    return sums.select(
+        "l_returnflag",
+        n.alias("n_samples"),
+        F.round(cov_n / F.sqrt(varx_n * vary_n), 6).alias("corr_qty_price"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
