@@ -144,6 +144,7 @@ HEADLINE = [
     "text_inverted_index",
     "mix_weighted_sources",
     "text_gopher_rules",
+    "text_code_detect",
     "text_repeated_passages",
     "text_scrub_passages",
     "dedup_semantic_kmeans",
@@ -154,6 +155,7 @@ HEADLINE = [
     "multimodal_frame_explode",
     "multimodal_frame_energy",
     "multimodal_scene_cuts",
+    "multimodal_silence_trim",
     "sim_dim_stats",
     "text_source_blocklist",
     "text_rarity_score",

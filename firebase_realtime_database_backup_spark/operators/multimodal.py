@@ -498,3 +498,54 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (2 * F.abs(F.col("energy") - F.col("prev_energy"))
            > F.col("prev_energy"))
     )
+
+
+SILENCE_ENERGY = 16 * 100 * 100  # frames below avg char² ≈ silence floor
+
+
+@REG.query(
+    "multimodal_silence_trim",
+    oracle=f"""
+    WITH {ASCII_DOCS_CTE},
+    frames AS (
+      SELECT doc_id,
+             CAST((p - 1) // {FRAME_BYTES} AS BIGINT) AS frame_no,
+             CAST(SUM(UNICODE(SUBSTRING(text, p + o, 1))
+                      * UNICODE(SUBSTRING(text, p + o, 1))) AS BIGINT) AS energy
+      FROM docs_ascii,
+           UNNEST(RANGE(1, OCTET_LENGTH(ENCODE(text)) + 1, {FRAME_BYTES})) AS r(p),
+           UNNEST(RANGE(0, LEAST({FRAME_BYTES},
+                  OCTET_LENGTH(ENCODE(text)) - p + 1))) AS s(o)
+      GROUP BY doc_id, (p - 1) // {FRAME_BYTES}
+    )
+    SELECT doc_id, frame_no, energy,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame_no) - 1
+                AS BIGINT) AS trimmed_no
+    FROM frames
+    WHERE energy > {SILENCE_ENERGY}
+    """,
+)
+def multimodal_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence trimming, the audio-preproc shape: drop every frame whose
+    energy falls under the silence floor and RE-INDEX the survivors
+    contiguously per media item (`trimmed_no`) so downstream windowed
+    features see a gapless stream — the complement of
+    multimodal_scene_cuts, which keeps boundaries instead of removing
+    dead air.
+
+    Plan: same Arrow frame-energy kernel (fan-out in scan, zero
+    shuffle); the threshold filter is map-side; the re-index is one
+    per-item row_number window — bounded frames per item, no global
+    ordering.  Integer energies keep the oracle exact."""
+    from pyspark.sql import Window
+
+    frames = multimodal_frame_energy(spark, sf_dir).select(
+        "doc_id", "frame_no", "energy"
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    return (
+        frames.filter(F.col("energy") > SILENCE_ENERGY)
+        .withColumn(
+            "trimmed_no", (F.row_number().over(w) - 1).cast("bigint")
+        )
+    )

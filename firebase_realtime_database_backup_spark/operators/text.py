@@ -1444,3 +1444,65 @@ def text_scrub_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("n_docs") > 1).cast("bigint")).alias("n_removed"),
         )
     )
+
+
+#: tokens that smell like source code; shared literal list so both
+#: engines test the identical set
+CODE_KEYWORDS = ("if", "else", "for", "while", "return", "def", "function",
+                 "var", "let", "const", "import", "class", "void", "int")
+
+
+@REG.query(
+    "text_code_detect",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             LENGTH(text) AS n_chars,
+             LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9 ]', '', 'g'))
+               AS n_symbols,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                 t -> t IN ({", ".join("'" + k + "'" for k in CODE_KEYWORDS)})))
+               AS n_keywords
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_symbols, n_keywords,
+           CAST(n_symbols AS DOUBLE) / GREATEST(n_chars, 1) AS symbol_ratio,
+           (n_symbols * 20 > n_chars OR n_keywords * 10 >= n_tokens)
+             AS looks_like_code
+    FROM feats
+    """,
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection, the corpus-routing heuristic (code goes
+    to a code-aware tokenizer/filter chain, prose to the text one):
+    symbol-character density plus programming-keyword token density,
+    thresholded with pure integer comparisons (n_symbols·20 > n_chars ≡
+    symbol ratio > 5%; n_keywords·10 ≥ n_tokens ≡ keyword density ≥
+    10%) so the flag is bit-portable — the same design rule as
+    text_gopher_rules.  A real classifier slots in behind the same
+    (features → flag) schema.
+
+    Plan: map-only — regexp strip + token filter inside the scan
+    stage, no shuffle at all, the cheapest possible 100 TB shape."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    kw = F.array(*[F.lit(k) for k in CODE_KEYWORDS])
+    n_chars = F.length("text")
+    n_symbols = n_chars - F.length(
+        F.regexp_replace("text", "[^A-Za-z0-9 ]", "")
+    )
+    toks = F.split("text", " ")
+    n_keywords = F.size(F.filter(toks, lambda t: F.array_contains(kw, t)))
+    return docs.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars"),
+        n_symbols.cast("bigint").alias("n_symbols"),
+        n_keywords.cast("bigint").alias("n_keywords"),
+        (
+            n_symbols.cast("double")
+            / F.greatest(n_chars, F.lit(1)).cast("double")
+        ).alias("symbol_ratio"),
+        (
+            (n_symbols * 20 > n_chars) | (n_keywords * 10 >= F.size(toks))
+        ).alias("looks_like_code"),
+    )
