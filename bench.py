@@ -91,6 +91,7 @@ HEADLINE = [
     "agg_heavy_hitters",
     "agg_mode_per_group",
     "agg_regression_exact",
+    "agg_hll_union_rollup",
     "layout_zorder",
     "quality_benford",
     "quality_referential_integrity",

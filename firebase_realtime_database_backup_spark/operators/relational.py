@@ -4009,3 +4009,34 @@ def agg_regression_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
+
+
+@REG.query("agg_hll_union_rollup")  # rows-only: sketch bytes are engine-specific
+def agg_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE half of the sketch story agg_hll_sketch starts: build
+    one HLL sketch per (day, event_type) — the granularity a daily
+    pipeline persists — then roll the daily sketch BYTES up to the
+    month with hll_union_agg, never touching day-grain events again.
+    This is exactly how a 100 TB metrics store serves "monthly uniques"
+    without rescanning history: daily sketches are a few KB each, the
+    rollup is |days|·|types| rows in, |months|·|types| rows out, and
+    unioning sketches is associative so any rollup tree works.
+
+    The companion exact check: the estimate must be sane vs the exact
+    month-grain count (asserted in tests/test_plans.py since sketch
+    bytes aren't SQL-portable)."""
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("month", "ts").alias("month"),
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("month", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_daily_sketches"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("bigint")
+            .alias("approx_monthly_users"),
+        )
+    )

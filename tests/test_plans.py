@@ -565,3 +565,27 @@ def test_shuffle_hash_hint_plans_shj(spark, queries):
     passes on the 100 TB side."""
     plan = _plan(spark, queries["join_shuffle_hash_hint"](spark, SF), mode="simple")
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_hll_union_rollup_tracks_exact_counts(spark, queries):
+    """Merging daily HLL sketches to the month must estimate within the
+    sketch's documented error envelope of the exact month-grain
+    distinct count (±5% is generous for the default lgK)."""
+    from pyspark.sql import functions as F
+
+    from firebase_realtime_database_backup_spark.catalog import read_table
+
+    got = {
+        (r.month, r.event_type): r.approx_monthly_users
+        for r in queries["agg_hll_union_rollup"](spark, SF).collect()
+    }
+    exact = {
+        (r.month, r.event_type): r.n
+        for r in read_table(spark, SF, "events")
+        .groupBy(F.date_trunc("month", "ts").alias("month"), "event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got.keys() == exact.keys()
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
