@@ -150,8 +150,11 @@ HEADLINE = [
     "text_scrub_passages",
     "dedup_semantic_kmeans",
     "dedup_semantic_kmeans_scaled",
+    "dedup_semantic_kmeans_hier",
     "text_lang_rebalance",
     "dedup_cross_corpus",
+    "dedup_cross_corpus_xxhash",
+    "ingest_jsonl_quarantine",
     "multimodal_media_features",
     "multimodal_frame_explode",
     "multimodal_frame_energy",

@@ -103,8 +103,8 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            ABS(l_extendedprice - l_quantity * 1000.0) AS abs_diff,
-           CEIL(l_extendedprice / 1000.0)             AS price_ceil_k,
-           FLOOR(l_extendedprice / 1000.0)            AS price_floor_k,
+           CAST(CEIL(l_extendedprice / 1000.0) AS BIGINT)  AS price_ceil_k,
+           CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS price_floor_k,
            SQRT(l_quantity)                           AS qty_sqrt,
            l_discount * l_discount                    AS disc_sq,
            CAST(l_orderkey % 7 AS BIGINT)             AS key_mod7,
@@ -115,9 +115,11 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math surface over IEEE-exact ops (see module docstring).  CEIL/
-    FLOOR return BIGINT in both engines; x*x replaces pow(x,2) to stay
-    libm-free."""
+    """Math surface over IEEE-exact ops (see module docstring).  Spark
+    CEIL/FLOOR return BIGINT but DuckDB's return DOUBLE — the oracle
+    casts them so the driver's dtype-sensitive canon matches (caught by
+    the round-3 pandas-canon verify rewrite); x*x replaces pow(x,2) to
+    stay libm-free."""
     li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
     return li.select(
         "l_orderkey",
@@ -402,8 +404,8 @@ def udf_grouped_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_map_funcs",
     oracle="""
     SELECT o_orderkey,
-           ['priority', 'status'] AS ks,
-           [o_orderpriority, o_orderstatus] AS vs,
+           ARRAY_TO_STRING(['priority', 'status'], ',') AS ks,
+           ARRAY_TO_STRING([o_orderpriority, o_orderstatus], ',') AS vs,
            CAST(2 AS INT) AS n_entries,
            o_orderpriority AS via_lookup
     FROM orders
@@ -413,9 +415,11 @@ def udf_grouped_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-type surface: build a map from literals + columns, read it
     back via map_keys / map_values / element_at / size.  Output is
-    rendered as sorted key/value ARRAYS because DuckDB's MAP and Spark's
-    MapType hash differently at the compare boundary — the lossless
-    comparable projection of a map."""
+    rendered as comma-JOINED key/value strings: DuckDB's MAP and
+    Spark's MapType hash differently at the compare boundary, and raw
+    arrays crash the driver's pandas canon (`unhashable type: 'list'`,
+    the round-2 text_inverted_index ERR class) — the joined string is
+    the canon-safe comparable projection of a map."""
     orders = read_table(spark, sf_dir, "orders").filter(
         F.col("o_orderkey") % 100 == 0
     )
@@ -425,8 +429,8 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return orders.select(
         "o_orderkey",
-        F.map_keys(m).alias("ks"),
-        F.map_values(m).alias("vs"),
+        F.array_join(F.map_keys(m), ",").alias("ks"),
+        F.array_join(F.map_values(m), ",").alias("vs"),
         F.size(m).alias("n_entries"),
         F.element_at(m, F.lit("priority")).alias("via_lookup"),
     )

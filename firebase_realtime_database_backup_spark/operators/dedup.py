@@ -795,6 +795,7 @@ CROSS_THRESHOLD = 0.5
 
 @REG.query(
     "dedup_cross_corpus",
+    prod_twin="dedup_cross_corpus_xxhash",
     oracle=f"""
     WITH {SHINGLE_SQL_CTE},
     {MINHASH_BANDS_SQL_CTE},
@@ -1056,6 +1057,20 @@ def _xxhash_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _xxhash_signatures(dshingle: DataFrame) -> DataFrame:
+    """MinHash signatures over 57-bit xxhash shingle ids — the
+    dictionary-free twin of _minhash_signatures.  Affine multipliers
+    are ≤ 33 < 2^6, so 33·2^57 + 87 fits int64 under ANSI."""
+    return dshingle.groupBy("doc_id").agg(
+        *[
+            F.min(
+                ((2 * i + 3) * F.col("sid") + (5 * i + 7)) % F.lit(2147483647)
+            ).alias(f"mh{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+
+
 @REG.query("dedup_minhash_xxhash")  # rows-only: xxhash64 isn't SQL-portable
 def dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, PRODUCTION form: shingle ids come
@@ -1080,15 +1095,7 @@ def dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     is Jaccard-verified on the folded ids, so precision is 1.0 up to
     57-bit hash collisions."""
     dshingle = _xxhash_shingle_ids(spark, sf_dir)
-    sig = dshingle.groupBy("doc_id").agg(
-        *[
-            F.min(
-                ((2 * i + 3) * F.col("sid") + (5 * i + 7)) % F.lit(2147483647)
-            ).alias(f"mh{i}")
-            for i in range(MINHASH_K)
-        ]
-    )
-    bands = _band_keys(sig)
+    bands = _band_keys(_xxhash_signatures(dshingle))
     cands = _candidate_pairs(bands, bands, "doc_a", "doc_b", ordered=True)
     overlap = _pair_overlap(cands, dshingle, "doc_a", "doc_b")
     n_union = F.col("sz_a") + F.col("sz_b") - F.col("n_common")
@@ -1100,6 +1107,54 @@ def dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_common").cast("double") / n_union).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@REG.query("dedup_cross_corpus_xxhash")  # rows-only: xxhash64 isn't SQL-portable
+def dedup_cross_corpus_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus incremental near-dup, PRODUCTION form: the
+    asymmetric batch-vs-standing-corpus match of dedup_cross_corpus,
+    but shingle ids come straight from xxhash64 (2^57 fold, shared
+    session cache) instead of the dictionary vocab window — the
+    dictionary form's 20× ratio was 8.8× BECAUSE of that vocab build
+    (BASELINE.md round-2 scale table); this twin inherits the
+    minhash-family scaling (~4× at 20×) since candidate generation is
+    the same banded equi-join.
+
+    Production deployment note: the standing corpus's band keys are
+    computed ONCE and persisted bucketed by (band, band_key) — each
+    daily batch shuffles only ITS band keys into that index, cost
+    O(batch), never O(corpus).  Here both sides derive from one cached
+    shingle relation, which is the same plan with the persistence seam
+    at the `bands` DataFrame.  Correctness is pinned by pytest against
+    the oracle-checked dictionary twin: identical candidate semantics
+    up to 57-bit hash collisions, verified pairs Jaccard-exact."""
+    dshingle = _xxhash_shingle_ids(spark, sf_dir)
+    bands = _band_keys(_xxhash_signatures(dshingle))
+    cands = _candidate_pairs(
+        bands.filter(F.col("doc_id") % 10 == 0),
+        bands.filter(F.col("doc_id") % 10 != 0),
+        "new_doc_id",
+        "corpus_doc_id",
+        ordered=False,
+    )
+    overlap = _pair_overlap(
+        cands,
+        dshingle,
+        "new_doc_id",
+        "corpus_doc_id",
+        dshingle_a=dshingle.filter(F.col("doc_id") % 10 == 0),
+        dshingle_b=dshingle.filter(F.col("doc_id") % 10 != 0),
+    )
+    n_union = F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    return (
+        overlap.select(
+            "new_doc_id",
+            "corpus_doc_id",
+            "n_common",
+            (F.col("n_common").cast("double") / n_union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= CROSS_THRESHOLD)
     )
 
 
@@ -1309,6 +1364,59 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_CELL_TARGET = 256  # scaled form: expected vectors per cell
 
 
+def _arrow_assign(cids, C_mat):
+    """mapInPandas kernel assigning each vector to its nearest centroid
+    via one numpy matmul per Arrow batch (tie → lowest index == lowest
+    cid, because centroid rows are ordered by cid).  Shared by the
+    scaled and hierarchical SemDeDup twins."""
+    import numpy as np
+    import pandas as pd
+
+    c_sq = (C_mat**2).sum(axis=1)
+
+    def assign_batches(batches):
+        for pdf in batches:
+            X = np.stack(pdf["emb"].values).astype(np.float64)
+            d2 = (
+                (X**2).sum(axis=1)[:, None]
+                - 2.0 * (X @ C_mat.T)
+                + c_sq[None, :]
+            )
+            j = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].values, "cid": cids[j]}
+            )
+
+    return assign_batches
+
+
+def _lloyd_iterations(emb: DataFrame, cids, C):
+    """SEMDEDUP_ITERS distributed Lloyd's rounds: Arrow-batch assign,
+    (cell, dim)-grain mean partial-agg, centroid matrix round-tripped
+    through the driver (len(cids) × dim doubles — THE driver-state
+    bound; the hierarchical twin keeps len(cids) ~ sqrt(K)).  Empty
+    cells keep their stale centroid."""
+    import numpy as np
+
+    for _ in range(SEMDEDUP_ITERS):
+        assigned = emb.mapInPandas(_arrow_assign(cids, C), "vec_id long, cid long")
+        mu_rows = (
+            emb.join(assigned, "vec_id")
+            .select("cid", F.posexplode("emb").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.avg("x").alias("mu"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in mu_rows:
+            by_cid.setdefault(r.cid, {})[r.dim] = r.mu
+        C = C.copy()
+        pos = {int(c): i for i, c in enumerate(cids)}
+        for cid, dims in by_cid.items():
+            C[pos[cid]] = [dims[d] for d in sorted(dims)]
+    return C
+
+
 @REG.query("dedup_semantic_kmeans_scaled")  # rows-only (same replay gate)
 def dedup_semantic_kmeans_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_semantic_kmeans with BOTH scale fixes the measured 52x-at-
@@ -1335,9 +1443,10 @@ def dedup_semantic_kmeans_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast K×dim matrix into each Arrow batch); the mean recompute
     is a (cell, dim)-grain partial agg; the pair scan shuffles once on
     cell id with ~CELL_TARGET-row groups.  Past ~10^8 vectors the
-    assign's N×K flops need the HIERARCHICAL form (assign to ~sqrt(K)
-    coarse cells, refine within — IVF-style two-level quantization);
-    the per-stage shapes are unchanged.
+    assign's N×K flops and the K×dim driver round-trip need the
+    HIERARCHICAL form — implemented as dedup_semantic_kmeans_hier
+    (assign to ~sqrt(K) coarse cells, refine within each cell
+    executor-side; IVF-style two-level quantization).
 
     Same deterministic semantics as the teaching form (K-smallest-ids
     init, lower-cid / lower-vec_id tie-breaks); float summation order
@@ -1348,9 +1457,11 @@ def dedup_semantic_kmeans_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    # cached: the Lloyd's loop re-scans emb 2x per iteration plus the
+    # count/init/final passes (round-2 ADVICE) — one parquet read total
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
+    ).cache()
     n = emb.count()
     k = max(SEMDEDUP_K, math.ceil(n / SEMDEDUP_CELL_TARGET))
 
@@ -1364,44 +1475,9 @@ def dedup_semantic_kmeans_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
     C = np.array([r.emb for r in cent_rows], dtype=np.float64)
 
-    def make_assign(C_mat):
-        c_sq = (C_mat**2).sum(axis=1)
+    C = _lloyd_iterations(emb, cids, C)
 
-        def assign_batches(batches):
-            for pdf in batches:
-                X = np.stack(pdf["emb"].values).astype(np.float64)
-                d2 = (
-                    (X**2).sum(axis=1)[:, None]
-                    - 2.0 * (X @ C_mat.T)
-                    + c_sq[None, :]
-                )
-                j = d2.argmin(axis=1)  # tie → lowest index == lowest cid
-                yield pd.DataFrame(
-                    {"vec_id": pdf["vec_id"].values, "cid": cids[j]}
-                )
-
-        return assign_batches
-
-    for _ in range(SEMDEDUP_ITERS):
-        assigned = emb.mapInPandas(
-            make_assign(C), "vec_id long, cid long"
-        )
-        mu_rows = (
-            emb.join(assigned, "vec_id")
-            .select("cid", F.posexplode("emb").alias("dim", "x"))
-            .groupBy("cid", "dim")
-            .agg(F.avg("x").alias("mu"))
-            .collect()
-        )
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in mu_rows:
-            by_cid.setdefault(r.cid, {})[r.dim] = r.mu
-        C = C.copy()
-        pos = {int(c): i for i, c in enumerate(cids)}
-        for cid, dims in by_cid.items():
-            C[pos[cid]] = [dims[d] for d in sorted(dims)]
-
-    final = emb.mapInPandas(make_assign(C), "vec_id long, cid long").join(
+    final = emb.mapInPandas(_arrow_assign(cids, C), "vec_id long, cid long").join(
         emb, "vec_id"
     )
 
@@ -1425,4 +1501,125 @@ def dedup_semantic_kmeans_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return final.groupBy("cid").applyInPandas(
         cell_dups, "vec_id long, cluster long, is_dup boolean"
+    )
+
+
+#: Fine-cluster id stride: cluster = coarse_cid * STRIDE + fine_idx.
+#: 2^20 fine cells per coarse cell is ~10^3x headroom over the
+#: ceil(|cell| / CELL_TARGET) fine count at any sane occupancy, and
+#: coarse ids up to ~10^12 still fit int64 under the multiply.
+SEMDEDUP_FINE_STRIDE = 1 << 20
+
+#: Floor on the coarse cell count of the hierarchical form.
+SEMDEDUP_COARSE_MIN = 4
+
+
+@REG.query("dedup_semantic_kmeans_hier")  # rows-only (same replay gate)
+def dedup_semantic_kmeans_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup, HIERARCHICAL (two-level / IVF-style) form — the
+    documented successor of dedup_semantic_kmeans_scaled for corpora
+    past ~10^8 vectors, where the scaled twin's K ∝ N centroid matrix
+    round-trips ~2 GB of driver state at 10^9 vectors (K ≈ 4M × 64
+    dims × 8 B).  Here the driver only ever holds the COARSE matrix:
+
+    * Level 1: K1 = max(4, ceil(sqrt(K))) coarse centroids (K = the
+      scaled twin's ceil(N / CELL_TARGET)), trained with the same
+      Arrow-assign + (cell, dim) mean Lloyd's machinery
+      (_lloyd_iterations).  Driver state = K1 × dim doubles — at 10^9
+      vectors K1 ≈ 2.0k → ~1 MB, vs ~2 GB flat (measured at sf0.1:
+      see BASELINE.md round-3 note).
+    * Level 2: one shuffle on the coarse cell id, then EVERYTHING
+      else happens inside applyInPandas per coarse cell: a local
+      deterministic Lloyd's (K2 = ceil(|cell| / CELL_TARGET) fine
+      centroids, init = K2 smallest vec_ids in the cell, same
+      iteration count and lowest-index tie-break), fine assignment,
+      and the within-fine-cell cosine dup scan.  Fine centroids are
+      NEVER collected — they live and die in the executor.
+
+    Emitted cluster id = coarse_cid * 2^20 + fine_idx (deterministic:
+    fine_idx is the rank of the fine centroid's init vector within the
+    cell).  N×K1 + N×K2 assign flops replace the flat form's N×K —
+    at K = 4M that is ~4000 + ~500 vs 4M per vector, the classic IVF
+    probe saving; per-coarse-cell memory is |cell| × dim × 8 B ≈
+    N/K1 · 512 B, which at 10^9 vectors and K1 = 2k is ~256 MB — tune
+    K1 upward (it is a free knob ≥ sqrt(K)) to shrink cells on smaller
+    executors.  Same replay gate as the other two forms:
+    tests/test_dedup_clusters.py replays both levels in numpy."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    # cached for the same multi-scan reason as the scaled twin
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).cache()
+    n = emb.count()
+    k_fine = max(SEMDEDUP_K, math.ceil(n / SEMDEDUP_CELL_TARGET))
+    k1 = max(SEMDEDUP_COARSE_MIN, math.ceil(math.sqrt(k_fine)))
+
+    cent_rows = (
+        emb.orderBy("vec_id").limit(k1).select("vec_id", "emb").collect()
+    )
+    if not cent_rows:  # degenerate empty corpus: nothing to cluster
+        return spark.createDataFrame(
+            [], "vec_id long, cluster long, is_dup boolean"
+        )
+    cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+    C = _lloyd_iterations(
+        emb, cids, np.array([r.emb for r in cent_rows], dtype=np.float64)
+    )
+
+    final = emb.mapInPandas(_arrow_assign(cids, C), "vec_id long, cid long").join(
+        emb, "vec_id"
+    )
+
+    def cell_refine(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].values)
+        ids = pdf["vec_id"].values[order]
+        X = np.stack(pdf["emb"].values[order]).astype(np.float64)
+        m = len(ids)
+        k2 = max(1, math.ceil(m / SEMDEDUP_CELL_TARGET))
+        Cf = X[:k2].copy()  # init: K2 smallest vec_ids in the cell
+        for _ in range(SEMDEDUP_ITERS):
+            d2 = (
+                (X**2).sum(axis=1)[:, None]
+                - 2.0 * (X @ Cf.T)
+                + (Cf**2).sum(axis=1)[None, :]
+            )
+            a = d2.argmin(axis=1)  # tie → lowest fine_idx (init-id rank)
+            Cf = np.array(
+                [
+                    X[a == j].mean(axis=0) if (a == j).any() else Cf[j]
+                    for j in range(k2)
+                ]
+            )
+        d2 = (
+            (X**2).sum(axis=1)[:, None]
+            - 2.0 * (X @ Cf.T)
+            + (Cf**2).sum(axis=1)[None, :]
+        )
+        a = d2.argmin(axis=1)
+        coarse = int(pdf["cid"].iloc[0])
+        nrm = np.sqrt((X**2).sum(axis=1))
+        is_dup = np.zeros(m, dtype=bool)
+        for j in range(k2):
+            mask = a == j
+            if mask.sum() < 2:
+                continue
+            Xs = X[mask]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (Xs @ Xs.T) / np.outer(nrm[mask], nrm[mask])
+            # dup iff some LOWER-id fine-cell mate clears the threshold
+            is_dup[mask] = np.tril(cos >= SEMDEDUP_TAU, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": coarse * SEMDEDUP_FINE_STRIDE + a,
+                "is_dup": is_dup,
+            }
+        )
+
+    return final.groupBy("cid").applyInPandas(
+        cell_refine, "vec_id long, cluster long, is_dup boolean"
     )

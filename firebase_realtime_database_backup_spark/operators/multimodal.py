@@ -500,7 +500,12 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SILENCE_ENERGY = 16 * 100 * 100  # frames below avg char² ≈ silence floor
+#: Silence floor = HALF of a full frame's average energy (a frame of
+#: FRAME_BYTES chars at mean codepoint ~100 scores FRAME_BYTES·100²).
+#: Derived from FRAME_BYTES so a frame-width change rescales the
+#: threshold with it (round-2 ADVICE: the old literal 16·100·100
+#: claimed to be "avg char²" but was silently half-frame energy).
+SILENCE_ENERGY = FRAME_BYTES * 100 * 100 // 2
 
 
 @REG.query(

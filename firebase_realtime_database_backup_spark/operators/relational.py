@@ -3383,18 +3383,18 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey") - F.min("l_suppkey"), F.lit(1)
         ).alias("sspan"),
     )
-    pbin = ((F.col("l_partkey") - F.col("pmn")) * _ZBIN_MAX).cast("bigint") / F.col(
-        "pspan"
-    )
-    sbin = ((F.col("l_suppkey") - F.col("smn")) * _ZBIN_MAX).cast("bigint") / F.col(
-        "sspan"
-    )
+    # integer `div`, not double-divide + floor(): key - min >= 0, so
+    # Spark's truncating div == DuckDB's flooring // by construction,
+    # and no double rounding can cross an integer boundary at any key
+    # span (the latent divergence flagged in round-2 ADVICE)
+    pbin = F.expr(f"((l_partkey - pmn) * {_ZBIN_MAX}) div pspan")
+    sbin = F.expr(f"((l_suppkey - smn) * {_ZBIN_MAX}) div sspan")
     with_z = lineitem.crossJoin(F.broadcast(mm)).select(
         "l_orderkey",
         "l_linenumber",
         "l_partkey",
         "l_suppkey",
-        _zvalue(F.floor(pbin), F.floor(sbin)).alias("zval"),
+        _zvalue(pbin, sbin).alias("zval"),
     )
     return with_z.repartitionByRange(32, "zval").sortWithinPartitions("zval")
 
@@ -3466,7 +3466,7 @@ _BENFORD_P = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
     firsts AS (
       SELECT cents // CAST(POWER(10, LENGTH(CAST(cents AS VARCHAR)) - 1) AS BIGINT)
                AS d
-      FROM digits
+      FROM digits WHERE cents > 0
     ),
     hist AS (SELECT d, COUNT(*) AS n FROM firsts GROUP BY d),
     tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM hist)
@@ -3498,7 +3498,10 @@ def quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     # divergence between the engines (DuckDB integer // truncates
     # toward zero, Spark floor() floors — they disagree only below 0)
     cents = F.abs(F.round(F.col("value") * 100).cast("bigint"))
-    firsts = events.select(
+    # 0 is not a significant digit: a value rounding to 0 cents has no
+    # leading digit to audit, so drop it (both engines) instead of
+    # emitting a meaningless d=0 row with NULL expected (round-2 ADVICE)
+    firsts = events.filter(cents > 0).select(
         F.floor(
             cents / F.pow(F.lit(10), F.length(cents.cast("string")) - 1)
         ).cast("bigint").alias("d")

@@ -865,13 +865,13 @@ PACK_CAPACITY = 256
     ),
     c AS (
       SELECT source, doc_id, n_tok,
-             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+             CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               - n_tok AS tok_start
+               - n_tok AS BIGINT) AS tok_start
       FROM t
     )
     SELECT source, tok_start // {PACK_CAPACITY} AS seq_id,
-           COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
     FROM c GROUP BY source, tok_start // {PACK_CAPACITY}
     """,
@@ -890,7 +890,12 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel — the 100 TB version shards the running sum further by
     (source, shard) with per-shard offsets rebased from a tiny
     shard-totals broadcast, never a single global window.  All integer
-    arithmetic; DIV keeps the bin id exact in both engines."""
+    arithmetic; DIV keeps the bin id exact in both engines.
+
+    The oracle CASTs both SUM(n_tok) sites (window + group-by) to
+    BIGINT: DuckDB promotes them to HUGEINT, which the driver's pandas
+    canon renders as float64 while Spark stays bigint — the round-2
+    hash-mismatch FAIL."""
     docs = spread(
         read_table(spark, sf_dir, "documents").select(
             "source", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
@@ -920,7 +925,7 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pairs AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> '')
     SELECT term, COUNT(*) AS df_count,
-           (LIST(doc_id ORDER BY doc_id))[1:16] AS postings
+           ARRAY_TO_STRING((LIST(doc_id ORDER BY doc_id))[1:16], ',') AS postings
     FROM pairs GROUP BY term HAVING COUNT(*) >= 5
     """,
 )
@@ -934,7 +939,12 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded set in one task — the thing a naive
     slice(collect_set(...)) would do.  The groupBy reuses the window's
     hash partitioning on `term`, so cap + count + collect cost ONE
-    exchange after the pair-distinct shuffle."""
+    exchange after the pair-distinct shuffle.
+
+    Postings are emitted as a comma-joined STRING, not array<bigint>:
+    the driver's pandas canon crashes on list cells (round-2 ERR —
+    `unhashable type: 'list'`), so the comparable projection of a
+    postings list is its joined string on both engines."""
     docs = spread(read_table(spark, sf_dir, "documents"))
     pairs = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
@@ -947,8 +957,11 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.groupBy("term")
         .agg(
             F.count(F.lit(1)).alias("df_count"),
-            F.sort_array(
-                F.collect_set(F.when(F.col("rk") <= 16, F.col("doc_id")))
+            F.array_join(
+                F.sort_array(
+                    F.collect_set(F.when(F.col("rk") <= 16, F.col("doc_id")))
+                ).cast("array<string>"),
+                ",",
             ).alias("postings"),
         )
         .filter(F.col("df_count") >= 5)

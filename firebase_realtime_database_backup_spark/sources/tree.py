@@ -223,8 +223,11 @@ def _long_form_sql(src_rel: str) -> str:
 
 
 def _counts_sql(count_alias: str) -> str:
+    # CAST: DuckDB SUM(int) promotes to HUGEINT, which the driver's
+    # pandas canon renders as float64 while Spark stays bigint -> hash
+    # mismatch (the text_pack_sequences round-2 failure class).
     sums = ", ".join(
-        f"SUM(CASE WHEN cls = '{c}' THEN 1 ELSE 0 END) AS n_{a}"
+        f"CAST(SUM(CASE WHEN cls = '{c}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{a}"
         for c, a in _CLASSES
     )
     return (

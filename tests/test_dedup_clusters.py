@@ -161,6 +161,117 @@ def test_semantic_kmeans_matches_numpy_replay(spark, form):
             assert got[v][1] == dup, f"dup flag mismatch for {v}"
 
 
+def test_semantic_kmeans_hier_matches_numpy_replay(spark):
+    """The hierarchical (two-level) SemDeDup twin is rows-only like the
+    other two forms; replay BOTH levels in numpy float64: coarse
+    Lloyd's with K1 = max(4, ceil(sqrt(K))) (margin-guarded — the
+    engine computes coarse means via distributed avg), then per coarse
+    cell the exact local fine k-means the executor kernel runs
+    (deterministic init = K2 smallest vec_ids in the cell, same
+    iteration count and tie-breaks), fine cluster ids
+    coarse*2^20+fine_idx, and the within-fine-cell lower-id dup rule."""
+    import math
+
+    import numpy as np
+
+    from firebase_realtime_database_backup_spark.operators.dedup import (
+        SEMDEDUP_CELL_TARGET,
+        SEMDEDUP_COARSE_MIN,
+        SEMDEDUP_FINE_STRIDE,
+        SEMDEDUP_ITERS,
+        SEMDEDUP_K,
+        SEMDEDUP_TAU,
+        dedup_semantic_kmeans_hier,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r.vec_id: (r.cluster, r.is_dup)
+        for r in dedup_semantic_kmeans_hier(spark, sf).collect()
+    }
+
+    import duckdb
+
+    rows = (
+        duckdb.connect()
+        .execute(
+            f"SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+            f"read_parquet('{sf}/embeddings.parquet') ORDER BY vec_id"
+        )
+        .fetchall()
+    )
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    E = np.array([r[1] for r in rows], dtype=np.float64)
+    assert len(got) == len(ids)
+
+    k_fine = max(SEMDEDUP_K, math.ceil(len(ids) / SEMDEDUP_CELL_TARGET))
+    k1 = max(SEMDEDUP_COARSE_MIN, math.ceil(math.sqrt(k_fine)))
+    cid_ids = ids[:k1]
+    C = E[:k1].copy()
+    for _ in range(SEMDEDUP_ITERS):
+        d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        margins = np.partition(d2, 1, axis=1)
+        assert (margins[:, 1] - margins[:, 0] > 1e-9).all()
+        C = np.array(
+            [
+                E[assign == k].mean(axis=0) if (assign == k).any() else C[k]
+                for k in range(k1)
+            ]
+        )
+    d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    coarse = d2.argmin(axis=1)
+    margins = np.partition(d2, 1, axis=1)
+    assert (margins[:, 1] - margins[:, 0] > 1e-9).all()
+
+    for c in range(k1):
+        mask = coarse == c
+        if not mask.any():
+            continue
+        cell_ids = ids[mask]  # already sorted ascending (ids sorted)
+        X = E[mask]
+        m = len(cell_ids)
+        k2 = max(1, math.ceil(m / SEMDEDUP_CELL_TARGET))
+        Cf = X[:k2].copy()
+        for _ in range(SEMDEDUP_ITERS):
+            fd2 = ((X[:, None, :] - Cf[None, :, :]) ** 2).sum(axis=2)
+            a = fd2.argmin(axis=1)
+            if k2 > 1:
+                fm = np.partition(fd2, 1, axis=1)
+                assert (fm[:, 1] - fm[:, 0] > 1e-9).all()
+            Cf = np.array(
+                [
+                    X[a == j].mean(axis=0) if (a == j).any() else Cf[j]
+                    for j in range(k2)
+                ]
+            )
+        fd2 = ((X[:, None, :] - Cf[None, :, :]) ** 2).sum(axis=2)
+        a = fd2.argmin(axis=1)
+        if k2 > 1:
+            fm = np.partition(fd2, 1, axis=1)
+            assert (fm[:, 1] - fm[:, 0] > 1e-9).all()
+
+        expect_cluster = int(cid_ids[c]) * SEMDEDUP_FINE_STRIDE + a
+        for i, v in enumerate(cell_ids):
+            assert got[v][0] == expect_cluster[i], f"cluster mismatch for {v}"
+
+        En = X / np.linalg.norm(X, axis=1, keepdims=True)
+        cos = En @ En.T
+        for jj in range(m):
+            dup, boundary = False, False
+            for ii in range(jj):
+                if a[ii] != a[jj]:
+                    continue
+                if cos[ii, jj] >= SEMDEDUP_TAU + 1e-9:
+                    dup = True
+                if abs(cos[ii, jj] - SEMDEDUP_TAU) <= 1e-9:
+                    boundary = True
+            if not boundary:
+                assert got[cell_ids[jj]][1] == dup, (
+                    f"dup flag mismatch for {cell_ids[jj]}"
+                )
+
+
 def test_semantic_kmeans_empty_cell_and_empty_corpus(spark, tmp_path):
     """Regression for two degenerate inputs the twins must agree on:
 

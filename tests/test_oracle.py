@@ -20,6 +20,31 @@ def test_entry_smoke(spark):
     assert {"r_name", "l_returnflag", "revenue", "n_items"} == set(df.columns)
 
 
+def test_oracle_outputs_canon_safe(spark):
+    """Registry lint: no oracle output column may be HUGEINT or nested.
+
+    The driver canonicalizes via pandas (``fetchdf``): HUGEINT becomes
+    float64 (hash mismatch vs Spark bigint — the round-2
+    text_pack_sequences FAIL) and list/struct/map cells crash
+    ``sort_values`` (the round-2 text_inverted_index ERR).  This lint
+    kills the CLASS, not the instance."""
+    import __spark_entry__ as entrymod
+
+    con = verify.duckdb_connection("/root/testdata/sf0.001")
+    problems = verify.lint_oracle_output_types(con, entrymod.oracle_sql())
+    assert not problems, problems
+
+
+def test_spark_outputs_canon_safe(spark):
+    """Registry lint: oracle-backed Spark queries return scalars only."""
+    import __spark_entry__ as entrymod
+
+    problems = verify.lint_spark_output_types(
+        spark, entrymod.queries(), entrymod.oracle_sql(), "/root/testdata/sf0.001"
+    )
+    assert not problems, problems
+
+
 def test_every_oracle_has_query(spark):
     import __spark_entry__ as entrymod
 

@@ -329,6 +329,8 @@ BNL_ONE_ROW_PROBES = {
     "agg_heavy_hitters": 1,  # 1-row corpus-total probe under the n/K cut
     "layout_zorder": 1,      # 1-row min/max bounds row for key binning
     "quality_benford": 1,    # 1-row total row under the digit histogram
+    # good-rows 1-row summary x quarantined 1-row count (audit row)
+    "ingest_jsonl_quarantine": 1,
 }
 BNL_ALLOWED = BNL_DESIGNED | set(BNL_ONE_ROW_PROBES)
 
@@ -494,6 +496,54 @@ def test_minhash_xxhash_variant_correctness(spark, queries):
     }
     assert exact_dups <= found, "xxhash variant missed an exact-duplicate pair"
     assert found <= truth, "xxhash variant emitted a below-threshold pair"
+    assert len(truth & found) / len(truth) >= 0.4
+
+
+def test_cross_corpus_xxhash_variant_correctness(spark, queries):
+    """The production (xxhash64) cross-corpus twin has no SQL oracle;
+    pin it against brute-force cross-split ground truth at sf0.001:
+    perfect recall on exact-duplicate (new, corpus) pairs, precision
+    1.0 (pairs are Jaccard-verified on the folded ids before emission),
+    and a recall floor at the looser CROSS_THRESHOLD."""
+    from firebase_realtime_database_backup_spark.operators.dedup import (
+        CROSS_THRESHOLD,
+    )
+    from firebase_realtime_database_backup_spark.operators.text import (
+        doc_shingle_ids,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    dsh = doc_shingle_ids(spark, sf)
+    sets = {
+        r.doc_id: frozenset(r.sids)
+        for r in dsh.groupBy("doc_id")
+        .agg(F.collect_set("sid").alias("sids"))
+        .collect()
+    }
+    truth, exact_dups = set(), set()
+    for a in sets:
+        if a % 10 != 0:
+            continue
+        for b in sets:
+            if b % 10 == 0 or b == a:
+                continue
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            j = inter / len(sets[a] | sets[b])
+            if j >= CROSS_THRESHOLD:
+                truth.add((a, b))
+                if j == 1.0:
+                    exact_dups.add((a, b))
+    assert truth, "cross-split ground truth empty at sf0.001"
+
+    found = {
+        (r.new_doc_id, r.corpus_doc_id)
+        for r in queries["dedup_cross_corpus_xxhash"](spark, sf).collect()
+    }
+    assert exact_dups <= found, "xxhash cross-corpus missed an exact-dup pair"
+    assert found <= truth, "xxhash cross-corpus emitted a below-threshold pair"
     assert len(truth & found) / len(truth) >= 0.4
 
 
