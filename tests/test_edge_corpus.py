@@ -48,6 +48,24 @@ def edge_dir(tmp_path_factory):
           (9004, 'a a a a a a a a a a a a', 'es', 'src3', 23),
           (9005, 'café 中文 emoji', 'zh', 'src4', 13)
         ) t(doc_id, text, lang, source, n_chars)
+        UNION ALL
+        -- pack_sequences boundary: a doc with EXACTLY PACK_CAPACITY
+        -- (256) tokens, so the next doc in its source starts exactly on
+        -- a sequence boundary, and one with 257 straddling it
+        SELECT 9006, repeat('w ', 255) || 'w', 'en', 'src7', 511
+        UNION ALL
+        SELECT 9007, repeat('w ', 256) || 'w', 'en', 'src7', 513
+        UNION ALL
+        SELECT 9008, 'tail after boundary', 'en', 'src7', 19
+        UNION ALL
+        -- inverted-index postings cap with non-ASCII terms: 'naïve'
+        -- appears in 17 docs (> the 16-posting cap) and 'm€ta' in 6
+        -- (> the df_count >= 5 floor), so the cap + ordering path runs
+        -- on multi-byte terms
+        SELECT 9100 + r, CASE WHEN r < 6 THEN 'naïve m€ta filler' || r
+                              ELSE 'naïve filler' || r END,
+               'fr', 'src8', 20
+        FROM range(17) t(r)
         """,
         "documents.parquet",
     )
