@@ -547,6 +547,32 @@ def test_cross_corpus_xxhash_variant_correctness(spark, queries):
     assert len(truth & found) / len(truth) >= 0.4
 
 
+def test_cross_corpus_xxhash_plan_has_no_vocab_window(spark, queries):
+    """The production cross-corpus twin's reason to exist is the ABSENT
+    single-partition vocabulary row_number window: its plan must carry
+    xxhash64 shingle ids and NO Window operator anywhere (the dictionary
+    twin's vocab window is the stage that becomes hours at billions of
+    distinct shingles)."""
+    df = queries["dedup_cross_corpus_xxhash"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan, "hash shingle ids missing from plan"
+    assert "Window" not in plan, "vocab window leaked into the prod twin"
+
+
+def test_semantic_kmeans_hier_plan_shape(spark, queries):
+    """The hierarchical SemDeDup must keep its two-level contract in the
+    physical plan: the coarse assign is an Arrow MapInPandas (broadcast
+    K1-matrix into batches, map-side), the fine level is ONE
+    FlatMapGroupsInPandas after the coarse-cell shuffle, and the whole
+    final job pays at most 2 Exchanges (assign-join + groupBy cid) —
+    a third Exchange would mean the fine level leaked a shuffle."""
+    df = queries["dedup_semantic_kmeans_hier"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") <= 2, plan
+
+
 def test_flagship_bucketed_orderkey_join_has_no_exchange(spark, queries):
     """The bucketed-layout flagship variant: lineitem⋈orders over the
     co-located bucket tables must plan WITHOUT an Exchange on the
