@@ -127,6 +127,30 @@ def _band_keys(sig: DataFrame) -> DataFrame:
 
 
 
+#: Session-scoped banded-LSH indexes, keyed (applicationId, sf_dir,
+#: hash family).  The docstrings have always said production persists
+#: the band index bucketed by (band, band_key) and reuses it across
+#: every downstream policy; this cache is the session-local form of
+#: that contract — the signature fold + band explode runs once per
+#: (corpus, family), and minhash-pair emit / containment / keep-best /
+#: cross-corpus all probe the same cached index (the same reuse
+#: pattern as the shingle-relation caches).
+_BAND_INDEX_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _band_index(spark: SparkSession, sf_dir: str, dshingle: DataFrame,
+                family: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, family)
+    cached = _BAND_INDEX_CACHE.get(key)
+    if cached is not None:
+        return cached
+    sig = (_xxhash_signatures if family == "xxhash"
+           else _minhash_signatures)(dshingle)
+    out = _band_keys(sig).cache()
+    _BAND_INDEX_CACHE[key] = out
+    return out
+
+
 def _candidate_pairs(a_bands, b_bands, a_name: str, b_name: str, ordered: bool):
     """LSH candidate generation: equi join on (band, band_key).
 
@@ -227,7 +251,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB, band keys are the partition keys and skewed bands (giant
     dup clusters) are exactly what AQE skew-join splits."""
     dshingle = doc_shingle_ids(spark, sf_dir).cache()
-    bands = _band_keys(_minhash_signatures(dshingle))
+    bands = _band_index(spark, sf_dir, dshingle, "dict")
     cands = _candidate_pairs(bands, bands, "doc_a", "doc_b", ordered=True)
     overlap = _pair_overlap(cands, dshingle, "doc_a", "doc_b")
     n_union = F.col("sz_a") + F.col("sz_b") - F.col("n_common")
@@ -836,7 +860,7 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash_lsh; the threshold is looser (0.5) because cross-batch
     dups drift more than same-crawl dups."""
     dshingle = doc_shingle_ids(spark, sf_dir).cache()
-    bands = _band_keys(_minhash_signatures(dshingle))
+    bands = _band_index(spark, sf_dir, dshingle, "dict")
     cands = _candidate_pairs(
         bands.filter(F.col("doc_id") % 10 == 0),
         bands.filter(F.col("doc_id") % 10 != 0),
@@ -910,7 +934,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     final scoring expression differs, so the scale analysis there
     carries over verbatim."""
     dshingle = doc_shingle_ids(spark, sf_dir).cache()
-    bands = _band_keys(_minhash_signatures(dshingle))
+    bands = _band_index(spark, sf_dir, dshingle, "dict")
     cands = _candidate_pairs(bands, bands, "doc_a", "doc_b", ordered=True)
     overlap = _pair_overlap(cands, dshingle, "doc_a", "doc_b")
     containment = F.col("n_common").cast("double") / F.least(
@@ -1095,7 +1119,7 @@ def dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     is Jaccard-verified on the folded ids, so precision is 1.0 up to
     57-bit hash collisions."""
     dshingle = _xxhash_shingle_ids(spark, sf_dir)
-    bands = _band_keys(_xxhash_signatures(dshingle))
+    bands = _band_index(spark, sf_dir, dshingle, "xxhash")
     cands = _candidate_pairs(bands, bands, "doc_a", "doc_b", ordered=True)
     overlap = _pair_overlap(cands, dshingle, "doc_a", "doc_b")
     n_union = F.col("sz_a") + F.col("sz_b") - F.col("n_common")
@@ -1130,7 +1154,7 @@ def dedup_cross_corpus_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle-checked dictionary twin: identical candidate semantics
     up to 57-bit hash collisions, verified pairs Jaccard-exact."""
     dshingle = _xxhash_shingle_ids(spark, sf_dir)
-    bands = _band_keys(_xxhash_signatures(dshingle))
+    bands = _band_index(spark, sf_dir, dshingle, "xxhash")
     cands = _candidate_pairs(
         bands.filter(F.col("doc_id") % 10 == 0),
         bands.filter(F.col("doc_id") % 10 != 0),
