@@ -217,14 +217,23 @@ def main() -> None:
     # fast query gets one extra run and reports the min — steady-state
     # throughput, which is what the 2x gate is meant to measure.  Slow
     # queries stay single-shot to bound total bench time.
+    #
+    # Caveat recorded on purpose: run 2 also benefits from session
+    # caches (shingle relations, the banded-LSH index), so the min is a
+    # WARM number and cold-build regressions in cached index stages are
+    # not visible through it.  BENCH_DETAIL.json therefore keeps the
+    # first-run time per rerun query under "cold" so both paths stay
+    # observable round-over-round.
     RERUN_UNDER_SEC = 2.0
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         elapsed = time.perf_counter() - t0
         if elapsed < RERUN_UNDER_SEC:
+            cold[name] = round(elapsed, 3)
             t1 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             elapsed = min(elapsed, time.perf_counter() - t1)
@@ -240,7 +249,9 @@ def main() -> None:
     )
     with open(detail_path, "w") as fh:
         json.dump(
-            {"sf": sf, "n_queries": len(times), "queries": times}, fh, indent=1
+            {"sf": sf, "n_queries": len(times), "queries": times, "cold": cold},
+            fh,
+            indent=1,
         )
     slowest = dict(
         sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:10]

@@ -93,8 +93,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_signatures(dshingle: DataFrame) -> DataFrame:
-    """(doc_id, mh0..mh15): k=16 affine minhashes over shingle-id sets.
+def _signatures(dshingle: DataFrame, modulus: int) -> DataFrame:
+    """(doc_id, mh0..mh15): k=16 affine minhashes over shingle-id sets,
+    parameterized on the modulus so the dictionary family (MINHASH_P
+    over dense vocab ids) and the xxhash family (2^31-1 over 57-bit
+    hash ids) share ONE definition of the hash scheme — the affine
+    coefficients (2i+3, 5i+7) must never diverge between them.
 
     All k hashes are aggregated in ONE groupBy(doc_id) pass — k min()
     columns, not a k-way row blowup — so the shingle relation is
@@ -103,10 +107,14 @@ def _minhash_signatures(dshingle: DataFrame) -> DataFrame:
     sid = F.col("sid").cast("long")
     return dshingle.groupBy("doc_id").agg(
         *[
-            F.min(((2 * i + 3) * sid + (5 * i + 7)) % MINHASH_P).alias(f"mh{i}")
+            F.min(((2 * i + 3) * sid + (5 * i + 7)) % modulus).alias(f"mh{i}")
             for i in range(MINHASH_K)
         ]
     )
+
+
+def _minhash_signatures(dshingle: DataFrame) -> DataFrame:
+    return _signatures(dshingle, MINHASH_P)
 
 
 def _band_keys(sig: DataFrame) -> DataFrame:
@@ -138,14 +146,19 @@ def _band_keys(sig: DataFrame) -> DataFrame:
 _BAND_INDEX_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def _band_index(spark: SparkSession, sf_dir: str, dshingle: DataFrame,
-                family: str) -> DataFrame:
+def _band_index(spark: SparkSession, sf_dir: str, family: str) -> DataFrame:
+    """The shingle relation is derived HERE from the family (each
+    family's relation is itself a session-cached singleton), so a
+    caller cannot pair the wrong relation with a family key and poison
+    the session-wide cache."""
     key = (spark.sparkContext.applicationId, sf_dir, family)
     cached = _BAND_INDEX_CACHE.get(key)
     if cached is not None:
         return cached
-    sig = (_xxhash_signatures if family == "xxhash"
-           else _minhash_signatures)(dshingle)
+    if family == "xxhash":
+        sig = _xxhash_signatures(_xxhash_shingle_ids(spark, sf_dir))
+    else:
+        sig = _minhash_signatures(doc_shingle_ids(spark, sf_dir))
     out = _band_keys(sig).cache()
     _BAND_INDEX_CACHE[key] = out
     return out
@@ -251,7 +264,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB, band keys are the partition keys and skewed bands (giant
     dup clusters) are exactly what AQE skew-join splits."""
     dshingle = doc_shingle_ids(spark, sf_dir).cache()
-    bands = _band_index(spark, sf_dir, dshingle, "dict")
+    bands = _band_index(spark, sf_dir, "dict")
     cands = _candidate_pairs(bands, bands, "doc_a", "doc_b", ordered=True)
     overlap = _pair_overlap(cands, dshingle, "doc_a", "doc_b")
     n_union = F.col("sz_a") + F.col("sz_b") - F.col("n_common")
@@ -860,7 +873,7 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash_lsh; the threshold is looser (0.5) because cross-batch
     dups drift more than same-crawl dups."""
     dshingle = doc_shingle_ids(spark, sf_dir).cache()
-    bands = _band_index(spark, sf_dir, dshingle, "dict")
+    bands = _band_index(spark, sf_dir, "dict")
     cands = _candidate_pairs(
         bands.filter(F.col("doc_id") % 10 == 0),
         bands.filter(F.col("doc_id") % 10 != 0),
@@ -934,7 +947,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     final scoring expression differs, so the scale analysis there
     carries over verbatim."""
     dshingle = doc_shingle_ids(spark, sf_dir).cache()
-    bands = _band_index(spark, sf_dir, dshingle, "dict")
+    bands = _band_index(spark, sf_dir, "dict")
     cands = _candidate_pairs(bands, bands, "doc_a", "doc_b", ordered=True)
     overlap = _pair_overlap(cands, dshingle, "doc_a", "doc_b")
     containment = F.col("n_common").cast("double") / F.least(
@@ -1083,16 +1096,10 @@ def _xxhash_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _xxhash_signatures(dshingle: DataFrame) -> DataFrame:
     """MinHash signatures over 57-bit xxhash shingle ids — the
-    dictionary-free twin of _minhash_signatures.  Affine multipliers
-    are ≤ 33 < 2^6, so 33·2^57 + 87 fits int64 under ANSI."""
-    return dshingle.groupBy("doc_id").agg(
-        *[
-            F.min(
-                ((2 * i + 3) * F.col("sid") + (5 * i + 7)) % F.lit(2147483647)
-            ).alias(f"mh{i}")
-            for i in range(MINHASH_K)
-        ]
-    )
+    dictionary-free twin of _minhash_signatures (same _signatures
+    scheme, 2^31-1 modulus).  Affine multipliers are ≤ 33 < 2^6, so
+    33·2^57 + 87 fits int64 under ANSI."""
+    return _signatures(dshingle, 2147483647)
 
 
 @REG.query("dedup_minhash_xxhash")  # rows-only: xxhash64 isn't SQL-portable
@@ -1119,7 +1126,7 @@ def dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     is Jaccard-verified on the folded ids, so precision is 1.0 up to
     57-bit hash collisions."""
     dshingle = _xxhash_shingle_ids(spark, sf_dir)
-    bands = _band_index(spark, sf_dir, dshingle, "xxhash")
+    bands = _band_index(spark, sf_dir, "xxhash")
     cands = _candidate_pairs(bands, bands, "doc_a", "doc_b", ordered=True)
     overlap = _pair_overlap(cands, dshingle, "doc_a", "doc_b")
     n_union = F.col("sz_a") + F.col("sz_b") - F.col("n_common")
@@ -1154,7 +1161,7 @@ def dedup_cross_corpus_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle-checked dictionary twin: identical candidate semantics
     up to 57-bit hash collisions, verified pairs Jaccard-exact."""
     dshingle = _xxhash_shingle_ids(spark, sf_dir)
-    bands = _band_index(spark, sf_dir, dshingle, "xxhash")
+    bands = _band_index(spark, sf_dir, "xxhash")
     cands = _candidate_pairs(
         bands.filter(F.col("doc_id") % 10 == 0),
         bands.filter(F.col("doc_id") % 10 != 0),

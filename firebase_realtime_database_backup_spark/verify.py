@@ -88,8 +88,8 @@ def _token(v):
     if v is None or v is pd.NaT:
         return "∅"
     if isinstance(v, (np.floating, float)):
-        f = float(v)
-        if math.isnan(f):
+        f = float(v) + 0.0  # collapse -0.0/+0.0 (the pre-round-3 loop and
+        if math.isnan(f):   # the driver's r1/r2 record both treated them equal)
             return "∅"
         return f"f:{f!r}"
     if isinstance(v, (np.bool_, bool)):

@@ -45,6 +45,20 @@ def test_spark_outputs_canon_safe(spark):
     assert not problems, problems
 
 
+def test_driver_passed_names_exist(spark):
+    """Rotation-contract lint: every name in DRIVER_PASSED must be a
+    registered query.  A typo'd or since-renamed name would silently
+    send the real query back to the never-attested tier (or match
+    nothing), wasting the driver's capped attestation window on
+    re-proving already-passed queries."""
+    import __spark_entry__ as entrymod
+
+    from firebase_realtime_database_backup_spark.registry import DRIVER_PASSED
+
+    unknown = DRIVER_PASSED - set(entrymod.queries())
+    assert not unknown, f"DRIVER_PASSED names not in registry: {sorted(unknown)}"
+
+
 def test_every_oracle_has_query(spark):
     import __spark_entry__ as entrymod
 
