@@ -144,6 +144,7 @@ HEADLINE = [
     "text_pack_sequences",
     "text_inverted_index",
     "mix_weighted_sources",
+    "mix_temperature_sampled",
     "text_gopher_rules",
     "text_code_detect",
     "text_repeated_passages",

@@ -777,6 +777,92 @@ def mix_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(h < rate).select("doc_id", "source", "lang")
 
 
+#: Temperature-sampling corpus budget: keep ~this fraction of the corpus
+#: overall, redistributed across sources by the T=2 flattened shares.
+MIX_TEMP_BUDGET = 0.5
+
+
+@REG.query(
+    "mix_temperature_sampled",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS c FROM documents GROUP BY source
+    ),
+    quant AS (
+      SELECT source, c,
+             CAST(FLOOR(SQRT(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS sq_q
+      FROM counts
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+             CAST(SUM(sq_q) AS BIGINT) AS z
+      FROM quant
+    ),
+    rates AS (
+      SELECT source,
+             LEAST(10000, CAST(FLOOR(
+               (({MIX_TEMP_BUDGET} * n_total) * sq_q / z / c) * 10000
+             ) AS BIGINT)) AS rate_bp
+      FROM quant, tot
+    )
+    SELECT d.doc_id, d.source, r.rate_bp
+    FROM documents d JOIN rates r USING (source)
+    WHERE CAST((d.doc_id * 2654435761) % 2147483648 AS BIGINT) % 10000
+          < r.rate_bp
+    """,
+)
+def mix_temperature_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling — the multilingual /
+    multi-source "data recipe" move (sampling probability ∝ share^(1/T))
+    that upweights small sources without drowning large ones.  T = 2 is
+    deliberate: share^(1/2) is SQRT, the one transcendental that IEEE
+    754 requires correctly rounded, so both engines derive bit-identical
+    rates (a 0.7-style exponent would ride on libm pow and could flip a
+    rate at a rounding boundary).
+
+    Exactness chain: per-source sqrt is quantized to integer micro-units
+    via FLOOR (identical doubles → identical floor), the normalizer is
+    an exact integer SUM over those, and each source's acceptance rate
+    in basis points is one fixed-order double expression FLOORed on
+    both sides.  Acceptance per doc is then the integer Knuth-hash test
+    shared with sample_deterministic/mix_weighted_sources — no float
+    ever decides a row's fate at a boundary that could differ.
+
+    Plan shape at 100 TB: per-source counts are a tiny partial-agg
+    (|sources| rows), the rate table broadcasts into the scan, and the
+    keep-decision is map-only — one full read, zero wide shuffles; the
+    output keeps rate_bp so downstream mixing audits are self-describing
+    (and the oracle pins the derived rates, not just the row set)."""
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    quant = counts.withColumn(
+        "sq_q",
+        F.floor(F.sqrt(F.col("c").cast("double")) * 1000000).cast("bigint"),
+    )
+    tot = quant.agg(
+        F.sum("c").cast("bigint").alias("n_total"),
+        F.sum("sq_q").cast("bigint").alias("z"),
+    )
+    rates = quant.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(10000),
+            F.floor(
+                ((F.lit(MIX_TEMP_BUDGET) * F.col("n_total"))
+                 * F.col("sq_q") / F.col("z") / F.col("c")) * 10000
+            ).cast("bigint"),
+        ).alias("rate_bp"),
+    )
+    h_bp = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483648)).cast(
+        "bigint"
+    ) % 10000
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(h_bp < F.col("rate_bp"))
+        .select("doc_id", "source", "rate_bp")
+    )
+
+
 @REG.query(
     "text_tfidf",
     oracle="""

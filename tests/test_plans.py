@@ -331,6 +331,8 @@ BNL_ONE_ROW_PROBES = {
     "quality_benford": 1,    # 1-row total row under the digit histogram
     # good-rows 1-row summary x quarantined 1-row count (audit row)
     "ingest_jsonl_quarantine": 1,
+    # 1-row (n_total, z) normalizer row under the per-source rates
+    "mix_temperature_sampled": 1,
 }
 BNL_ALLOWED = BNL_DESIGNED | set(BNL_ONE_ROW_PROBES)
 
