@@ -129,6 +129,7 @@ HEADLINE = [
     "sim_ivf_topk",
     "sim_topk_incremental",
     "sim_ann_multitable",
+    "sim_pq_topk",
     "sim_label_centroids",
     "sim_vector_quantize",
     "text_fingerprint",

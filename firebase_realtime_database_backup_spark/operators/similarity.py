@@ -1,6 +1,7 @@
 """Similarity search over embedding columns (`array<float>`, dim 64).
 
-Three tiers:
+Four tiers (plus the IVF / multi-table / incremental / PQ variants
+further down):
 
 1. `sim_cosine_topk`  — exact brute-force cosine top-k: broadcast the
    (small) query set against the full corpus scan; per-query top-k via
@@ -13,6 +14,10 @@ Three tiers:
 3. `sim_ann_lsh`      — ANN top-k: join queries to candidates on bucket
    equality, exact cosine only within buckets.  Replaces the all-pairs
    space with an equi join (same move as dedup's banded MinHash).
+4. `sim_pq_topk`      — product-quantization ANN: vectors stored as
+   8 subspace codes (~100x index compression), ADC table-lookup
+   shortlist, exact re-rank.  The MEMORY axis of billion-vector
+   search, complementing the candidate-pruning tiers above.
 
 Everything is computed in float64 with identical left-to-right fold
 order in Spark (`zip_with` + `aggregate`) and DuckDB
@@ -743,6 +748,156 @@ def sim_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         merged.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "c_id", "cosine", "rk")
+    )
+
+
+# ---- tier 4: product quantization (code-compressed ANN) ----------------
+
+PQ_M = 8                     # subspaces (DIM/PQ_M dims each)
+PQ_DSUB = DIM // PQ_M
+PQ_K = 32                    # codes per subspace (5-bit codes)
+PQ_ITERS = 3                 # deterministic per-subspace Lloyd's rounds
+PQ_TRAIN = 512               # codebook training set: PQ_TRAIN smallest vec_ids
+PQ_SHORTLIST = 16            # ADC shortlist factor x TOP_K before re-rank
+
+
+@REG.query("sim_pq_topk")  # rows-only: float k-means codebooks aren't SQL-portable
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the Jégou et al. 2011 ADC family) —
+    the MEMORY side of billion-vector search that the LSH/IVF tiers
+    don't address: each normalized vector is stored as PQ_M=8 5-bit
+    codes (5 B packed) instead of 64 float64 dims (512 bytes), a ~100x
+    index compression, and queries scan codes, not vectors.
+
+    Stages (all deterministic; smallest-id inits, lowest-index
+    tie-breaks, per-subspace Lloyd's — the SemDeDup conventions):
+
+    1. TRAIN (driver, bounded): codebooks are PQ_M independent k-means
+       over the PQ_TRAIN smallest-id vectors' subspaces — an
+       (M·K·DSUB)-double broadcast state (8 KB), trained once; at
+       100 TB this trains on a fixed sample and is persisted with the
+       index.
+    2. ENCODE (map-only Arrow kernel): one argmin matmul per subspace
+       per batch → the (vec_id, c0..c7) code table — the stored index.
+    3. ADC SHORTLIST (map-only over codes): each query precomputes a
+       (M x K) inner-product table against the codebooks (broadcast;
+       Q·M·K doubles), so a candidate's approximate cosine is 8 table
+       lookups + a sum — no vector math on the scan side.  Each Arrow
+       batch keeps only its local top-(PQ_SHORTLIST·TOP_K) per query
+       (local-topk-then-merge: output is bounded by
+       partitions·Q·shortlist, and the global shortlist equals the
+       true ADC top because every global winner is a batch winner).
+    4. EXACT RE-RANK: the tiny shortlist joins back to the real
+       vectors (broadcast of the shortlist ids into the scan) and the
+       final TOP_K uses the exact shared cosine expression — so every
+       emitted score is exact; PQ only decided WHO got scored.
+
+    Recall is pinned in tests/test_plans.py alongside the other ANN
+    tiers (same exact-top-k ground truth).  Rows-only registration:
+    the codebooks are float k-means, not SQL-portable."""
+    import numpy as np
+    import pandas as pd
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    train_rows = emb.orderBy("vec_id").limit(PQ_TRAIN).collect()
+    if not train_rows:
+        return spark.createDataFrame(
+            [], "q_id long, c_id long, cosine double, rk int"
+        )
+
+    def _normalize(X):
+        n = np.linalg.norm(X, axis=1)
+        safe = np.where(n == 0, 1.0, n)
+        return np.where(n[:, None] > 0, X / safe[:, None], 0.0)
+
+    Xt = _normalize(np.array([r.emb for r in train_rows], dtype=np.float64))
+    codebooks = np.empty((PQ_M, PQ_K, PQ_DSUB))
+    for m in range(PQ_M):
+        sub = Xt[:, m * PQ_DSUB : (m + 1) * PQ_DSUB]
+        C = sub[:PQ_K].copy()
+        for _ in range(PQ_ITERS):
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            C = np.array(
+                [
+                    sub[a == j].mean(axis=0) if (a == j).any() else C[j]
+                    for j in range(PQ_K)
+                ]
+            )
+        codebooks[m] = C
+
+    q_rows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    Qn = _normalize(np.array([r.emb for r in q_rows], dtype=np.float64))
+    # ADC tables: adc[q, m, k] = <q_sub_m, codebook[m, k]>
+    adc = np.einsum(
+        "qmd,mkd->qmk", Qn.reshape(len(Qn), PQ_M, PQ_DSUB), codebooks
+    )
+    keep = PQ_SHORTLIST * TOP_K
+
+    code_schema = "vec_id long, " + ", ".join(f"c{m} long" for m in range(PQ_M))
+
+    def encode(batches):
+        for pdf in batches:
+            X = _normalize(np.stack(pdf["emb"].values).astype(np.float64))
+            sub = X.reshape(len(X), PQ_M, PQ_DSUB)
+            out = {"vec_id": pdf["vec_id"].values}
+            for m in range(PQ_M):
+                d2 = ((sub[:, m, None, :] - codebooks[m][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                out[f"c{m}"] = d2.argmin(axis=1)
+            yield pd.DataFrame(out)
+
+    def adc_shortlist(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].values
+            codes = np.stack([pdf[f"c{m}"].values for m in range(PQ_M)], axis=1)
+            # approx[q, row] = sum_m adc[q, m, codes[row, m]]
+            approx = adc[:, np.arange(PQ_M)[None, :], codes].sum(axis=2)
+            rows = []
+            for qi, qid in enumerate(q_ids):
+                s = approx[qi].copy()
+                s[ids == qid] = -np.inf  # never shortlist self
+                top = np.argsort(-s, kind="stable")[:keep]
+                rows.append(
+                    pd.DataFrame(
+                        {"q_id": qid, "c_id": ids[top], "approx": s[top]}
+                    )
+                )
+            yield pd.concat(rows, ignore_index=True)
+
+    codes = emb.mapInPandas(encode, code_schema)
+    local_top = codes.mapInPandas(adc_shortlist, "q_id long, c_id long, approx double")
+    w_s = Window.partitionBy("q_id").orderBy(F.desc("approx"), F.col("c_id"))
+    shortlist = (
+        local_top.withColumn("srk", F.row_number().over(w_s))
+        .filter(F.col("srk") <= keep)
+        .select("q_id", "c_id")
+    )
+
+    raw = read_table(spark, sf_dir, "embeddings")
+    q = _query_side(raw)
+    c = raw.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").cast("array<double>").alias("ce"),
+    ).withColumn("cn", _norm(F.col("ce")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("c_id"))
+    return (
+        c.join(F.broadcast(shortlist), "c_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            "c_id",
+            F.try_divide(
+                _dot(F.col("qe"), F.col("ce")), F.col("qn") * F.col("cn")
+            ).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
         .select("q_id", "c_id", "cosine", "rk")
     )

@@ -387,7 +387,14 @@ def test_ann_recall_vs_exact_topk(spark, queries):
     # on this weakly-clustered data (mean neighbor cosine ~0.33) its
     # recall is ~0 by construction — that IS its documented failure
     # mode, and the reason sim_ann_multitable exists.
-    for name, floor in (("sim_ann_multitable", 0.40), ("sim_ivf_topk", 0.60)):
+    # sim_pq_topk measured 0.92 here (0.80 at sf0.1): the ADC shortlist
+    # re-ranked with exact cosine recovers most true neighbors even on
+    # this weakly-clustered data — floored with margin like the others.
+    for name, floor in (
+        ("sim_ann_multitable", 0.40),
+        ("sim_ivf_topk", 0.60),
+        ("sim_pq_topk", 0.60),
+    ):
         approx = {
             (r["q_id"], r["c_id"]) for r in queries[name](spark, SF).collect()
         }
