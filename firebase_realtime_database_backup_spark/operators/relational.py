@@ -29,6 +29,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from firebase_realtime_database_backup_spark.catalog import read_table, spread
+from firebase_realtime_database_backup_spark.functions.hashing import (
+    knuth_bucket,
+    knuth_bucket_sql,
+    knuth_hash,
+    knuth_hash_sql,
+)
 from firebase_realtime_database_backup_spark.registry import Registry
 
 REG = Registry()
@@ -1270,10 +1276,10 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.query(
     "sample_deterministic",
-    oracle="""
+    oracle=f"""
     WITH tagged AS (
       SELECT doc_id, lang,
-             CAST((doc_id * 2654435761) % 2147483648 AS BIGINT) % 100 AS h
+             {knuth_bucket_sql('doc_id', 100)} AS h
       FROM documents
     )
     SELECT doc_id, lang,
@@ -1291,9 +1297,7 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract).  Map-only; the split column then drives partitioned
     writes or filters."""
     docs = read_table(spark, sf_dir, "documents")
-    h = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483648)).cast(
-        "bigint"
-    ) % 100
+    h = knuth_bucket(F.col("doc_id"), 100)
     return docs.select(
         "doc_id",
         "lang",
@@ -2355,12 +2359,12 @@ def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.query(
     "sample_stratified_topk",
-    oracle="""
+    oracle=f"""
     WITH ranked AS (
       SELECT event_id, user_id, event_type, value,
              ROW_NUMBER() OVER (
                PARTITION BY event_type
-               ORDER BY (CAST(event_id AS BIGINT) * 2654435761) % 2147483648,
+               ORDER BY {knuth_hash_sql('event_id')},
                         event_id
              ) AS rk
       FROM events
@@ -2385,7 +2389,7 @@ def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sees ~k rows per stratum instead of all of them; the window form
     here keeps the oracle exact."""
     events = read_table(spark, sf_dir, "events")
-    h = (F.col("event_id").cast("long") * F.lit(2654435761)) % F.lit(2147483648)
+    h = knuth_hash(F.col("event_id"))
     # Two-phase rank: a stratum column with 5 values caps a single
     # global-window pass at 5-way parallelism (measured 15x at 20x
     # data).  Phase 1 pre-ranks within (stratum, salt-of-32) — full

@@ -815,6 +815,12 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return np.where(n[:, None] > 0, X / safe[:, None], 0.0)
 
     Xt = _normalize(np.array([r.emb for r in train_rows], dtype=np.float64))
+    if len(Xt) < PQ_K:
+        # Tiny corpus (1..PQ_K-1 vectors): pad the training set by
+        # tiling so every subspace still gets PQ_K init rows — duplicate
+        # centroids yield degenerate (never-winning) cells instead of an
+        # IndexError in the Lloyd's update.
+        Xt = np.tile(Xt, (-(-PQ_K // len(Xt)), 1))[:PQ_K]
     codebooks = np.empty((PQ_M, PQ_K, PQ_DSUB))
     for m in range(PQ_M):
         sub = Xt[:, m * PQ_DSUB : (m + 1) * PQ_DSUB]
@@ -863,7 +869,11 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for qi, qid in enumerate(q_ids):
                 s = approx[qi].copy()
                 s[ids == qid] = -np.inf  # never shortlist self
-                top = np.argsort(-s, kind="stable")[:keep]
+                # Tie-break by (-approx, c_id) — the SAME order the
+                # global shortlist window uses — so equal approx scores
+                # straddling the local keep boundary resolve identically
+                # regardless of partition/batch layout (determinism).
+                top = np.lexsort((ids, -s))[:keep]
                 rows.append(
                     pd.DataFrame(
                         {"q_id": qid, "c_id": ids[top], "approx": s[top]}

@@ -22,6 +22,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from firebase_realtime_database_backup_spark.catalog import read_table, spread
+from firebase_realtime_database_backup_spark.functions.hashing import (
+    knuth_bucket,
+    knuth_bucket_sql,
+    knuth_hash,
+    knuth_hash_sql,
+)
 from firebase_realtime_database_backup_spark.registry import Registry
 
 REG = Registry()
@@ -387,7 +393,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.query(
     "pipeline_prepare_corpus",
-    oracle="""
+    oracle=f"""
     WITH normed AS (
       SELECT doc_id, lang,
              TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]+', '', 'g'),
@@ -411,7 +417,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM kept
     )
     SELECT doc_id, lang, n_tokens, uniq_ratio, content_hash,
-           CASE WHEN CAST((doc_id * 2654435761) % 2147483648 AS BIGINT) % 100 < 10
+           CASE WHEN {knuth_bucket_sql('doc_id', 100)} < 10
                 THEN 'test' ELSE 'train' END AS split
     FROM deduped WHERE copy_rank = 1
     """,
@@ -448,7 +454,7 @@ def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("lang").isin("en", "de"))
     )
     w = Window.partitionBy("content_hash").orderBy("doc_id")
-    h = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483648)).cast("bigint") % 100
+    h = knuth_bucket(F.col("doc_id"), 100)
     return (
         kept.withColumn("copy_rank", F.row_number().over(w))
         .filter(F.col("copy_rank") == 1)
@@ -744,10 +750,10 @@ def text_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.query(
     "mix_weighted_sources",
-    oracle="""
+    oracle=f"""
     WITH tagged AS (
       SELECT doc_id, source, lang,
-             CAST((doc_id * 2654435761) % 2147483648 AS BIGINT) % 100 AS h,
+             {knuth_bucket_sql('doc_id', 100)} AS h,
              CAST(SUBSTR(source, 4) AS INT) % 3 AS tier
       FROM documents
     )
@@ -767,9 +773,7 @@ def mix_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     the "data recipe" step that upweights high-quality sources before
     training."""
     docs = read_table(spark, sf_dir, "documents")
-    h = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483648)).cast(
-        "bigint"
-    ) % 100
+    h = knuth_bucket(F.col("doc_id"), 100)
     tier = F.substring("source", 4, 10).cast("int") % 3
     rate = (
         F.when(tier == 0, 90).when(tier == 1, 50).otherwise(20)
@@ -807,7 +811,7 @@ MIX_TEMP_BUDGET = 0.5
     )
     SELECT d.doc_id, d.source, r.rate_bp
     FROM documents d JOIN rates r USING (source)
-    WHERE CAST((d.doc_id * 2654435761) % 2147483648 AS BIGINT) % 10000
+    WHERE {knuth_bucket_sql('d.doc_id', 10000)}
           < r.rate_bp
     """,
 )
@@ -853,9 +857,7 @@ def mix_temperature_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         ).alias("rate_bp"),
     )
-    h_bp = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483648)).cast(
-        "bigint"
-    ) % 10000
+    h_bp = knuth_bucket(F.col("doc_id"), 10000)
     return (
         docs.join(F.broadcast(rates), "source")
         .filter(h_bp < F.col("rate_bp"))
@@ -1205,12 +1207,12 @@ def text_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.query(
     "text_lang_rebalance",
-    oracle="""
+    oracle=f"""
     WITH counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
     mn AS (SELECT MIN(cnt) AS target FROM counts)
     SELECT d.doc_id, d.lang, c.cnt AS lang_count, m.target AS target_count
     FROM documents d JOIN counts c USING (lang), mn m
-    WHERE (((CAST(d.doc_id AS BIGINT) * 2654435761) % 2147483648) % 10000)
+    WHERE {knuth_bucket_sql('d.doc_id', 10000)}
           * c.cnt < m.target * 10000
     """,
 )
@@ -1230,7 +1232,7 @@ def text_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
     target = counts.agg(F.min("cnt").alias("target"))
-    h = ((F.col("doc_id").cast("long") * F.lit(2654435761)) % F.lit(2147483648)) % F.lit(10000)
+    h = knuth_bucket(F.col("doc_id"), 10000)
     return (
         docs.join(F.broadcast(counts), "lang")
         .crossJoin(F.broadcast(target))

@@ -67,7 +67,7 @@ class Registry:
 
 
 # Names the driver's capped attestation window has already PASSed
-# (hash_match true in CORRECTNESS_r01.json or CORRECTNESS_r02.json).
+# (hash_match true in CORRECTNESS_r01/r02/r03.json).
 # Used to ROTATE the window: never-attested oracle-backed queries are
 # registered first so each round's ~50-query cap proves new names
 # instead of re-proving these.  Append each round's new passes.
@@ -108,6 +108,34 @@ DRIVER_PASSED = frozenset({
     "tpch_q8_market_share", "tpch_q9_profit",
     "window_lag_lead", "window_nth_first_last", "window_percent_dist",
     "window_range_frame", "window_ranking", "window_running_frame",
+    # round 3 (CORRECTNESS_r03.json — 50/50 PASS):
+    "agg_histogram_equiwidth", "agg_unpivot",
+    "conditional_case_nullif",
+    "events_item_cooccurrence", "events_markov_transitions",
+    "events_rfm_segments",
+    "flagship_revenue_bucketed",
+    "ingest_jsonl_quarantine", "ingest_schema_inference",
+    "ingest_schema_inference_sampled",
+    "json_extract_props", "json_from_json_struct",
+    "mix_temperature_sampled",
+    "multimodal_frame_energy", "multimodal_frame_explode",
+    "multimodal_media_features", "multimodal_phash_dedup",
+    "multimodal_resize_pool", "multimodal_scene_cuts",
+    "multimodal_silence_trim",
+    "quality_audit_constraints", "quality_winsorize",
+    "scalar_array_funcs", "scalar_bitwise_funcs", "scalar_date_funcs",
+    "scalar_hof_funcs", "scalar_map_funcs", "scalar_math_funcs",
+    "scalar_string_funcs",
+    "scd2_validity_windows",
+    "sim_ann_lsh", "sim_ann_multitable", "sim_cosine_topk",
+    "sim_dim_stats", "sim_ivf_topk", "sim_label_centroids",
+    "sim_lsh_buckets", "sim_topk_incremental", "sim_vector_quantize",
+    "sink_merge_upsert",
+    "text_code_detect", "text_inverted_index", "text_pack_sequences",
+    "tpch_q12_priority_lines",
+    "tree_normalize_events", "tree_path_ops", "tree_subtree_sizes",
+    "udf_grouped_topn", "udf_pandas_scalar",
+    "url_project_id_parse",
 })
 
 

@@ -185,12 +185,22 @@ def ingest_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("}"),
             )
         )
+        # Key the fixture dir on a hash of the FULL sf_dir path, matching
+        # the memo key: two scale dirs sharing a basename under different
+        # parents must not collide on one .scratch path (the lazy
+        # read-back would silently consume whichever corpus wrote last).
+        import hashlib
+
+        path_tag = hashlib.sha1(
+            os.path.abspath(os.path.normpath(sf_dir)).encode()
+        ).hexdigest()[:12]
         fixture = os.path.join(
             os.path.dirname(
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
             ),
             ".scratch",
-            f"quarantine_jsonl_{os.path.basename(os.path.normpath(sf_dir))}",
+            f"quarantine_jsonl_{os.path.basename(os.path.normpath(sf_dir))}"
+            f"_{path_tag}",
         )
         docs.select(line.alias("value")).write.mode("overwrite").text(fixture)
         _QUARANTINE_FIXTURES[memo_key] = fixture

@@ -154,7 +154,11 @@ def compare_query(
         try:
             a = _token_rows(_canon_pdf(s_pdf))
             b = _token_rows(_canon_pdf(o_pdf))
-        except TypeError as exc:  # the driver's ERR class
+        except (TypeError, ValueError) as exc:  # the driver's ERR class
+            # TypeError: unhashable list cells; ValueError: np.ndarray
+            # cells ("truth value of an array is ambiguous") — Spark
+            # toPandas renders array columns as ndarray, which raises
+            # ValueError (not TypeError) inside sort_values.
             details.append(f"canon error (driver would ERR): {exc}")
         else:
             if a != b:
