@@ -390,16 +390,48 @@ def test_ann_recall_vs_exact_topk(spark, queries):
     # sim_pq_topk measured 0.92 here (0.80 at sf0.1): the ADC shortlist
     # re-ranked with exact cosine recovers most true neighbors even on
     # this weakly-clustered data — floored with margin like the others.
+    recalls = {}
     for name, floor in (
         ("sim_ann_multitable", 0.40),
         ("sim_ivf_topk", 0.60),
         ("sim_pq_topk", 0.60),
+        ("sim_ivfpq_topk", 0.60),
     ):
         approx = {
             (r["q_id"], r["c_id"]) for r in queries[name](spark, SF).collect()
         }
-        recall = len(exact & approx) / len(exact)
+        recalls[name] = recall = len(exact & approx) / len(exact)
         assert recall >= floor, f"{name} recall {recall:.3f} < {floor}"
+    # The IVF x PQ composition exists BECAUSE flat-PQ recall drifts down
+    # with corpus size (0.92 at sf0.01 -> 0.80 at sf0.1): residual
+    # codebooks quantize the within-cell distribution more finely, so
+    # the composed form must never fall below the flat form it replaces
+    # (measured 0.92 vs 0.92 here; 0.96 vs 0.80 at sf0.1).
+    assert recalls["sim_ivfpq_topk"] >= recalls["sim_pq_topk"], recalls
+
+
+def test_ivfpq_probed_fraction_bounded(spark):
+    """The IVF side of sim_ivfpq_topk must actually prune: a query
+    probes IVFPQ_PROBE of IVFPQ_CELLS cells, so the scanned fraction of
+    the code table is the summed occupancy of the probed cells.  Pin the
+    WORST-CASE fraction (the IVFPQ_PROBE fullest cells) at <= 2x the
+    uniform share — if the coarse quantizer ever collapses (all vectors
+    in one cell), 'ANN' silently degrades to a full flat scan and this
+    fails.  Measured at sf0.1: worst-case 0.28 vs the 0.50 bound."""
+    from firebase_realtime_database_backup_spark.operators.similarity import (
+        IVFPQ_CELLS,
+        IVFPQ_PROBE,
+        ivfpq_cell_assignments,
+    )
+
+    occ = {
+        r["cell"]: r["count"]
+        for r in ivfpq_cell_assignments(spark, SF).groupBy("cell").count().collect()
+    }
+    total = sum(occ.values())
+    worst = sum(sorted(occ.values())[-IVFPQ_PROBE:]) / total
+    bound = 2.0 * IVFPQ_PROBE / IVFPQ_CELLS
+    assert worst <= bound, f"probed fraction {worst:.3f} > {bound}"
 
 
 def _minhash_ground_truth(spark):
