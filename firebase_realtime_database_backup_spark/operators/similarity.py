@@ -1061,7 +1061,18 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_mask = np.zeros((len(q_ids), IVFPQ_CELLS), dtype=bool)
     for qi in range(len(q_ids)):
         probe_mask[qi, probe_cells[qi]] = True
-    keep = PQ_SHORTLIST * TOP_K
+    # Shortlist size grows ~sqrt(N) (one pre-plan COUNT, the same move
+    # as dedup_embedding_cosine_scaled's planes-from-count): a FIXED
+    # shortlist lets recall decay with corpus size — at the top of the
+    # ranking, score gaps shrink as N grows (extreme-value crowding)
+    # while ADC noise stays constant, so the true top-k slips below a
+    # constant cut ever more often (flat-PQ measured drift: 0.92 ->
+    # 0.80 -> 0.20 at sf0.01/0.1/20x).  The ADC scan already scores all
+    # probed rows (O(N) either way); only the exact re-rank grows, and
+    # sqrt(N)*Q vectors stay broadcast-sized at any realistic scale
+    # (10^9 vectors -> ~63k rows/query).
+    n_corpus = emb.count()
+    keep = max(PQ_SHORTLIST * TOP_K, int(np.ceil(2.0 * np.sqrt(n_corpus))))
 
     # -- stage 1: assign + residual-encode, one Arrow pass over the scan
     code_schema = "vec_id long, cell long, " + ", ".join(
