@@ -896,6 +896,8 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # straddling the local keep boundary resolve identically
                 # regardless of partition/batch layout (determinism).
                 top = np.lexsort((ids, -s))[:keep]
+                top = top[np.isfinite(s[top])]  # masked self rows must
+                # not survive a keep >= batch-size cut (tiny corpora)
                 rows.append(
                     pd.DataFrame(
                         {"q_id": qid, "c_id": ids[top], "approx": s[top]}
@@ -1109,6 +1111,8 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 s[sub_ids == qid] = -np.inf  # never shortlist self
                 top = np.lexsort((sub_ids, -s))[:keep]
+                top = top[np.isfinite(s[top])]  # masked self rows must
+                # not survive a keep >= candidate-count cut (tiny corpora)
                 rows.append(
                     pd.DataFrame(
                         {"q_id": qid, "c_id": sub_ids[top], "approx": s[top]}

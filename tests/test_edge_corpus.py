@@ -98,6 +98,119 @@ def edge_dir(tmp_path_factory):
     return d
 
 
+@pytest.fixture(scope="module")
+def degenerate_dir(tmp_path_factory):
+    """Round-4 degenerate shapes the 40-row edge corpus can't express:
+
+    - documents from one dominant source plus a 1-doc RARE source, all
+      doc_ids multiples of 37 (gaps; every one corrupt under the
+      quarantine rule): temperature flattening upweights the rare
+      source past 100% (0.5 * 51 * 1/z ~ 3.2), so its rate must clamp
+      at 10000 bp identically in both engines;
+    - 7 ALL-IDENTICAL embeddings (fewer than PQ_K=32): codebook
+      training must pad instead of crash (the advisor's IndexError),
+      every cell degenerate, cosines all exactly 1.0 -> ties broken by
+      c_id alone."""
+    d = str(tmp_path_factory.mktemp("degenerate_corpus"))
+    con = duckdb.connect()
+    # duckdb_connection registers views for every catalog table: give
+    # the unused ones empty (schema-only) parquet stubs
+    src = "/root/testdata/sf0.001"
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events"):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet') LIMIT 0)"
+            f" TO '{os.path.join(d, t + '.parquet')}' (FORMAT PARQUET)"
+        )
+    con.execute(
+        f"""
+        COPY (
+          SELECT CAST(r * 37 AS BIGINT) AS doc_id,
+                 'tok' || r || ' common text here' AS text,
+                 CASE WHEN r % 2 = 0 THEN 'en' ELSE 'de' END AS lang,
+                 CASE WHEN r = 50 THEN 'rare_source'
+                      ELSE 'big_source' END AS source,
+                 CAST(20 AS BIGINT) AS n_chars
+          FROM range(51) t(r)
+        ) TO '{os.path.join(d, "documents.parquet")}' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT CAST(r AS BIGINT) AS vec_id,
+                 CAST(list_transform(range(64),
+                      x -> CAST(0.25 AS FLOAT)) AS FLOAT[]) AS embedding,
+                 0 AS label
+          FROM range(7) t(r)
+        ) TO '{os.path.join(d, "embeddings.parquet")}' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    return d
+
+
+def test_temperature_sampling_clamps_rare_source(spark, degenerate_dir):
+    """The 1-doc rare source's flattened rate (~3.2) must clamp at
+    10000 bp — its doc is kept unconditionally — and the oracle (LEAST
+    on the DuckDB side) agrees hash-exactly."""
+    import __spark_entry__ as e
+
+    con = verify.duckdb_connection(degenerate_dir)
+    r = verify.compare_query(
+        spark, con, "mix_temperature_sampled",
+        e.queries()["mix_temperature_sampled"],
+        e.oracle_sql()["mix_temperature_sampled"], degenerate_dir,
+    )
+    assert r.ok, r.details
+    rows = e.queries()["mix_temperature_sampled"](spark, degenerate_dir).collect()
+    by_source = {}
+    for row in rows:
+        by_source.setdefault(row.source, set()).add(row.rate_bp)
+    assert by_source["rare_source"] == {10000}  # clamped, doc kept
+    assert all(bp < 10000 for bp in by_source["big_source"])
+
+
+def test_quarantine_survives_docid_gaps(spark, degenerate_dir):
+    """doc_id gaps (0, 37, 74, ...): every doc_id is a multiple of 37,
+    so the corrupt-line rule truncates ALL of them — n_good = 0 — and
+    the oracle predicts it from the same rule."""
+    import __spark_entry__ as e
+
+    con = verify.duckdb_connection(degenerate_dir)
+    r = verify.compare_query(
+        spark, con, "ingest_jsonl_quarantine",
+        e.queries()["ingest_jsonl_quarantine"],
+        e.oracle_sql()["ingest_jsonl_quarantine"], degenerate_dir,
+    )
+    assert r.ok, r.details
+    row = e.queries()["ingest_jsonl_quarantine"](spark, degenerate_dir).collect()[0]
+    # every doc_id (incl. 0) is 0 mod 37 -> all corrupt; the good-side
+    # SUMs are NULL-over-empty in BOTH engines (canon-checked above)
+    assert row.n_good == 0 and row.n_quarantined == 51
+
+
+def test_pq_tiers_survive_tiny_identical_corpus(spark, degenerate_dir):
+    """7 identical vectors < PQ_K=32 training rows: both PQ tiers must
+    pad the codebook training set (not IndexError), emit exact cosines
+    of 1.0, and tie-break deterministically by c_id."""
+    from firebase_realtime_database_backup_spark.operators import similarity as S
+
+    for fn in (S.sim_pq_topk, S.sim_ivfpq_topk):
+        rows = fn(spark, degenerate_dir).collect()
+        assert rows, f"{fn.__name__} returned nothing"
+        for r in rows:
+            assert abs(r.cosine - 1.0) < 1e-12
+            assert r.c_id != r.q_id
+        # per query: ranks tie-broken by ascending c_id (skipping self)
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.q_id, []).append((r.rk, r.c_id))
+        for q, pairs in by_q.items():
+            expected = [c for c in range(7) if c != q][: len(pairs)]
+            assert [c for _, c in sorted(pairs)] == expected
+
+
 def test_all_queries_survive_edge_corpus(spark, edge_dir):
     import __spark_entry__ as e
 
