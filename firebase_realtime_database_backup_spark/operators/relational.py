@@ -2435,6 +2435,7 @@ def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT l_tax), MIN(l_tax), MAX(l_tax)
     FROM lineitem
     """,
+    prod_twin="quality_column_profile_scaled",
 )
 def quality_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level data profiling (null count, distinct count, range)
@@ -2468,6 +2469,45 @@ def quality_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"stack({len(cols)}, {stack_expr}) AS "
             "(column_name, n_rows, n_non_null, n_distinct, min_val, max_val)"
+        )
+    )
+
+
+@REG.query("quality_column_profile_scaled")  # rows-only: HLL++ estimates are engine-specific
+def quality_column_profile_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION twin of quality_column_profile: the four exact
+    count-distincts are the teaching form's 100 TB cliff — multi-column
+    exact distinct plans an Expand (every input row replicated once per
+    counted column, 4x the shuffle here) and keeps full distinct sets
+    in the aggregation state.  The profile's consumer (does this column
+    look like an enum? an id? a measure?) needs cardinality CLASS, not
+    an exact count, so the scaled form swaps in approx_count_distinct
+    (HyperLogLog++, default rsd 5%): the plan collapses to plain
+    partial aggs — no Expand (asserted in tests/test_plans.py), state
+    is a fixed-size sketch per column, shuffle is one 1-row partial per
+    partition regardless of cardinality.  Estimates are pinned within
+    10% of the exact counts in the same test.  Rows-only registration:
+    HLL++ estimates are engine-specific by nature."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    cols = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count(c).alias(f"{c}__nn"),
+            F.approx_count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(c).alias(f"{c}__mn"),
+            F.max(c).alias(f"{c}__mx"),
+        ]
+    wide = lineitem.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_expr}) AS "
+            "(column_name, n_rows, n_non_null, n_distinct_approx, "
+            "min_val, max_val)"
         )
     )
 

@@ -1032,56 +1032,49 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     4. EXACT RE-RANK of the merged shortlist (broadcast join back to
        the real vectors) — emitted cosines are exact; IVF+PQ only
        decided who got scored."""
-    import numpy as np
-    import pandas as pd
-
-    cents, emb = _ivfpq_coarse(spark, sf_dir)
-    if cents is None:
+    state = _ivfpq_state(spark, sf_dir)
+    if state is None:
         return spark.createDataFrame(
             [], "q_id long, c_id long, cosine double, rk int"
         )
+    cents, codebooks, n_corpus, emb = state
+    codes = _ivfpq_encode(emb, cents, codebooks)
+    return _ivfpq_search(spark, sf_dir, codes, cents, codebooks, n_corpus)
 
-    # -- stage 2: residual codebooks + query-side tables (driver, bounded)
+
+_IVFPQ_EMPTY = "q_id long, c_id long, cosine double, rk int"
+
+
+def _ivfpq_state(spark: SparkSession, sf_dir: str):
+    """Driver-side IVF-PQ state, all bounded: coarse centroids (8 KB),
+    residual codebooks trained on the PQ_TRAIN smallest-id vectors
+    (8 KB), corpus count (for the sqrt(N) shortlist), and the raw
+    embedding scan.  None on an empty corpus."""
+    import numpy as np
+
+    cents, emb = _ivfpq_coarse(spark, sf_dir)
+    if cents is None:
+        return None
     train_rows = emb.orderBy("vec_id").limit(PQ_TRAIN).collect()
     Xt = _np_l2_normalize(np.array([r.emb for r in train_rows], dtype=np.float64))
     t_cell, _ = _np_assign_cells(Xt, cents)
     codebooks = _train_pq_codebooks(Xt - cents[t_cell])
+    return cents, codebooks, emb.count(), emb
 
-    q_rows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
-    if not q_rows:
-        return spark.createDataFrame(
-            [], "q_id long, c_id long, cosine double, rk int"
-        )
-    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
-    Qn = _np_l2_normalize(np.array([r.emb for r in q_rows], dtype=np.float64))
-    # adcR[q, m, k] = <q_sub_m, residual_codebook[m, k]>
-    adcR = np.einsum("qmd,mkd->qmk", Qn.reshape(len(Qn), PQ_M, PQ_DSUB), codebooks)
-    qdotc = Qn @ cents.T                       # (Q, IVFPQ_CELLS)
-    _, q_d2 = _np_assign_cells(Qn, cents)
-    # per-query probed cells: IVFPQ_PROBE smallest L2, lowest-id ties
-    probe_cells = np.argsort(q_d2, axis=1, kind="stable")[:, :IVFPQ_PROBE]
-    probe_mask = np.zeros((len(q_ids), IVFPQ_CELLS), dtype=bool)
-    for qi in range(len(q_ids)):
-        probe_mask[qi, probe_cells[qi]] = True
-    # Shortlist size grows ~sqrt(N) (one pre-plan COUNT, the same move
-    # as dedup_embedding_cosine_scaled's planes-from-count): a FIXED
-    # shortlist lets recall decay with corpus size — at the top of the
-    # ranking, score gaps shrink as N grows (extreme-value crowding)
-    # while ADC noise stays constant, so the true top-k slips below a
-    # constant cut ever more often (flat-PQ measured drift: 0.92 ->
-    # 0.80 -> 0.20 at sf0.01/0.1/20x).  The ADC scan already scores all
-    # probed rows (O(N) either way); only the exact re-rank grows, and
-    # sqrt(N)*Q vectors stay broadcast-sized at any realistic scale
-    # (10^9 vectors -> ~63k rows/query).
-    n_corpus = emb.count()
-    keep = max(PQ_SHORTLIST * TOP_K, int(np.ceil(2.0 * np.sqrt(n_corpus))))
 
-    # -- stage 1: assign + residual-encode, one Arrow pass over the scan
+def _ivfpq_encode(emb: DataFrame, cents, codebooks) -> DataFrame:
+    """Stage 1: coarse-assign + residual-encode in ONE map-only Arrow
+    pass -> (vec_id, cell, c0..c7).  This DataFrame IS the stored index
+    at full scale (see ensure_ivfpq_index)."""
+    import pandas as pd
+
     code_schema = "vec_id long, cell long, " + ", ".join(
         f"c{m} long" for m in range(PQ_M)
     )
 
     def encode(batches):
+        import numpy as np
+
         for pdf in batches:
             Xn = _np_l2_normalize(np.stack(pdf["emb"].values).astype(np.float64))
             cell, _ = _np_assign_cells(Xn, cents)
@@ -1091,12 +1084,69 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[f"c{m}"] = codes[:, m]
             yield pd.DataFrame(out)
 
-    # -- stage 3: ADC restricted to each query's probed cells
+    return emb.mapInPandas(encode, code_schema)
+
+
+def _ivfpq_query_state(spark: SparkSession, sf_dir: str, cents, codebooks):
+    """Query-side broadcast tables: ids, ADC lookup tables, the
+    query-centroid dot row, and the boolean probe mask over cells.
+    None when the fixed query set is empty."""
+    import numpy as np
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q_rows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    if not q_rows:
+        return None
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    Qn = _np_l2_normalize(np.array([r.emb for r in q_rows], dtype=np.float64))
+    # adcR[q, m, k] = <q_sub_m, residual_codebook[m, k]>
+    adcR = np.einsum("qmd,mkd->qmk", Qn.reshape(len(Qn), PQ_M, PQ_DSUB), codebooks)
+    qdotc = Qn @ cents.T                       # (Q, n_cells)
+    _, q_d2 = _np_assign_cells(Qn, cents)
+    # per-query probed cells: IVFPQ_PROBE smallest L2, lowest-id ties
+    probe_cells = np.argsort(q_d2, axis=1, kind="stable")[:, :IVFPQ_PROBE]
+    probe_mask = np.zeros((len(q_ids), len(cents)), dtype=bool)
+    for qi in range(len(q_ids)):
+        probe_mask[qi, probe_cells[qi]] = True
+    return q_ids, adcR, qdotc, probe_mask
+
+
+def _ivfpq_search(
+    spark: SparkSession, sf_dir: str, codes: DataFrame, cents, codebooks,
+    n_corpus: int,
+) -> DataFrame:
+    """Stages 3+4 over an arbitrary codes DataFrame (inline-encoded or
+    read back from the persisted index): ADC shortlist restricted to
+    each query's probed cells, global merge, exact re-rank.
+
+    Shortlist size grows ~sqrt(N) (one pre-plan COUNT, the same move
+    as dedup_embedding_cosine_scaled's planes-from-count): a FIXED
+    shortlist lets recall decay with corpus size — at the top of the
+    ranking, score gaps shrink as N grows (extreme-value crowding)
+    while ADC noise stays constant, so the true top-k slips below a
+    constant cut ever more often (flat-PQ measured drift: 0.92 ->
+    0.80 -> 0.20 at sf0.01/0.1/20x).  The ADC scan already scores all
+    probed rows (O(N) either way); only the exact re-rank grows, and
+    sqrt(N)*Q vectors stay broadcast-sized at any realistic scale
+    (10^9 vectors -> ~63k rows/query)."""
+    import numpy as np
+    import pandas as pd
+
+    qstate = _ivfpq_query_state(spark, sf_dir, cents, codebooks)
+    if qstate is None:
+        return spark.createDataFrame([], _IVFPQ_EMPTY)
+    q_ids, adcR, qdotc, probe_mask = qstate
+    keep = max(PQ_SHORTLIST * TOP_K, int(np.ceil(2.0 * np.sqrt(n_corpus))))
+
     def adc_shortlist(batches):
         for pdf in batches:
             ids = pdf["vec_id"].values
             cell = pdf["cell"].values
-            codes = np.stack([pdf[f"c{m}"].values for m in range(PQ_M)], axis=1)
+            codes_m = np.stack(
+                [pdf[f"c{m}"].values for m in range(PQ_M)], axis=1
+            )
             rows = []
             for qi, qid in enumerate(q_ids):
                 m_probe = probe_mask[qi, cell]
@@ -1104,7 +1154,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue
                 sub_ids = ids[m_probe]
                 sub_cell = cell[m_probe]
-                sub_codes = codes[m_probe]
+                sub_codes = codes_m[m_probe]
                 s = (
                     qdotc[qi, sub_cell]
                     + adcR[qi, np.arange(PQ_M)[None, :], sub_codes].sum(axis=1)
@@ -1121,7 +1171,6 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             if rows:
                 yield pd.concat(rows, ignore_index=True)
 
-    codes = emb.mapInPandas(encode, code_schema)
     local_top = codes.mapInPandas(
         adc_shortlist, "q_id long, c_id long, approx double"
     )
@@ -1132,7 +1181,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "c_id")
     )
 
-    # -- stage 4: exact re-rank (same tail as sim_pq_topk)
+    # exact re-rank (same tail as sim_pq_topk)
     raw = read_table(spark, sf_dir, "embeddings")
     q = _query_side(raw)
     c = raw.select(
@@ -1154,3 +1203,85 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("q_id", "c_id", "cosine", "rk")
     )
+
+
+#: (applicationId, abs sf_dir) -> (index path, cents, codebooks, n_corpus).
+#: The probe side must use the EXACT codebooks the index was encoded
+#: with — memoizing them beside the path makes mis-pairing impossible
+#: (the band-index family-key lesson from the dedup module).
+_IVFPQ_INDEXES: dict = {}
+
+
+def ensure_ivfpq_index(spark: SparkSession, sf_dir: str):
+    """Idempotently materialize the PQ code table PARTITIONED BY cell
+    under the repo scratch dir, once per (session, sf_dir) — the
+    persisted form of the index sim_ivfpq_topk computes inline.
+
+    This is the layout half of the IVF bargain (the same amortization
+    as ensure_bucketed_facts): the encode pass is paid ONCE, and every
+    probe after that reads ONLY the probed cells' files — partition
+    pruning at the directory level, asserted in tests/test_plans.py.
+    At 100 TB each cell is further split into ordinary parquet parts;
+    a 4/16-cell probe touches 1/4 of the files and none of the rest."""
+    import hashlib
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    hit = _IVFPQ_INDEXES.get(key)
+    if hit is not None:
+        return hit
+    state = _ivfpq_state(spark, sf_dir)
+    if state is None:
+        return None
+    cents, codebooks, n_corpus, emb = state
+    tag = hashlib.sha1(key[1].encode()).hexdigest()[:12]
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        os.pardir,
+        ".scratch",
+        f"ivfpq_index_{os.path.basename(os.path.normpath(sf_dir))}_{tag}",
+    )
+    (
+        _ivfpq_encode(emb, cents, codebooks)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    _IVFPQ_INDEXES[key] = (path, cents, codebooks, n_corpus)
+    return _IVFPQ_INDEXES[key]
+
+
+@REG.query("sim_ivfpq_persisted")  # rows-only: float k-means codebooks aren't SQL-portable
+def sim_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ivfpq_topk served from the PERSISTED cell-partitioned index:
+    the docstring claim "written partitioned by cell so a probe reads
+    only the probed cells' files" made real and plan-asserted.
+
+    The probe computes the union of all queries' probed cells
+    driver-side (at most Q·IVFPQ_PROBE small ints) and filters the
+    index scan with cell IN (...) — Catalyst turns that into
+    PartitionFilters, so unprobed cells' files are never opened
+    (asserted in tests/test_plans.py).  Everything downstream (ADC
+    shortlist, merge, exact re-rank) is byte-identical to the inline
+    form, and so is the output — also asserted."""
+    import numpy as np
+
+    idx = ensure_ivfpq_index(spark, sf_dir)
+    if idx is None:
+        return spark.createDataFrame([], _IVFPQ_EMPTY)
+    path, cents, codebooks, n_corpus = idx
+    qstate = _ivfpq_query_state(spark, sf_dir, cents, codebooks)
+    if qstate is None:
+        return spark.createDataFrame([], _IVFPQ_EMPTY)
+    _, _, _, probe_mask = qstate
+    probed = sorted(int(c) for c in np.nonzero(probe_mask.any(axis=0))[0])
+    codes = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probed))  # -> PartitionFilters
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            *[F.col(f"c{m}").cast("long").alias(f"c{m}") for m in range(PQ_M)],
+        )
+    )
+    return _ivfpq_search(spark, sf_dir, codes, cents, codebooks, n_corpus)

@@ -434,6 +434,57 @@ def test_ivfpq_probed_fraction_bounded(spark):
     assert worst <= bound, f"probed fraction {worst:.3f} > {bound}"
 
 
+def test_ivfpq_persisted_prunes_partitions_and_matches_inline(spark):
+    """The persisted IVF-PQ index must (a) return EXACTLY the inline
+    form's output — same codebooks, same shortlist, same re-rank — and
+    (b) plan its code-table scan with PartitionFilters on cell, i.e.
+    unprobed cells' files are pruned at the directory level rather than
+    read-and-filtered.  (b) is the whole point of persisting the index
+    partitioned by cell: at 100 TB a probe touches probed-cell files
+    only."""
+    from firebase_realtime_database_backup_spark.operators.similarity import (
+        sim_ivfpq_persisted,
+        sim_ivfpq_topk,
+    )
+
+    pers_df = sim_ivfpq_persisted(spark, SF)
+    inline = sorted(
+        (r["q_id"], r["c_id"], r["rk"], r["cosine"])
+        for r in sim_ivfpq_topk(spark, SF).collect()
+    )
+    pers = sorted(
+        (r["q_id"], r["c_id"], r["rk"], r["cosine"])
+        for r in pers_df.collect()
+    )
+    assert pers == inline and pers
+    plan = pers_df._jdf.queryExecution().executedPlan().toString()
+    i = plan.find("PartitionFilters: [cell")
+    assert i != -1, "index scan lost its cell PartitionFilters"
+    assert "INSET" in plan[i : i + 120] or "isin" in plan[i : i + 120]
+
+
+def test_column_profile_scaled_drops_expand_and_tracks_exact(spark, queries):
+    """quality_column_profile's 4-column exact count-distinct plans an
+    Expand (every row replicated per counted column); the scaled twin's
+    approx_count_distinct must NOT — its whole reason to exist is the
+    collapse to plain partial aggs with fixed-size sketch state.  And
+    the estimates must stay within 10% of the exact counts (HLL++
+    default rsd is 5%), or the profile misclassifies cardinality."""
+    exact_df = queries["quality_column_profile"](spark, SF)
+    scaled_df = queries["quality_column_profile_scaled"](spark, SF)
+    exact_plan = exact_df._jdf.queryExecution().executedPlan().toString()
+    scaled_plan = scaled_df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan  # the documented teaching-form cost
+    assert "Expand" not in scaled_plan
+    exact = {r["column_name"]: r["n_distinct"] for r in exact_df.collect()}
+    for r in scaled_df.collect():
+        e = exact[r["column_name"]]
+        assert abs(r["n_distinct_approx"] - e) <= max(1, 0.10 * e), (
+            r["column_name"], r["n_distinct_approx"], e,
+        )
+        assert r["n_rows"] and r["n_non_null"]  # shared shape intact
+
+
 def _minhash_ground_truth(spark):
     """Brute-force all-pairs Jaccard ground truth at sf0.001 (where
     O(n^2) is affordable): returns (truth, exact_dups) pair sets at the
