@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Queries whose first call at a given SF materializes a one-time layout
 # (bucketed tables).  They are warmed ONCE at the bench SF so the timed
 # run measures steady-state query cost, not the amortized layout build.
-LAYOUT_QUERIES = ["flagship_revenue_bucketed"]
+LAYOUT_QUERIES = ["flagship_revenue_bucketed", "sim_ivfpq_persisted"]
 
 HEADLINE = [
     # relational core
@@ -130,6 +130,9 @@ HEADLINE = [
     "sim_topk_incremental",
     "sim_ann_multitable",
     "sim_pq_topk",
+    "sim_ivfpq_topk",
+    "sim_ivfpq_persisted",
+    "quality_column_profile_scaled",
     "sim_label_centroids",
     "sim_vector_quantize",
     "text_fingerprint",
