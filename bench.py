@@ -32,6 +32,7 @@ HEADLINE = [
     "join_broadcast_dim",
     "join_left_anti",
     "join_asof",
+    "join_asof_tolerance",
     "agg_rollup",
     "agg_grouping_sets",
     "agg_percentiles",
