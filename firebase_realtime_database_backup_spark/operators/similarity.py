@@ -812,7 +812,12 @@ def _np_encode_subspaces(X, codebooks):
     return codes
 
 
-@REG.query("sim_pq_topk")  # rows-only: float k-means codebooks aren't SQL-portable
+@REG.query(  # rows-only: float k-means codebooks aren't SQL-portable
+    "sim_pq_topk",
+    prod_twin="sim_ivfpq_topk",  # fixed shortlist + flat ADC: recall
+    # decays with corpus size (0.80 -> 0.20 at sf0.1 -> 20x); the
+    # IVF x PQ twin (residual codes + sqrt(N) shortlist) is the scale path
+)
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (the Jégou et al. 2011 ADC family) —
     the MEMORY side of billion-vector search that the LSH/IVF tiers
