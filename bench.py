@@ -50,6 +50,7 @@ HEADLINE = [
     "window_percent_dist",
     "sort_topk",
     "events_funnel",
+    "events_trending_topk",
     "events_sessionize",
     "events_cohort_retention",
     "events_resample_gapfill",
@@ -137,6 +138,7 @@ HEADLINE = [
     "sim_label_centroids",
     "sim_vector_quantize",
     "text_fingerprint",
+    "text_bigram_collocations",
     "text_repetition_ratio",
     "text_pii_redact",
     "text_top_terms",

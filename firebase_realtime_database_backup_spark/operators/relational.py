@@ -2255,6 +2255,88 @@ def events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRENDING_WINDOW_DAYS = 7
+TRENDING_TOPK = 5
+
+
+@REG.query(
+    "events_trending_topk",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS item,
+             COUNT(*) AS c
+      FROM events
+      WHERE TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT day FROM daily),
+    w AS (
+      SELECT d.day, x.item, CAST(SUM(x.c) AS BIGINT) AS w7
+      FROM days d
+      JOIN daily x ON x.day BETWEEN d.day - {TRENDING_WINDOW_DAYS - 1}
+                               AND d.day
+      GROUP BY d.day, x.item
+    )
+    SELECT day, item, w7, CAST(rk AS INT) AS rk FROM (
+      SELECT day, item, w7,
+             ROW_NUMBER() OVER (PARTITION BY day
+                                ORDER BY w7 DESC, item) AS rk
+      FROM w
+    ) WHERE rk <= {TRENDING_TOPK}
+    """,
+)
+def events_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending leaderboard: for every observed day, the top-5 items by
+    TRAILING-7-day event count — the "what's hot now" rollup every
+    activity product serves, and a different composition than the
+    existing window ops: a sliding aggregate whose OUTPUT is a per-day
+    ranking, not a per-row smoothing.
+
+    Scale shape (the events_sliding_distinct move): the oracle defines
+    it as days x daily-counts range join, but executing that directly
+    costs |days| x |daily| pairs.  Instead each (day, item, cnt) row
+    CONTRIBUTES forward to the 7 leaderboard days it can influence —
+    a bounded 7-row explode on the already-reduced daily grain — and
+    one (day, item) re-aggregation materializes every trailing sum in
+    O(7 * daily rows), independent of the window length's day span.
+    The contribute-days that fall past the last observed day are
+    dropped by a broadcast semi join against the distinct-days
+    relation.  The final rank runs per day over at most |items| rows —
+    leaderboard grain, thousands of times smaller than the event
+    stream."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.get_json_object("props", "$.k").try_cast("bigint").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .groupBy("day", "item")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    days = daily.select("day").distinct()
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(TRENDING_WINDOW_DAYS - 1))
+        ).alias("off"),
+        "day",
+        "item",
+        "c",
+    ).select(F.expr("date_add(day, off)").alias("day"), "item", "c")
+    w7 = (
+        contrib.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day", "item")
+        .agg(F.sum("c").cast("bigint").alias("w7"))
+    )
+    w = Window.partitionBy("day").orderBy(F.desc("w7"), F.col("item"))
+    return (
+        w7.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TRENDING_TOPK)
+        .select("day", "item", "w7", "rk")
+    )
+
+
 @REG.query(
     "quality_winsorize",
     oracle=f"""

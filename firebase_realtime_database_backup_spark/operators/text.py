@@ -1607,3 +1607,110 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_symbols * 20 > n_chars) | (n_keywords * 10 >= F.size(toks))
         ).alias("looks_like_code"),
     )
+
+
+COLLOC_MIN_PAIR = 5      # bigram must occur this often to be considered
+COLLOC_TOPK = 50
+
+
+@REG.query(
+    "text_bigram_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+    ),
+    uni AS (
+      SELECT u.w, COUNT(*) AS c
+      FROM toks, UNNEST(t) AS u(w)
+      GROUP BY u.w
+    ),
+    bi AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(RANGE(1, LEN(t))) AS r(i)
+    ),
+    pairs AS (
+      SELECT w1, w2, COUNT(*) AS n_pair FROM bi GROUP BY w1, w2
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_uni,
+             (SELECT COUNT(*) FROM bi) AS n_big
+      FROM uni
+    )
+    SELECT w1, w2, n_pair, c1, c2,
+           ((CAST(n_pair AS DOUBLE) * n_uni) / (CAST(c1 AS DOUBLE) * c2))
+             * (CAST(n_uni AS DOUBLE) / n_big) AS lift
+    FROM (
+      SELECT p.w1, p.w2, p.n_pair, u1.c AS c1, u2.c AS c2, t.n_uni, t.n_big
+      FROM pairs p
+      JOIN uni u1 ON u1.w = p.w1
+      JOIN uni u2 ON u2.w = p.w2
+      CROSS JOIN tot t
+      WHERE p.n_pair >= {COLLOC_MIN_PAIR}
+    )
+    ORDER BY lift DESC, w1, w2
+    LIMIT {COLLOC_TOPK}
+    """,
+)
+def text_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the top adjacent word pairs by LIFT —
+    P(w1,w2) / (P(w1)·P(w2)), how much more often the pair co-occurs
+    than its words' frequencies predict.  The corpus-linguistics tool
+    for finding multiword units ("new york", "machine learning") worth
+    a single tokenizer entry — vocabulary design for the training
+    pipeline, one level up from the raw token stats.
+
+    Lift instead of PMI on purpose: PMI's log() accumulates differently
+    across engines, but lift is a FIXED-ORDER chain of IEEE mul/div on
+    exact integer counts — bit-identical in Spark and DuckDB, so the
+    full float ranking is oracle-checkable (the sim-cosine discipline
+    applied to a statistics op).
+
+    Scale shape: unigram and bigram counts are two partial-agg shuffles
+    over the token stream (same cost class as text_top_terms); the
+    count-joins run at VOCAB grain, broadcast-sized like text_tfidf's
+    df-vocab; the 1-row totals cross-join is a broadcast; the final
+    TakeOrdered keeps only COLLOC_TOPK rows.  The raw corpus is
+    scanned once per count and never pair-joined."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # adjacent pairs via zip_with over two shifted slices — NOT
+    # sequence(1, size-1): Spark generates a DESCENDING sequence when
+    # stop < start, so a single-token doc would fabricate an
+    # out-of-bounds pair instead of none (caught by the edge corpus).
+    # slice with length 0 is legal, so one-token docs yield [] cleanly.
+    bi = toks.select(
+        F.expr(
+            "explode(zip_with("
+            "  slice(t, 1, size(t) - 1),"
+            "  slice(t, 2, size(t) - 1),"
+            "  (a, b) -> struct(a AS w1, b AS w2)))"
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pairs = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= COLLOC_MIN_PAIR)
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("n_uni")).crossJoin(
+        bi.agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    # identical textual op order to the oracle -> bit-identical doubles
+    lift = (
+        (F.col("n_pair").cast("double") * F.col("n_uni"))
+        / (F.col("c1").cast("double") * F.col("c2"))
+    ) * (F.col("n_uni").cast("double") / F.col("n_big"))
+    return (
+        pairs.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n_pair", "c1", "c2", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(COLLOC_TOPK)
+    )
