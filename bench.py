@@ -138,6 +138,7 @@ HEADLINE = [
     "sim_label_centroids",
     "sim_vector_quantize",
     "text_fingerprint",
+    "multimodal_phash_hamming",
     "text_bigram_collocations",
     "text_repetition_ratio",
     "text_pii_redact",

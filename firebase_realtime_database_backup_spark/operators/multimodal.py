@@ -60,6 +60,62 @@ ASCII_DOCS_CTE = (
 )
 
 
+#: The aHash pipeline as a shared oracle CTE: 8x8 raster cells from the
+#: ASCII payload, integer mean threshold, 64 bits packed as (hi, lo)
+#: 32-bit halves (POWER(2, i) stays exact in doubles through 2^53).
+#: Shared by the exact-equality dedup and the Hamming-banded near-dup.
+PHASH_SQL_CTE = f"""{ASCII_DOCS_CTE},
+    cells AS (
+      SELECT doc_id,
+             UNNEST(RANGE(0, 64)) AS i,
+             UNICODE(SUBSTRING(text,
+               (UNNEST(RANGE(0, 64))
+                % NULLIF(OCTET_LENGTH(ENCODE(text)), 0)) + 1, 1)) AS v
+      FROM docs_ascii
+    ),
+    stats AS (
+      SELECT doc_id, SUM(v) // 64 AS mean_v FROM cells GROUP BY doc_id
+    ),
+    hashes AS (
+      SELECT c.doc_id,
+             CAST(SUM(CASE WHEN c.i < 32 AND c.v > s.mean_v
+                           THEN POWER(2, c.i) ELSE 0 END) AS BIGINT) AS phash_lo,
+             CAST(SUM(CASE WHEN c.i >= 32 AND c.v > s.mean_v
+                           THEN POWER(2, c.i - 32) ELSE 0 END) AS BIGINT) AS phash_hi
+      FROM cells c JOIN stats s USING (doc_id)
+      GROUP BY c.doc_id
+    )"""
+
+
+def phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, phash_hi, phash_lo): the aHash of every payload —
+    vectorized numpy kernel in mapInPandas, one pass, zero shuffle.
+    Shared by multimodal_phash_dedup (exact clusters) and
+    multimodal_phash_hamming (banded near-dup pairs)."""
+    payloads = ascii_payloads(spark, sf_dir)
+    schema = "doc_id bigint, phash_hi bigint, phash_lo bigint"
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                raster = np.resize(buf.astype(np.int64), 64)
+                mean = int(raster.sum()) // 64
+                bits = raster > mean
+                weights = 1 << np.arange(32, dtype=np.int64)
+                ids.append(int(doc_id))
+                los.append(int((bits[:32] * weights).sum()))
+                his.append(int((bits[32:] * weights).sum()))
+            yield pd.DataFrame(
+                {"doc_id": ids, "phash_hi": his, "phash_lo": los}
+            )
+
+    return payloads.mapInPandas(phash, schema)
+
+
 def ascii_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, payload): the module's binary test column, sanitized to
     ASCII at the boundary (see ASCII_DOCS_CTE)."""
@@ -366,27 +422,7 @@ def multimodal_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REG.query(
     "multimodal_phash_dedup",
     oracle=f"""
-    WITH {ASCII_DOCS_CTE},
-    cells AS (
-      SELECT doc_id,
-             UNNEST(RANGE(0, 64)) AS i,
-             UNICODE(SUBSTRING(text,
-               (UNNEST(RANGE(0, 64))
-                % NULLIF(OCTET_LENGTH(ENCODE(text)), 0)) + 1, 1)) AS v
-      FROM docs_ascii
-    ),
-    stats AS (
-      SELECT doc_id, SUM(v) // 64 AS mean_v FROM cells GROUP BY doc_id
-    ),
-    hashes AS (
-      SELECT c.doc_id,
-             CAST(SUM(CASE WHEN c.i < 32 AND c.v > s.mean_v
-                           THEN POWER(2, c.i) ELSE 0 END) AS BIGINT) AS phash_lo,
-             CAST(SUM(CASE WHEN c.i >= 32 AND c.v > s.mean_v
-                           THEN POWER(2, c.i - 32) ELSE 0 END) AS BIGINT) AS phash_hi
-      FROM cells c JOIN stats s USING (doc_id)
-      GROUP BY c.doc_id
-    )
+    WITH {PHASH_SQL_CTE}
     SELECT phash_hi, phash_lo,
            CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
            COUNT(*) AS n_copies
@@ -406,34 +442,12 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Hashing is a vectorized numpy kernel in mapInPandas (one pass,
     zero shuffle); the only exchange is the 8-byte-key groupBy, so the
-    operator costs a content-hash dedup regardless of media size.  At
-    100 TB the Hamming-near variant would band the 64 bits into 4x16
-    LSH keys exactly like dedup_minhash_lsh's bands; exact-equality
-    clusters keep the oracle checkable here (POWER(2,i) stays exact in
-    doubles through 2^53, far above any 32-bit half)."""
-    payloads = ascii_payloads(spark, sf_dir)
-
-    schema = "doc_id bigint, phash_hi bigint, phash_lo bigint"
-
-    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        for pdf in batches:
-            ids, his, los = [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                buf = np.frombuffer(payload, dtype=np.uint8)
-                raster = np.resize(buf.astype(np.int64), 64)
-                mean = int(raster.sum()) // 64
-                bits = raster > mean
-                weights = 1 << np.arange(32, dtype=np.int64)
-                ids.append(int(doc_id))
-                los.append(int((bits[:32] * weights).sum()))
-                his.append(int((bits[32:] * weights).sum()))
-            yield pd.DataFrame(
-                {"doc_id": ids, "phash_hi": his, "phash_lo": los}
-            )
-
-    hashes = payloads.mapInPandas(phash, schema)
+    operator costs a content-hash dedup regardless of media size.
+    multimodal_phash_hamming below is the 100 TB Hamming-near variant
+    (4x16-bit LSH bands, lossless at radius 3); exact-equality
+    clusters keep this one the cheapest tier (POWER(2,i) stays exact
+    in doubles through 2^53, far above any 32-bit half)."""
+    hashes = phash_hashes(spark, sf_dir)
     return (
         hashes.groupBy("phash_hi", "phash_lo")
         .agg(
@@ -441,6 +455,109 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
         .filter(F.col("n_copies") >= 2)
+    )
+
+
+#: Hamming radius for pHash near-dup pairs.  Banding guarantee: 4 bands
+#: of 16 bits catch EVERY pair within <= 3 flipped bits (pigeonhole —
+#: 3 flips cannot touch all 4 bands), so candidate generation is
+#: lossless at this radius, same as dedup_simhash_hamming.
+PHASH_HAMMING_MAX = 3
+
+
+@REG.query(
+    "multimodal_phash_hamming",
+    oracle=f"""
+    WITH {PHASH_SQL_CTE},
+    banded AS (
+      SELECT doc_id, phash_hi, phash_lo, b,
+             CASE WHEN b < 2
+                  THEN (phash_lo // POWER(2, b * 16)::BIGINT) % 65536
+                  ELSE (phash_hi // POWER(2, (b - 2) * 16)::BIGINT) % 65536
+             END AS band_val
+      FROM hashes, (SELECT UNNEST(RANGE(0, 4)) AS b)
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.phash_hi AS hi_a, a.phash_lo AS lo_a,
+                      c.doc_id AS doc_b, c.phash_hi AS hi_b, c.phash_lo AS lo_b
+      FROM banded a JOIN banded c
+        ON a.b = c.b AND a.band_val = c.band_val AND a.doc_id < c.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(BIT_COUNT(XOR(lo_a, lo_b))
+                + BIT_COUNT(XOR(hi_a, hi_b)) AS BIGINT) AS hamming
+    FROM cands
+    WHERE BIT_COUNT(XOR(lo_a, lo_b)) + BIT_COUNT(XOR(hi_a, hi_b))
+          <= {PHASH_HAMMING_MAX}
+    """,
+)
+def multimodal_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash NEAR-dup pairs within Hamming distance 3 — the
+    scale path multimodal_phash_dedup's docstring promises: a
+    re-encoded or slightly cropped image flips a few aHash bits, so
+    exact-equality clustering misses it; banding the 64 bits into four
+    16-bit LSH keys catches every pair within radius 3 LOSSLESSLY
+    (pigeonhole: 3 flips can't touch all 4 bands — the
+    dedup_simhash_hamming argument applied to the media tier).
+
+    Plan shape: one Arrow hashing pass (shared kernel, zero shuffle),
+    a 4-way band explode at HASH grain (4 rows per image, not per
+    byte), band-bucket equi self-join for candidates, then pure
+    bit-arithmetic popcount verify — no payload ever enters a join.
+    At 100 TB the band table is the persisted index, bucketed by
+    (b, band_val), and daily batches probe it exactly like
+    dedup_cross_corpus probes its standing band index."""
+    fp = phash_hashes(spark, sf_dir)
+    banded = fp.select(
+        "doc_id",
+        "phash_hi",
+        "phash_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        (
+                            F.shiftright("phash_lo", b * 16)
+                            if b < 2
+                            else F.shiftright("phash_hi", (b - 2) * 16)
+                        )
+                        .bitwiseAND(F.lit(65535))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "phash_hi", "phash_lo", "e.b", "e.band_val")
+    a = banded.select(
+        F.col("b"),
+        F.col("band_val"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash_hi").alias("hi_a"),
+        F.col("phash_lo").alias("lo_a"),
+    )
+    c = banded.select(
+        F.col("b"),
+        F.col("band_val"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash_hi").alias("hi_b"),
+        F.col("phash_lo").alias("lo_b"),
+    )
+    cands = (
+        a.join(c, ["b", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "hi_a", "lo_a", "doc_b", "hi_b", "lo_b")
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    ) + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    return (
+        cands.select(
+            "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
+        )
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
     )
 
 
