@@ -262,3 +262,44 @@ def test_attribution_same_millisecond_is_not_attributed(spark, tmp_path):
         50: (52, 0.5),
         51: (52, 0.5),
     }
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=2**63 - 1), min_size=1, max_size=50
+    ),
+    buckets=st.sampled_from([100, 10000]),
+)
+@settings(max_examples=60, deadline=None)
+def test_knuth_hash_overflow_safe_and_backward_compatible(ids, buckets):
+    """The shared sampling hash (functions/hashing.py) must (a) equal
+    the historical naive form bit-for-bit for every id below 2^31 —
+    that equivalence is what made swapping it into six driver-passed
+    queries a no-op — and (b) stay within BIGINT for ANY 64-bit id,
+    where the naive form overflows (the silent Spark-wraps /
+    DuckDB-raises divergence this helper exists to kill).  Verified
+    against DuckDB evaluating the helper's own SQL fragment, so the
+    Python model, the Spark expression, and the oracle fragment are
+    pinned to one definition."""
+    import duckdb
+
+    from firebase_realtime_database_backup_spark.functions.hashing import (
+        KNUTH,
+        M31,
+        knuth_bucket_sql,
+    )
+
+    con = duckdb.connect()
+    for i in ids:
+        safe = ((i % M31) * KNUTH) % M31 % buckets
+        # (a) backward compatibility below 2^31
+        if i < M31:
+            assert safe == (i * KNUTH) % M31 % buckets
+        # (b) the SQL fragment computes the same value WITHOUT overflow
+        got = con.execute(
+            f"SELECT {knuth_bucket_sql(str(i), buckets)}"
+        ).fetchone()[0]
+        assert got == safe, (i, got, safe)
+        # intermediate bound: the pre-reduced multiplicand never exceeds
+        # BIGINT (the naive form does for i >= ~3.5e9)
+        assert (i % M31) * KNUTH < 2**63
