@@ -139,6 +139,7 @@ HEADLINE = [
     "sim_vector_quantize",
     "text_fingerprint",
     "multimodal_phash_hamming",
+    "dedup_cross_corpus_cosine",
     "text_bigram_collocations",
     "text_repetition_ratio",
     "text_pii_redact",
