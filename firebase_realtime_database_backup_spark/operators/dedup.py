@@ -419,113 +419,6 @@ EMB_DUP_THRESHOLD = 0.45    # tuned for the synthetic corpus (random
                             # 0.95+ for real embedding near-dups
 
 
-def _emb_cross_oracle() -> str:
-    from firebase_realtime_database_backup_spark.operators.similarity import (
-        _DOT,
-        _plane_sql,
-    )
-
-    dot = lambda a, b: _DOT.format(a=a, b=b)  # noqa: E731
-    cos_ab = (
-        f"{dot('a.emb', 'b.emb')} / (SQRT({dot('a.emb', 'a.emb')})"
-        f" * SQRT({dot('b.emb', 'b.emb')}))"
-    )
-    return f"""
-    WITH planes AS (
-      SELECT p, {_plane_sql("p")} AS v
-      FROM (SELECT UNNEST(RANGE(0, {EMB_DUP_PLANES})) AS p)
-    ),
-    buckets AS (
-      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
-             CAST(SUM(CASE WHEN {dot("pl.v", "e.embedding")} >= 0
-                           THEN CAST(POWER(2, pl.p) AS BIGINT) ELSE 0 END) AS BIGINT)
-               AS bucket
-      FROM embeddings e, planes pl
-      GROUP BY e.vec_id, CAST(e.embedding AS DOUBLE[])
-    )
-    SELECT new_vec_id, nn_corpus_id, nn_cosine,
-           nn_cosine >= {EMB_DUP_THRESHOLD} AS is_dup
-    FROM (
-      SELECT a.vec_id AS new_vec_id, b.vec_id AS nn_corpus_id,
-             {cos_ab} AS nn_cosine,
-             ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                                ORDER BY {cos_ab} DESC, b.vec_id) AS rk
-      FROM buckets a JOIN buckets b ON a.bucket = b.bucket
-      WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0
-    ) WHERE rk = 1
-    """
-
-
-@REG.query("dedup_cross_corpus_cosine", oracle=_emb_cross_oracle())
-def dedup_cross_corpus_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-corpus EMBEDDING near-dup: today's batch (vec_id % 10 == 0,
-    the same stand-in convention as dedup_cross_corpus) probed against
-    the standing corpus's hyperplane-LSH buckets — the semantic twin of
-    the shingle-based incremental dedup, for the pipeline stage where
-    near-duplicates share no surface n-grams (translations, paraphrase
-    spam, re-encoded scrapes) but sit together in embedding space.
-
-    Scale shape: the corpus side's (bucket, vec_id, emb) relation is
-    computed once and PERSISTED bucketed by bucket id in production —
-    per-day cost is O(batch) bucket probes, never O(corpus), exactly
-    the dedup_cross_corpus bargain.  Here the batch side (10% of
-    vectors) broadcasts into the corpus scan so the probe is map-side;
-    past broadcast range it becomes a bucket-key equi shuffle.  Output
-    is each batch vector's nearest STANDING-corpus neighbor among its
-    bucket-mates plus the threshold flag (dedup_embedding_cosine's
-    report shape restricted to cross-boundary pairs); every emitted
-    cosine is exact — the LSH bucket only gated candidacy."""
-    from firebase_realtime_database_backup_spark.operators.similarity import (
-        _dot,
-        _norm,
-        bucket_column,
-    )
-
-    emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    buckets = emb.select(
-        "vec_id",
-        "emb",
-        bucket_column(F.col("emb"), EMB_DUP_PLANES).alias("bucket"),
-        _norm(F.col("emb")).alias("nrm"),
-    )
-    new = buckets.filter(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("new_vec_id"),
-        F.col("emb").alias("ae"),
-        "bucket",
-        F.col("nrm").alias("an"),
-    )
-    corpus = buckets.filter(F.col("vec_id") % 10 != 0).select(
-        F.col("vec_id").alias("corpus_vec_id"),
-        F.col("emb").alias("be"),
-        "bucket",
-        F.col("nrm").alias("bn"),
-    )
-    from pyspark.sql import Window
-
-    pairs = corpus.join(F.broadcast(new), "bucket").select(
-        "new_vec_id",
-        F.col("corpus_vec_id").alias("nn_corpus_id"),
-        F.try_divide(
-            _dot(F.col("ae"), F.col("be")), F.col("an") * F.col("bn")
-        ).alias("nn_cosine"),
-    )
-    w = Window.partitionBy("new_vec_id").orderBy(
-        F.desc("nn_cosine"), F.col("nn_corpus_id")
-    )
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            "new_vec_id",
-            "nn_corpus_id",
-            "nn_cosine",
-            (F.col("nn_cosine") >= EMB_DUP_THRESHOLD).alias("is_dup"),
-        )
-    )
-
-
 def _emb_dup_oracle() -> str:
     from firebase_realtime_database_backup_spark.operators.similarity import (
         _DOT,
@@ -877,6 +770,131 @@ def dedup_embedding_cosine_scaled(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("nn_cosine") >= EMB_DUP_THRESHOLD).alias("is_dup"),
         )
     )
+
+
+def _emb_cross_oracle() -> str:
+    from firebase_realtime_database_backup_spark.operators.similarity import (
+        _DOT,
+        _plane_sql,
+    )
+
+    dot = lambda a, b: _DOT.format(a=a, b=b)  # noqa: E731
+    cos_ab = (
+        f"{dot('a.emb', 'b.emb')} / (SQRT({dot('a.emb', 'a.emb')})"
+        f" * SQRT({dot('b.emb', 'b.emb')}))"
+    )
+    # size-derived plane count (the dedup_embedding_cosine_scaled rule)
+    # so the standing-corpus bucket occupancy stays flat at any scale
+    n_planes = (
+        f"(SELECT GREATEST(4, CAST(CEIL(LOG2(GREATEST(2.0, "
+        f"COUNT(*) / {EMB_DUP_TARGET_OCCUPANCY}.0))) AS BIGINT)) FROM embeddings)"
+    )
+    return f"""
+    WITH planes AS (
+      SELECT p, {_plane_sql("p")} AS v
+      FROM (SELECT UNNEST(RANGE(0, {n_planes})) AS p)
+    ),
+    buckets AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+             CAST(SUM(CASE WHEN {dot("pl.v", "e.embedding")} >= 0
+                           THEN CAST(POWER(2, pl.p) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM embeddings e, planes pl
+      GROUP BY e.vec_id, CAST(e.embedding AS DOUBLE[])
+    )
+    SELECT new_vec_id, nn_corpus_id, nn_cosine,
+           nn_cosine >= {EMB_DUP_THRESHOLD} AS is_dup
+    FROM (
+      SELECT a.vec_id AS new_vec_id, b.vec_id AS nn_corpus_id,
+             {cos_ab} AS nn_cosine,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY {cos_ab} DESC, b.vec_id) AS rk
+      FROM buckets a JOIN buckets b ON a.bucket = b.bucket
+      WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0
+    ) WHERE rk = 1
+    """
+
+
+@REG.query("dedup_cross_corpus_cosine", oracle=_emb_cross_oracle())
+def dedup_cross_corpus_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus EMBEDDING near-dup: today's batch (vec_id % 10 == 0,
+    the same stand-in convention as dedup_cross_corpus) probed against
+    the standing corpus's hyperplane-LSH buckets — the semantic twin of
+    the shingle-based incremental dedup, for the pipeline stage where
+    near-duplicates share no surface n-grams (translations, paraphrase
+    spam, re-encoded scrapes) but sit together in embedding space.
+
+    Scale shape: the corpus side's (bucket, vec_id, emb) relation is
+    computed once and PERSISTED bucketed by bucket id in production —
+    per-day cost is O(batch) bucket probes, never O(corpus), exactly
+    the dedup_cross_corpus bargain.  Here the batch side (10% of
+    vectors) broadcasts into the corpus scan so the probe is map-side;
+    past broadcast range it becomes a bucket-key equi shuffle.  Output
+    is each batch vector's nearest STANDING-corpus neighbor among its
+    bucket-mates plus the threshold flag (dedup_embedding_cosine's
+    report shape restricted to cross-boundary pairs); every emitted
+    cosine is exact — the LSH bucket only gated candidacy.
+
+    The plane count derives from corpus size (the _scaled_planes rule)
+    so bucket occupancy stays flat; measured 1.4 / 9.0 / 79 s at
+    sf0.1 / 20x / 100x — the residual growth is the INTERPRETED
+    per-element fold in bucket assignment (planes x dims x N lambda
+    steps; higher-order functions don't codegen), the same profile as
+    dedup_embedding_cosine_scaled.  Kept interpreted here because the
+    fold order is what makes bucket signs — and hence the whole
+    output — oracle-bit-exact; a production deployment swaps the
+    assignment for the Arrow matmul kernel (the SemDeDup-scaled move)
+    and accepts sign divergence on exact-zero dot products."""
+    from firebase_realtime_database_backup_spark.operators.similarity import (
+        _dot,
+        _norm,
+        bucket_column,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    buckets = emb.select(
+        "vec_id",
+        "emb",
+        bucket_column(F.col("emb"), _scaled_planes(emb.count())).alias("bucket"),
+        _norm(F.col("emb")).alias("nrm"),
+    )
+    new = buckets.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("new_vec_id"),
+        F.col("emb").alias("ae"),
+        "bucket",
+        F.col("nrm").alias("an"),
+    )
+    corpus = buckets.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("corpus_vec_id"),
+        F.col("emb").alias("be"),
+        "bucket",
+        F.col("nrm").alias("bn"),
+    )
+    from pyspark.sql import Window
+
+    pairs = corpus.join(F.broadcast(new), "bucket").select(
+        "new_vec_id",
+        F.col("corpus_vec_id").alias("nn_corpus_id"),
+        F.try_divide(
+            _dot(F.col("ae"), F.col("be")), F.col("an") * F.col("bn")
+        ).alias("nn_cosine"),
+    )
+    w = Window.partitionBy("new_vec_id").orderBy(
+        F.desc("nn_cosine"), F.col("nn_corpus_id")
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "new_vec_id",
+            "nn_corpus_id",
+            "nn_cosine",
+            (F.col("nn_cosine") >= EMB_DUP_THRESHOLD).alias("is_dup"),
+        )
+    )
+
 
 
 @REG.query(
