@@ -51,6 +51,7 @@ HEADLINE = [
     "sort_topk",
     "events_funnel",
     "events_trending_topk",
+    "events_adoption_curve",
     "events_sessionize",
     "events_cohort_retention",
     "events_resample_gapfill",

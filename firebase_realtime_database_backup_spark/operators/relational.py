@@ -2255,6 +2255,61 @@ def events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REG.query(
+    "events_adoption_curve",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, event_type, MIN(CAST(ts AS DATE)) AS day
+      FROM events GROUP BY user_id, event_type
+    ),
+    daily_new AS (
+      SELECT event_type, day, COUNT(*) AS new_users
+      FROM first_seen GROUP BY event_type, day
+    )
+    SELECT event_type, day, new_users,
+           CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+    FROM daily_new
+    """,
+)
+def events_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature adoption curves: per (event_type, day), how many users
+    performed that action for the FIRST time, and the running total of
+    users who have ever done so — the growth-accounting complement of
+    stream_daily_active (per-day actives, no history) and of
+    events_cohort_retention (which tracks return visits, not feature
+    uptake).
+
+    Scale shape: first-seen is one (user, type)-keyed MIN aggregate
+    over the raw stream (the only full shuffle), daily_new reduces it
+    to the (type, day) grain, and the running sum is a window over
+    |types| x |days| rows — partitioned by event_type, and cheap by
+    construction because its input is the reduced daily relation,
+    never the events (the events_moving_median argument).  At 100 TB
+    the first-seen relation is what a pipeline persists and merges
+    incrementally per day; the curve rebuild stays |types|·|days|-cheap
+    forever."""
+    ev = read_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    daily_new = first_seen.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily_new.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
 TRENDING_WINDOW_DAYS = 7
 TRENDING_TOPK = 5
 
