@@ -52,6 +52,7 @@ HEADLINE = [
     "events_funnel",
     "events_trending_topk",
     "events_adoption_curve",
+    "events_activity_concentration",
     "events_sessionize",
     "events_cohort_retention",
     "events_resample_gapfill",

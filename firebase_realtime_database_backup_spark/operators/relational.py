@@ -2256,6 +2256,64 @@ def events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.query(
+    "events_activity_concentration",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    ),
+    deciled AS (
+      SELECT user_id, n_events,
+             NTILE(10) OVER (ORDER BY n_events DESC, user_id) AS decile
+      FROM per_user
+    ),
+    tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n_total FROM per_user)
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(n_events) AS DOUBLE) / n_total AS share
+    FROM deciled, tot
+    GROUP BY decile, n_total
+    """,
+)
+def events_activity_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration (Pareto accounting): rank users by event
+    volume, cut into deciles, and report each decile's share of total
+    events — the "do 10% of users generate 90% of traffic?" question
+    that decides skew handling (salting thresholds, per-user caps like
+    COOC_USER_CAP) and abuse review.
+
+    Scale shape: the raw stream collapses to the per-user grain in one
+    keyed partial-agg shuffle; NTILE then runs over USERS, not events
+    (the RFM aggregate-then-rank discipline), and the decile report is
+    10 rows.  For user counts where even the reduced grain makes a
+    global NTILE window painful, the documented swap is
+    approx-percentile volume bounds + map-side decile assignment —
+    exactly events_rfm_scaled's move.  The share division is a single
+    exact-integer-over-integer IEEE op, bit-identical across engines."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.orderBy(F.desc("n_events"), F.col("user_id"))
+    deciled = per_user.withColumn("decile", F.ntile(10).over(w))
+    tot = per_user.agg(F.sum("n_events").cast("bigint").alias("n_total"))
+    return (
+        deciled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("n_total")).alias(
+                "share"
+            ),
+        )
+    )
+
+
+@REG.query(
     "events_adoption_curve",
     oracle="""
     WITH first_seen AS (
