@@ -142,6 +142,7 @@ HEADLINE = [
     "text_fingerprint",
     "multimodal_phash_hamming",
     "dedup_cross_corpus_cosine",
+    "ingest_schema_evolution",
     "text_bigram_collocations",
     "text_repetition_ratio",
     "text_pii_redact",

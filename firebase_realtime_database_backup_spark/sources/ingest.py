@@ -217,3 +217,79 @@ def ingest_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.crossJoin(q).select(
         "n_good", "n_quarantined", "good_docid_sum", "good_chars_sum"
     )
+
+
+#: (applicationId, abs sf_dir) -> evolution fixture dir (see
+#: ingest_schema_evolution; same memo discipline as the quarantine
+#: fixture so one session writes each fixture once).
+_EVOLUTION_FIXTURES: dict = {}
+
+
+@REG.query(
+    "ingest_schema_evolution",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS n_v1,
+           CAST(COUNT(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT)
+             AS n_v2_with_chars,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+             AS chars_sum_v2,
+           CAST(SUM(doc_id) AS BIGINT) AS docid_sum
+    FROM documents
+    """,
+)
+def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution ingest: a lake directory whose older files lack
+    a column the newer files carry — the normal state of any 100 TB
+    dataset that ever added a field — read back as ONE relation with
+    the union schema and NULL backfill for pre-evolution rows.
+
+    Fixture (memoized per session, generated from `documents`): files
+    written in generation v1 hold (doc_id, lang) for even doc_ids;
+    generation v2 holds (doc_id, lang, n_chars) for odd doc_ids.  The
+    mergeSchema read unions the footers; the audit row this query
+    returns (row counts per generation, NULL accounting for the
+    backfilled column, checksums) is predicted by the oracle straight
+    from the generation rule, so a row landing with the wrong schema —
+    or a backfilled NULL where data existed — breaks the hash.
+
+    Scale notes: mergeSchema=true footer-merges EVERY file (a real
+    cost at millions of files — production pins the evolved schema
+    explicitly once known, which also makes the scan plan stable);
+    evolution is append-only column ADDITION here, the only kind
+    parquet merge supports without a rewrite."""
+    memo_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    fixture = _EVOLUTION_FIXTURES.get(memo_key)
+    if fixture is None:
+        import hashlib
+
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", F.length("text").alias("n_chars")
+        )
+        path_tag = hashlib.sha1(memo_key[1].encode()).hexdigest()[:12]
+        fixture = os.path.join(
+            os.path.dirname(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            ),
+            ".scratch",
+            f"schema_evolution_{os.path.basename(os.path.normpath(sf_dir))}"
+            f"_{path_tag}",
+        )
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "lang"
+        ).write.mode("overwrite").parquet(os.path.join(fixture, "v1"))
+        docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "lang", "n_chars"
+        ).write.mode("overwrite").parquet(os.path.join(fixture, "v2"))
+        _EVOLUTION_FIXTURES[memo_key] = fixture
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(fixture, "v1"), os.path.join(fixture, "v2")
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("n_chars").isNull(), 1)).alias("n_v1"),
+        F.count("n_chars").alias("n_v2_with_chars"),
+        F.sum("n_chars").alias("chars_sum_v2"),
+        F.sum("doc_id").alias("docid_sum"),
+    )
