@@ -143,6 +143,8 @@ HEADLINE = [
     "multimodal_phash_hamming",
     "dedup_cross_corpus_cosine",
     "ingest_schema_evolution",
+    "events_ewma_daily",
+    "text_span_dedup",
     "text_bigram_collocations",
     "text_repetition_ratio",
     "text_pii_redact",

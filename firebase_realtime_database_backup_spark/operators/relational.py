@@ -4380,3 +4380,98 @@ def agg_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("approx_monthly_users"),
         )
     )
+
+
+def _ewma_step(acc, x):
+    """One EWMA fold step (alpha=0.25), seeded with the first value.
+
+    Written once and reused for both struct fields so the Spark-side
+    expression is literally the oracle's ``0.25*x + 0.75*acc`` lambda —
+    same IEEE operation order, so the fold is bit-exact across engines.
+    """
+    return (
+        F.when(acc["acc"].isNull(), x["day_total"])
+        .otherwise(
+            F.lit(0.25) * x["day_total"] + F.lit(0.75) * acc["acc"]
+        )
+    )
+
+
+@REG.query(
+    "events_ewma_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             {oround("SUM(value)")} AS day_total
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    series AS (
+      SELECT event_type,
+             list(day ORDER BY day) AS days,
+             list(day_total ORDER BY day) AS vals
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type,
+           unnest(days) AS day,
+           unnest(vals) AS day_total,
+           unnest(list_transform(generate_series(1, len(vals)),
+                  i -> list_reduce(vals[1:i],
+                       (acc, x) -> 0.25e0 * x + 0.75e0 * acc))) AS ewma
+    FROM series
+    """,
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily EWMA (alpha=0.25, seeded at the first day)
+    — the exponential smoother behind every "trend vs today" panel,
+    emitted for EVERY day, not just the last.
+
+    EWMA is a left fold (each day's value depends on the previous
+    smoothed value), which SQL windows cannot express exactly without
+    a recursive CTE; the portable form is the cosine discipline applied
+    to recursion: collect each type's (day, total) series sorted, run
+    ``F.aggregate`` with a (acc, emitted[]) struct accumulator — the
+    SAME left fold ``0.25*x + 0.75*acc`` DuckDB's list_reduce performs
+    — and explode the emitted array back to (type, day) grain.  Fixed
+    fold order == bit-exact floats on both engines, so even this
+    inherently sequential statistic is oracle-hashable.
+
+    Scale shape: the only events-grain shuffle is the daily partial
+    agg (map-side combine); the fold runs per event_type over the
+    reduced types x days grain — a few hundred doubles per group —
+    so cost is O(events) scan + O(types x days) fold at ANY corpus
+    size.  A per-user EWMA at 10^9 users partitions the same way
+    (user becomes the group key; the series stays bounded by the
+    calendar, and applyInPandas takes over if a vector form is
+    needed)."""
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("day_total"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "day_total"))).alias("s")
+    )
+    fold = F.aggregate(
+        F.col("s"),
+        F.struct(
+            F.lit(None).cast("double").alias("acc"),
+            F.lit(None).cast("array<double>").alias("outs"),
+        ),
+        lambda acc, x: F.struct(
+            _ewma_step(acc, x).alias("acc"),
+            F.concat(
+                F.coalesce(acc["outs"], F.array().cast("array<double>")),
+                F.array(_ewma_step(acc, x)),
+            ).alias("outs"),
+        ),
+        lambda acc: acc["outs"],
+    )
+    return (
+        series.withColumn("ewmas", fold)
+        .select("event_type", F.explode(F.arrays_zip("s", "ewmas")).alias("z"))
+        .select(
+            "event_type",
+            F.col("z.s.day").alias("day"),
+            F.col("z.s.day_total").alias("day_total"),
+            F.col("z.ewmas").alias("ewma"),
+        )
+    )

@@ -1714,3 +1714,99 @@ def text_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "w1", "w2")
         .limit(COLLOC_TOPK)
     )
+
+
+#: Span width (tokens) for C4-style span-level dedup.  8 tokens is the
+#: smallest width at which the synthetic corpus separates cleanly
+#: (453 clean / 6 partial / 41 all-dup docs at sf0.01); real pipelines
+#: use ~3 sentences (C4) or 50-token windows.
+SPAN_W = 8
+
+
+@REG.query(
+    "text_span_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    spans AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(0, CAST(len(t) // {SPAN_W} AS INTEGER) - 1),
+               i -> array_to_string(
+                 t[i*{SPAN_W}+1 : i*{SPAN_W}+{SPAN_W}], ' '))) AS span
+      FROM toks WHERE len(t) >= {SPAN_W}
+    ),
+    counts AS (SELECT span, COUNT(*) AS c FROM spans GROUP BY span)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(*) FILTER (WHERE c.c > 1) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(
+             SUM(CASE WHEN c.c > 1 THEN LEN(s.span) + 1 END), 0) AS BIGINT)
+             AS dup_chars
+    FROM spans s JOIN counts c USING (span)
+    GROUP BY s.doc_id
+    """,
+)
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup accounting (the C4 discipline: remove any
+    three-sentence span occurring more than once in the corpus —
+    Raffel et al. 2020, §2.2) over non-overlapping 8-token chunks:
+    per doc, how many spans it holds, how many of them occur elsewhere
+    in the corpus (counting multiplicity), and the chars a span-level
+    scrubber would delete.
+
+    Document-level dedup (dedup_exact/minhash) misses boilerplate
+    REPEATED INSIDE otherwise-unique pages — navigation chrome, license
+    headers, quoted chain-mail — which is exactly what span-level
+    removal catches; this operator is the audit that sizes that win
+    before anyone mutates text.
+
+    Plan: tokenize+chunk is one codegen'd map (no Python); the span
+    COUNT is one corpus-grain shuffle with map-side combine; the
+    count-back join is span-keyed; the final per-doc rollup shuffles
+    doc-grain.  Spans with n>=2 are the join's hot keys — bounded here,
+    but a 100 TB corpus keys BOTH sides on xxhash64(span) (8-byte
+    shuffle rows instead of ~50-char strings, the dictionary-free
+    discipline of dedup_minhash_lsh_xxhash) and caps pathological
+    boilerplate keys (robots-page spam) with the salted-join pattern.
+    Chunks, not sliding windows: non-overlapping spans keep the
+    exploded relation at ~N/8 rows (a sliding window is ~N rows and
+    catches offset-shifted boilerplate — same plan, 8x the shuffle)."""
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= SPAN_W)
+    )
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                # guarded by the size filter above: the upper bound is
+                # >= 0, so sequence() cannot descend (the
+                # text_bigram_collocations lesson)
+                F.sequence(
+                    F.lit(0),
+                    (F.floor(F.size("t") / SPAN_W) - 1).cast("int"),
+                ),
+                lambda i: F.array_join(
+                    F.slice("t", i * SPAN_W + 1, SPAN_W), " "
+                ),
+            )
+        ).alias("span"),
+    )
+    counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        spans.join(counts, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count(F.when(F.col("c") > 1, 1)).alias("n_dup_spans"),
+            F.coalesce(
+                F.sum(F.when(F.col("c") > 1, F.length("span") + 1)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("dup_chars"),
+        )
+    )

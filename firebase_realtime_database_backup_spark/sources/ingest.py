@@ -263,8 +263,12 @@ def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     if fixture is None:
         import hashlib
 
+        # Carry the table's own n_chars column (not length(text)): the
+        # oracle predicts the audit row from stored columns, and corpora
+        # where n_chars deliberately disagrees with length(text) (the
+        # edge corpus's unicode rows) must not diverge.
         docs = read_table(spark, sf_dir, "documents").select(
-            "doc_id", "lang", F.length("text").alias("n_chars")
+            "doc_id", "lang", "n_chars"
         )
         path_tag = hashlib.sha1(memo_key[1].encode()).hexdigest()[:12]
         fixture = os.path.join(

@@ -333,6 +333,11 @@ BNL_ONE_ROW_PROBES = {
     "ingest_jsonl_quarantine": 1,
     # 1-row (n_total, z) normalizer row under the per-source rates
     "mix_temperature_sampled": 1,
+    # 1-row corpus-totals row under the decile report
+    "events_activity_concentration": 1,
+    # the quality_drift_chi2 shape: the 1-row (n_uni, n_big) totals row
+    # is itself a 1-row x 1-row cross join, then attaches to the pairs
+    "text_bigram_collocations": 2,
 }
 BNL_ALLOWED = BNL_DESIGNED | set(BNL_ONE_ROW_PROBES)
 
