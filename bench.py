@@ -143,6 +143,7 @@ HEADLINE = [
     "multimodal_phash_hamming",
     "dedup_cross_corpus_cosine",
     "ingest_schema_evolution",
+    "layout_compact_small_files",
     "events_ewma_daily",
     "text_span_dedup",
     "text_bigram_collocations",

@@ -4475,3 +4475,112 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("z.ewmas").alias("ewma"),
         )
     )
+
+
+#: (applicationId, abs sf_dir) -> (fragmented_dir, compacted_dir) for
+#: layout_compact_small_files (ingest-fixture memo discipline).
+_COMPACT_FIXTURES: dict = {}
+
+#: Compaction target, in ROWS per output file.  Real compactors target
+#: bytes (128-1024 MB); rows make the file count oracle-predictable
+#: (ceil(N / target)) while exercising the identical plan.
+COMPACT_TARGET_ROWS = 256
+
+#: Fragmentation width of the fixture: one file per doc_id % 64 bucket.
+COMPACT_FRAG_BUCKETS = 64
+
+
+@REG.query(
+    "layout_compact_small_files",
+    oracle=f"""
+    SELECT CAST(COUNT(DISTINCT doc_id % {COMPACT_FRAG_BUCKETS}) AS BIGINT)
+             AS n_files_before,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CEIL(COUNT(*) / {COMPACT_TARGET_ROWS}.0) AS BIGINT)
+             AS n_files_after,
+           CAST(SUM(doc_id) AS BIGINT) AS docid_sum
+    FROM documents
+    """,
+)
+def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction (OPTIMIZE / bin-packing rewrite): coalesce
+    a pathologically fragmented table — one file per doc_id%64 bucket,
+    the fixture twin of a streaming sink's per-trigger dribble — into
+    ceil(N / target) right-sized files, and prove it from the files
+    themselves: every count in the audit row comes from reading
+    ``_metadata.file_path`` back off disk, not from the write plan.
+
+    The small-files problem is THE silent lake killer at 100 TB: a
+    million 100 KB files cost a scheduler task each, a footer fetch
+    each (NameNode/S3 LIST pressure), and defeat row-group pruning.
+    Compaction is the maintenance pass every table format schedules
+    (Delta OPTIMIZE, Iceberg rewrite_data_files); this operator is its
+    engine core: read fragmented -> repartition(ceil(N/target)) ->
+    rewrite -> audit.  Round-robin repartition (no keys) is the right
+    exchange for pure bin-packing — even output sizes, no skew by
+    construction, no sort cost; a clustering compactor would swap in
+    repartitionByRange + sortWithinPartitions (the layout_zorder path)
+    to ALSO buy pruning locality in the same rewrite.
+
+    Oracle-exactness: the fixture writes partitionBy(bucket) after
+    repartition(64, bucket), so each bucket lands wholly in one task =
+    exactly one file per distinct bucket value (n_files_before =
+    COUNT(DISTINCT doc_id%64), SQL-predictable); the compacted count is
+    exactly the repartition width (round-robin leaves no partition
+    empty at N >> files).  Rows-per-file targets keep the arithmetic
+    engine-portable; production compacts to BYTES via the scan
+    statistics the same plan already collects."""
+    import os
+
+    memo_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    dirs = _COMPACT_FIXTURES.get(memo_key)
+    if dirs is None:
+        import hashlib
+
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+        tag = hashlib.sha1(memo_key[1].encode()).hexdigest()[:12]
+        root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            os.pardir,
+            ".scratch",
+            f"compact_{os.path.basename(os.path.normpath(sf_dir))}_{tag}",
+        )
+        frag_dir = os.path.join(root, "fragmented")
+        comp_dir = os.path.join(root, "compacted")
+        frag = docs.withColumn(
+            "b", (F.col("doc_id") % COMPACT_FRAG_BUCKETS).cast("int")
+        )
+        # repartition on b THEN partitionBy(b): each bucket is wholly
+        # inside one task, so exactly one file per bucket value
+        frag.repartition(COMPACT_FRAG_BUCKETS, "b").write.mode(
+            "overwrite"
+        ).partitionBy("b").parquet(frag_dir)
+
+        n = spark.read.parquet(frag_dir).count()
+        n_out = max(1, -(-n // COMPACT_TARGET_ROWS))  # ceil
+        spark.read.parquet(frag_dir).drop("b").repartition(n_out).write.mode(
+            "overwrite"
+        ).parquet(comp_dir)
+        dirs = (frag_dir, comp_dir)
+        _COMPACT_FIXTURES[memo_key] = dirs
+
+    frag_dir, comp_dir = dirs
+    before = (
+        spark.read.parquet(frag_dir)
+        .select(F.col("_metadata.file_path").alias("fp"))
+        .agg(F.count_distinct("fp").alias("n_files_before"))
+    )
+    after = (
+        spark.read.parquet(comp_dir)
+        .select("doc_id", F.col("_metadata.file_path").alias("fp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("fp").alias("n_files_after"),
+            F.sum("doc_id").alias("docid_sum"),
+        )
+    )
+    return before.crossJoin(after).select(
+        "n_files_before", "n_rows", "n_files_after", "docid_sum"
+    )

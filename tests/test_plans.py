@@ -331,6 +331,8 @@ BNL_ONE_ROW_PROBES = {
     "quality_benford": 1,    # 1-row total row under the digit histogram
     # good-rows 1-row summary x quarantined 1-row count (audit row)
     "ingest_jsonl_quarantine": 1,
+    # 1-row before-files summary x 1-row after-files summary (audit row)
+    "layout_compact_small_files": 1,
     # 1-row (n_total, z) normalizer row under the per-source rates
     "mix_temperature_sampled": 1,
     # 1-row corpus-totals row under the decile report
