@@ -1810,3 +1810,120 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_chars"),
         )
     )
+
+
+@REG.query(
+    "text_span_scrub",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, i,
+             array_to_string(t[i*{SPAN_W}+1 : i*{SPAN_W}+{SPAN_W}], ' ')
+               AS span
+      FROM toks,
+           UNNEST(generate_series(
+             0, CAST(len(t) // {SPAN_W} AS INTEGER) - 1)) AS g(i)
+      WHERE len(t) >= {SPAN_W}
+    ),
+    ranked AS (
+      SELECT doc_id, i, span,
+             row_number() OVER (PARTITION BY span ORDER BY doc_id, i) AS rn
+      FROM spans
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(span, ' ' ORDER BY i) FILTER (WHERE rn = 1) AS kept,
+             COUNT(*) AS n_spans,
+             COUNT(*) FILTER (WHERE rn > 1) AS n_removed
+      FROM ranked GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           concat_ws(' ',
+             NULLIF(r.kept, ''),
+             NULLIF(array_to_string(
+               t[CAST(len(t) // {SPAN_W} AS INTEGER)*{SPAN_W}+1 : len(t)],
+               ' '), '')) AS scrubbed_text,
+           CAST(COALESCE(r.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed
+    FROM toks d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def text_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-faithful span scrub: of every 8-token span occurring more than
+    once in the corpus, KEEP exactly the first occurrence (lexicographic
+    (doc_id, position) argmin) and delete the rest, then rebuild each
+    document from its surviving spans plus its sub-span tail.  The
+    mutation twin of text_span_dedup (which only sizes the win) and the
+    keep-one counterpart of text_scrub_passages (which deletes ALL
+    occurrences of a cross-doc passage, original included — C4 §2.2
+    keeps one so the corpus retains each fact once; Raffel et al. 2020).
+
+    Plan — deliberately NOT a window: first-occurrence-per-span is an
+    argmin, so it's computed as groupBy(span).agg(MIN(struct(doc_id,
+    i))) — partially aggregatable, map-side combine shrinks every hot
+    boilerplate key to one row per map task BEFORE the shuffle, where a
+    row_number window would sort every occurrence of the hottest span
+    in one task.  The keep-test then joins back span-keyed (AQE reuses
+    the agg's partitioning) and the rebuild is one doc-grain
+    sort_array(collect_list) — no window anywhere.  At 100 TB both
+    span-keyed exchanges fold the key to xxhash64(span) and the tail/
+    rebuild side carries the text, exactly the text_span_dedup note.
+    The oracle uses row_number because DuckDB needn't scale; the argmin
+    and rn=1 pick the identical occurrence."""
+    toks = spread(
+        read_table(spark, sf_dir, "documents").select(
+            "doc_id", F.split("text", " ").alias("t")
+        )
+    )
+    n_full = (F.floor(F.size("t") / SPAN_W)).cast("int")
+    spans = toks.filter(F.size("t") >= SPAN_W).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_full - 1),
+                lambda i: F.array_join(F.slice("t", i * SPAN_W + 1, SPAN_W), " "),
+            )
+        ).alias("i", "span"),
+    )
+    # argmin, not row_number: MIN(struct) partial-aggregates map-side,
+    # so a boilerplate span repeated 10^6 times shuffles ~one row per
+    # map task instead of sorting 10^6 rows in one window task
+    first = spans.groupBy("span").agg(
+        F.min(F.struct("doc_id", "i")).alias("m")
+    )
+    kept_flag = (F.col("doc_id") == F.col("m.doc_id")) & (
+        F.col("i") == F.col("m.i")
+    )
+    rebuilt = (
+        spans.join(first, "span")
+        .select("doc_id", "i", "span", kept_flag.alias("keep"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("i", "span"))
+                        )
+                    ),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("kept"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count(F.when(~F.col("keep"), 1)).alias("n_removed"),
+        )
+    )
+    tail = F.array_join(
+        F.slice("t", n_full * SPAN_W + 1, F.size("t") - n_full * SPAN_W), " "
+    )
+    return toks.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.nullif(F.col("kept"), F.lit("")), F.nullif(tail, F.lit(""))
+        ).alias("scrubbed_text"),
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+    )

@@ -764,3 +764,46 @@ def test_hll_union_rollup_tracks_exact_counts(spark, queries):
     assert got.keys() == exact.keys()
     for k, est in got.items():
         assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_span_scrub_keeps_exactly_one_occurrence_no_window(spark, queries):
+    """text_span_scrub's contract: exactly ONE occurrence of every
+    distinct 8-token span survives (sum of kept spans == corpus distinct
+    span count), and the plan computes first-occurrence via the
+    partially-aggregatable MIN(struct) argmin — NO Window operator (a
+    row_number window would sort every occurrence of the hottest
+    boilerplate span in one task)."""
+    from pyspark.sql import functions as F
+
+    from firebase_realtime_database_backup_spark.catalog import read_table
+    from firebase_realtime_database_backup_spark.operators.text import SPAN_W
+
+    df = queries["text_span_scrub"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "argmin regressed to a window"
+
+    agg = df.agg(
+        F.sum("n_spans").alias("s"), F.sum("n_removed").alias("r")
+    ).collect()[0]
+    toks = read_table(spark, SF, "documents").select(
+        F.split("text", " ").alias("t")
+    )
+    n_distinct = (
+        toks.filter(F.size("t") >= SPAN_W)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        (F.floor(F.size("t") / SPAN_W) - 1).cast("int"),
+                    ),
+                    lambda i: F.array_join(
+                        F.slice("t", i * SPAN_W + 1, SPAN_W), " "
+                    ),
+                )
+            ).alias("span")
+        )
+        .select(F.count_distinct("span"))
+        .collect()[0][0]
+    )
+    assert agg.s - agg.r == n_distinct, (agg.s, agg.r, n_distinct)
