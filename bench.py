@@ -142,6 +142,7 @@ HEADLINE = [
     "text_fingerprint",
     "multimodal_phash_hamming",
     "dedup_cross_corpus_cosine",
+    "dedup_cross_corpus_cosine_arrow",
     "ingest_schema_evolution",
     "layout_compact_small_files",
     "events_ewma_daily",

@@ -807,3 +807,31 @@ def test_span_scrub_keeps_exactly_one_occurrence_no_window(spark, queries):
         .collect()[0][0]
     )
     assert agg.s - agg.r == n_distinct, (agg.s, agg.r, n_distinct)
+
+
+def test_cross_corpus_cosine_arrow_matches_teaching_form(spark, queries):
+    """The Arrow cogrouped-matmul twin must reproduce the oracle-exact
+    interpreted form bit-for-bit in its CHOICES (same nearest corpus
+    neighbor, same dup flag for every batch vector) with cosines equal
+    to BLAS-vs-fold summation noise (<1e-12), and its plan must carry
+    the two Arrow nodes (MapInPandas assign, FlatMapGroupsInPandas
+    nearest) with NO per-pair join or window."""
+    ref = {
+        r.new_vec_id: (r.nn_corpus_id, r.nn_cosine, r.is_dup)
+        for r in queries["dedup_cross_corpus_cosine"](spark, SF).collect()
+    }
+    df = queries["dedup_cross_corpus_cosine_arrow"](spark, SF)
+    got = {
+        r.new_vec_id: (r.nn_corpus_id, r.nn_cosine, r.is_dup)
+        for r in df.collect()
+    }
+    assert ref.keys() == got.keys()
+    for k in ref:
+        assert ref[k][0] == got[k][0], (k, ref[k], got[k])
+        assert abs(ref[k][1] - got[k][1]) < 1e-12, (k, ref[k], got[k])
+        assert ref[k][2] == got[k][2], (k, ref[k], got[k])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan, "pair join leaked into the cogrouped twin"
