@@ -143,6 +143,7 @@ HEADLINE = [
     "multimodal_phash_hamming",
     "dedup_cross_corpus_cosine",
     "dedup_cross_corpus_cosine_arrow",
+    "dedup_embedding_cosine_arrow",
     "ingest_schema_evolution",
     "layout_compact_small_files",
     "events_ewma_daily",

@@ -715,7 +715,8 @@ def _emb_dup_scaled_oracle() -> str:
     """
 
 
-@REG.query("dedup_embedding_cosine_scaled", oracle=_emb_dup_scaled_oracle())
+@REG.query("dedup_embedding_cosine_scaled", oracle=_emb_dup_scaled_oracle(),
+           prod_twin="dedup_embedding_cosine_arrow")
 def dedup_embedding_cosine_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_embedding_cosine with the plane count DERIVED FROM CORPUS
     SIZE instead of pinned: planes = max(4, ceil(log2(N/32))), so
@@ -771,6 +772,91 @@ def dedup_embedding_cosine_scaled(spark: SparkSession, sf_dir: str) -> DataFrame
             "nn_cosine",
             (F.col("nn_cosine") >= EMB_DUP_THRESHOLD).alias("is_dup"),
         )
+    )
+
+
+@REG.query("dedup_embedding_cosine_arrow")  # rows-only: BLAS sum order isn't SQL-portable
+def dedup_embedding_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-corpus embedding near-dup with the whole in-bucket stage
+    collapsed to one BLAS tile per LSH bucket — the production form of
+    dedup_embedding_cosine_scaled, whose measured 2.6 / 71 / 171 s at
+    sf0.1 / 20x / 100x is the cost of MATERIALIZING the in-bucket pair
+    relation (occupancy × N rows, each carrying two 64-dim arrays),
+    folding a cosine per pair interpreted, and ranking pairs in a
+    window.
+
+    Here: hyperplane assignment is one ``X @ P.T`` per Arrow batch
+    (mapInPandas, planes derived from corpus size exactly like the
+    scaled twin), then ONE grouped map per bucket computes the full
+    ``X @ X.T`` cosine tile, masks the diagonal, and row-argmaxes —
+    every vector's nearest bucket-mate in a single kernel.  Rows sort
+    by vec_id first so an argmax tie picks the lowest nn_id, the
+    scaled twin's (DESC cosine, nn_id) order.  No pair relation, no
+    window; the only shuffle is the bucket exchange of N rows.
+    Occupancy is held ~flat by the derived plane count, so each tile
+    is a bounded ~32x32 matmul at every corpus size.  Rows-only (BLAS
+    pairwise summation vs the fold's left-to-right order drifts last
+    ulps and can flip exact-zero plane signs); pinned in test_plans
+    bit-identical in choices to the scaled twin."""
+    import numpy as np
+
+    from firebase_realtime_database_backup_spark.operators.similarity import (
+        _plane_values,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    n_planes = _scaled_planes(emb.count())
+    P = np.array([_plane_values(p) for p in range(n_planes)])
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def assign(batches):
+        for pdf in batches:
+            X = np.stack(pdf["emb"].values).astype(np.float64)
+            sign = (X @ P.T) >= 0.0
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "emb": pdf["emb"].values,
+                    "bucket": (sign * weights[None, :]).sum(axis=1),
+                }
+            )
+
+    buckets = emb.mapInPandas(
+        assign, "vec_id long, emb array<double>, bucket long"
+    )
+
+    def nearest(pdf):
+        if len(pdf) < 2:  # a lone vector has no bucket-mate (the pair
+            return pd.DataFrame(  # join emits nothing for it either)
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "nn_id": pd.Series(dtype="int64"),
+                    "nn_cosine": pd.Series(dtype="float64"),
+                    "is_dup": pd.Series(dtype="bool"),
+                }
+            )
+        pdf = pdf.sort_values("vec_id")  # argmax tie -> lowest nn_id
+        X = np.stack(pdf["emb"].values)
+        nrm = np.sqrt(np.einsum("ij,ij->i", X, X))
+        cos = (X @ X.T) / np.outer(nrm, nrm)
+        np.fill_diagonal(cos, -np.inf)
+        j = cos.argmax(axis=1)
+        best = cos[np.arange(len(j)), j]
+        vids = pdf["vec_id"].values
+        return pd.DataFrame(
+            {
+                "vec_id": vids,
+                "nn_id": vids[j],
+                "nn_cosine": best,
+                "is_dup": best >= EMB_DUP_THRESHOLD,
+            }
+        )
+
+    # single grouped map, not cogroup (see dedup_cross_corpus_cosine_arrow)
+    return buckets.groupBy("bucket").applyInPandas(
+        nearest, "vec_id long, nn_id long, nn_cosine double, is_dup boolean"
     )
 
 

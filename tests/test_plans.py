@@ -835,3 +835,26 @@ def test_cross_corpus_cosine_arrow_matches_teaching_form(spark, queries):
     assert "FlatMapGroupsInPandas" in plan
     assert "Window" not in plan
     assert "Join" not in plan, "pair join leaked into the cogrouped twin"
+
+
+def test_embedding_cosine_arrow_matches_scaled_form(spark, queries):
+    """The within-corpus Arrow twin must reproduce the oracle-exact
+    scaled form's choices exactly (same nearest bucket-mate + dup flag
+    per vector), cosines within BLAS-vs-fold noise, via the two Arrow
+    nodes with no pair join and no window."""
+    ref = {
+        r.vec_id: (r.nn_id, r.nn_cosine, r.is_dup)
+        for r in queries["dedup_embedding_cosine_scaled"](spark, SF).collect()
+    }
+    df = queries["dedup_embedding_cosine_arrow"](spark, SF)
+    got = {r.vec_id: (r.nn_id, r.nn_cosine, r.is_dup) for r in df.collect()}
+    assert ref.keys() == got.keys()
+    for k in ref:
+        assert ref[k][0] == got[k][0], (k, ref[k], got[k])
+        assert abs(ref[k][1] - got[k][1]) < 1e-12, (k, ref[k], got[k])
+        assert ref[k][2] == got[k][2], (k, ref[k], got[k])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan, "pair join leaked into the bucket-tile twin"
