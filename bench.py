@@ -148,6 +148,7 @@ HEADLINE = [
     "layout_compact_small_files",
     "events_ewma_daily",
     "text_span_dedup",
+    "text_span_dedup_xxhash",
     "text_span_scrub",
     "text_bigram_collocations",
     "text_repetition_ratio",

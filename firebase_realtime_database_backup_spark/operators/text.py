@@ -1812,6 +1812,61 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REG.query("text_span_dedup_xxhash")  # rows-only: xxhash64 has no DuckDB twin
+def text_span_dedup_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_span_dedup with the span-grain shuffles keyed on
+    ``xxhash64(span)`` instead of the ~50-char span string — the
+    production form its docstring promises (the dictionary-free
+    discipline of dedup_minhash_lsh_xxhash).  Output is identical:
+    (doc_id, n_spans, n_dup_spans, dup_chars); the char accounting
+    rides along as a precomputed per-span length, so after the one
+    tokenize+hash map NO span text exists anywhere in the plan — the
+    COUNT shuffle and the count-back join both move 8-byte keys
+    (~6x narrower shuffle rows), which is the entire difference at
+    100 TB where the span-count exchange is the job.  2^64 hash
+    collisions are accepted silently (a collision can only overcount a
+    dup span — the conservative direction for a scrub audit);
+    bit-equality to the exact form on the test corpora is pinned in
+    test_plans, and the plan is asserted xxhash64-keyed."""
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= SPAN_W)
+    )
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    (F.floor(F.size("t") / SPAN_W) - 1).cast("int"),
+                ),
+                lambda i: F.array_join(
+                    F.slice("t", i * SPAN_W + 1, SPAN_W), " "
+                ),
+            )
+        ).alias("span"),
+    ).select(
+        "doc_id",
+        F.xxhash64("span").alias("h"),
+        (F.length("span") + 1).alias("chars"),
+    )
+    counts = spans.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        spans.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count(F.when(F.col("c") > 1, 1)).alias("n_dup_spans"),
+            F.coalesce(
+                F.sum(F.when(F.col("c") > 1, F.col("chars"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("dup_chars"),
+        )
+    )
+
+
 @REG.query(
     "text_span_scrub",
     oracle=f"""

@@ -858,3 +858,21 @@ def test_embedding_cosine_arrow_matches_scaled_form(spark, queries):
     assert "FlatMapGroupsInPandas" in plan
     assert "Window" not in plan
     assert "Join" not in plan, "pair join leaked into the bucket-tile twin"
+
+
+def test_span_dedup_xxhash_matches_exact_and_is_hash_keyed(spark, queries):
+    """The xxhash64 span-dedup twin must equal the oracle-exact form
+    row-for-row on the test corpus and carry xxhash64 (not span text)
+    as its shuffle key."""
+    ref = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_chars)
+        for r in queries["text_span_dedup"](spark, SF).collect()
+    }
+    df = queries["text_span_dedup_xxhash"](spark, SF)
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_chars)
+        for r in df.collect()
+    }
+    assert ref == got
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan, "hash span keys missing from plan"
