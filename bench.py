@@ -146,6 +146,7 @@ HEADLINE = [
     "dedup_embedding_cosine_arrow",
     "ingest_schema_evolution",
     "layout_compact_small_files",
+    "join_interval_overlap",
     "events_ewma_daily",
     "text_span_dedup",
     "text_span_dedup_xxhash",

@@ -4584,3 +4584,96 @@ def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return before.crossJoin(after).select(
         "n_files_before", "n_rows", "n_files_after", "docid_sum"
     )
+
+
+#: Interval-overlap join: bin width in days, chosen EQUAL to the
+#: interval span so every interval lands in at most 2 bins (<=2x row
+#: amplification), the standard sizing for binned range joins.
+OVERLAP_BIN_DAYS = 7
+_OVERLAP_EPOCH = "1992-01-01"  # any fixed day before the data's range
+
+
+@REG.query(
+    "join_interval_overlap",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderkey AS r_key,
+             CAST(o_orderdate AS DATE) AS r_start,
+             CAST(o_orderdate AS DATE) + 7 AS r_end
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+    ), s AS (
+      SELECT o_orderkey AS s_key,
+             CAST(o_orderdate AS DATE) AS s_start,
+             CAST(o_orderdate AS DATE) + 7 AS s_end
+      FROM orders
+      WHERE o_orderpriority = '2-HIGH'
+        AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+    )
+    SELECT r_key AS orderkey, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+    FROM r JOIN s ON r_start <= s_end AND s_start <= r_end
+    GROUP BY r_key
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval OVERLAP join via time binning — the range-
+    join optimization every lakehouse engine ships (Delta's binned
+    range join, the genomics/temporal-SQL overlap pattern), here as
+    pure DataFrame ops: for each 1996 urgent order's 7-day window,
+    how many HIGH-priority order windows overlap it.
+
+    join_range_binned handles POINT-in-band; this is the harder
+    interval-vs-interval case.  Plan: each interval explodes into the
+    day-bins it touches (bin width == interval span, so <=2 bins per
+    interval — bounded amplification, no skew from long intervals);
+    the join is a plain bin equi-join with the overlap predicate
+    applied map-side.  The classic double-count hazard (a pair sharing
+    2 bins would match twice) is eliminated with the FIRST-SHARED-BIN
+    predicate — bin == floor(greatest(r_start, s_start) / W) — a pure
+    map-side filter, NOT a distinct (a distinct here would be a second
+    full shuffle of the pair relation, the expensive wrong fix).  At
+    100 TB the bin is the shuffle key: burst days (hot bins) split
+    under AQE skew-join like any hot key, and when one side is small
+    the bin layer drops away entirely in favor of a broadcast +
+    predicate.  The oracle is the quadratic form of the same join —
+    DuckDB plans an IEJoin, Spark never materializes the quadratic."""
+    W = OVERLAP_BIN_DAYS
+    orders = read_table(spark, sf_dir, "orders")
+
+    def intervals(priority: str, prefix: str) -> DataFrame:
+        d = orders.filter(
+            (F.col("o_orderpriority") == priority)
+            & F.to_date("o_orderdate").between("1996-01-01", "1996-12-31")
+        ).select(
+            F.col("o_orderkey").alias(f"{prefix}_key"),
+            F.datediff(F.to_date("o_orderdate"), F.lit(_OVERLAP_EPOCH))
+            .alias(f"{prefix}_d0"),
+        )
+        return d.withColumn(f"{prefix}_d1", F.col(f"{prefix}_d0") + 7)
+
+    r = intervals("1-URGENT", "r").withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("r_d0") / W), F.floor(F.col("r_d1") / W)
+            )
+        ),
+    )
+    s = intervals("2-HIGH", "s").withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s_d0") / W), F.floor(F.col("s_d1") / W)
+            )
+        ),
+    )
+    pairs = r.join(s, "bin").filter(
+        (F.col("r_d0") <= F.col("s_d1"))
+        & (F.col("s_d0") <= F.col("r_d1"))
+        # first-shared-bin: count each overlapping pair exactly once
+        & (F.col("bin") == F.floor(F.greatest("r_d0", "s_d0") / W))
+    )
+    return pairs.groupBy(F.col("r_key").alias("orderkey")).agg(
+        F.count(F.lit(1)).alias("n_overlaps")
+    )

@@ -876,3 +876,14 @@ def test_span_dedup_xxhash_matches_exact_and_is_hash_keyed(spark, queries):
     assert ref == got
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "xxhash64" in plan, "hash span keys missing from plan"
+
+
+def test_interval_overlap_joins_on_bins_not_quadratic(spark, queries):
+    """The interval-overlap join must execute as a bin equi-join — no
+    BroadcastNestedLoop/Cartesian product anywhere in the plan (the
+    quadratic fallback Spark picks when a join has only range
+    predicates)."""
+    df = queries["join_interval_overlap"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, "quadratic join leaked"
+    assert "CartesianProduct" not in plan, "quadratic join leaked"
