@@ -147,6 +147,8 @@ HEADLINE = [
     "ingest_schema_evolution",
     "layout_compact_small_files",
     "join_interval_overlap",
+    "stream_watermark_audit",
+    "events_session_gap_histogram",
     "events_ewma_daily",
     "text_span_dedup",
     "text_span_dedup_xxhash",

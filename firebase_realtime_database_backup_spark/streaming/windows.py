@@ -305,3 +305,161 @@ def stream_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     trailing-window batch cousin is events_sliding_distinct."""
     return daily_active_users(read_table(spark, sf_dir, "events"))
 
+
+
+#: Simulated transport-delay ceiling for the watermark audit, seconds.
+#: The events table has no arrival timestamp, so the audit derives a
+#: deterministic per-event network delay in [0, 2h) from the Knuth
+#: hash of event_id — identical integer arithmetic on both engines.
+AUDIT_MAX_DELAY_S = 7200
+
+
+@REG.query(
+    "stream_watermark_audit",
+    oracle=f"""
+    WITH arr AS (
+      SELECT event_type,
+             EPOCH_MS(ts) AS ems,
+             MAX(EPOCH_MS(ts)) OVER (
+               PARTITION BY user_id
+               ORDER BY EPOCH_MS(ts)
+                        + ((event_id % 2147483648) * 2654435761)
+                          % 2147483648 % {AUDIT_MAX_DELAY_S} * 1000,
+                        event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE ems < hwm - 600000) AS BIGINT)
+             AS late_10m,
+           CAST(COUNT(*) FILTER (WHERE ems < hwm - 3600000) AS BIGINT)
+             AS late_1h,
+           CAST(COUNT(*) FILTER (WHERE ems < hwm - 21600000) AS BIGINT)
+             AS late_6h
+    FROM arr GROUP BY event_type
+    """,
+)
+def stream_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing audit: for each event type, how many events
+    would arrive LATE — event time older than the high-water mark of
+    everything that arrived before them — beyond a 10-minute / 1-hour /
+    6-hour watermark.  This is the batch query you run BEFORE choosing
+    `withWatermark()` for the streaming aggregations in this module:
+    each column is exactly the row count that watermark would silently
+    drop, so the choice becomes a measured completeness/state-size
+    trade instead of folklore.
+
+    The events table records event time only, so arrival time is
+    simulated as ``ts + delay`` with a deterministic per-event
+    transport delay in [0, 2h) from the overflow-safe Knuth hash of
+    event_id (functions/hashing.py discipline) — identical integer
+    arithmetic both engines, and out-of-order arrival (hence real
+    lateness) by construction.  The high-water mark is a per-user
+    running MAX over prior arrivals — a PARTITIONED window
+    (user-grain, scale-safe; a global-stream hwm would be a
+    single-partition window, and per-key watermarking is the more
+    conservative audit since the global hwm only advances faster).
+    All epoch-seconds integer arithmetic — the EPOCH_MS lesson from
+    join_asof_tolerance.  One user-keyed shuffle + a map-side rollup
+    to the type grain."""
+    from pyspark.sql import Window
+
+    from firebase_realtime_database_backup_spark.functions.hashing import (
+        knuth_hash,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ems"),
+    )
+    arrival = (
+        F.col("ems") + knuth_hash(F.col("event_id")) % AUDIT_MAX_DELAY_S * 1000
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(arrival, "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = ev.select("event_type", "ems", F.max("ems").over(w).alias("hwm"))
+
+    def late(ms: int):
+        return F.count(
+            F.when(F.col("ems") < F.col("hwm") - ms, 1)
+        ).cast("bigint")
+
+    return arr.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        late(600000).alias("late_10m"),
+        late(3600000).alias("late_1h"),
+        late(21600000).alias("late_6h"),
+    )
+
+
+#: (label, upper bound ms) — session-gap histogram buckets, shared by
+#: both engines as literals so the CASE ladders are identical.
+GAP_BUCKETS_MS = (
+    ("a_under_1m", 60_000),
+    ("b_1m_5m", 300_000),
+    ("c_5m_30m", 1_800_000),
+    ("d_30m_2h", 7_200_000),
+    ("e_2h_1d", 86_400_000),
+)
+GAP_LAST = "f_over_1d"
+
+
+def _gap_case_sql() -> str:
+    parts = [
+        f"WHEN gap_ms < {ub} THEN '{lbl}'" for lbl, ub in GAP_BUCKETS_MS
+    ]
+    return "CASE " + " ".join(parts) + f" ELSE '{GAP_LAST}' END"
+
+
+@REG.query(
+    "events_session_gap_histogram",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT EPOCH_MS(ts) - LAG(EPOCH_MS(ts)) OVER (
+               PARTITION BY user_id ORDER BY EPOCH_MS(ts), event_id)
+             AS gap_ms
+      FROM events
+    )
+    SELECT {_gap_case_sql()} AS gap_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps
+    FROM gaps WHERE gap_ms IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def events_session_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-user inter-event gaps — the histogram that
+    SIZES the session-window timeout (session_counts' 30-minute gap
+    and the sessionize operator's threshold): the right timeout sits in
+    the histogram's valley between intra-session and between-session
+    gaps, and this query makes that valley visible instead of assumed.
+    The same evidence sizes stream-stream join lookbacks and state
+    eviction horizons.
+
+    One user-keyed shuffle for the LAG window (user grain — scale-safe,
+    same discipline as stream_watermark_audit), then a map-side CASE
+    ladder and a 6-row rollup.  Millisecond integer arithmetic on both
+    engines; bucket labels are shared literals so the ladders cannot
+    drift."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ems")
+    )
+    w = Window.partitionBy("user_id").orderBy("ems", "event_id")
+    gaps = ev.select(
+        (F.col("ems") - F.lag("ems").over(w)).alias("gap_ms")
+    ).filter(F.col("gap_ms").isNotNull())
+    expr = None
+    for lbl, ub in GAP_BUCKETS_MS:
+        cond = F.col("gap_ms") < ub
+        expr = F.when(cond, lbl) if expr is None else expr.when(cond, lbl)
+    expr = expr.otherwise(GAP_LAST)
+    return gaps.groupBy(expr.alias("gap_bucket")).agg(
+        F.count(F.lit(1)).alias("n_gaps")
+    )
