@@ -887,3 +887,90 @@ def test_interval_overlap_joins_on_bins_not_quadratic(spark, queries):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, "quadratic join leaked"
     assert "CartesianProduct" not in plan, "quadratic join leaked"
+
+
+def test_interval_overlap_counts_two_bin_pairs_once(spark, tmp_path):
+    """Adversarial fixture for the first-shared-bin predicate: two
+    intervals that overlap across TWO shared bins must be counted
+    exactly once, and a pair overlapping in REAL time but placed so the
+    overlap region spans a bin boundary must still be found.  Built as
+    a tiny orders parquet driven through the registered query."""
+    import pandas as pd
+
+    from firebase_realtime_database_backup_spark.operators.relational import (
+        join_interval_overlap,
+    )
+
+    rows = [
+        # r0 [Jun 1, Jun 8] and s0 [Jun 2, Jun 9]: overlap [Jun 2, Jun 8]
+        # spans two 7-day bins -> both explode into the same 2 bins; the
+        # naive bin join would emit this pair twice
+        (1, "1-URGENT", "1996-06-01"),
+        (2, "2-HIGH", "1996-06-02"),
+        # r1 [Jun 20, Jun 27] overlaps s1 [Jun 26, Jul 3] only at the
+        # tail [Jun 26, Jun 27]; their STARTS sit in different bins
+        (3, "1-URGENT", "1996-06-20"),
+        (4, "2-HIGH", "1996-06-26"),
+        # s2 far away: no overlap with anything
+        (5, "2-HIGH", "1996-09-01"),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": [r[0] for r in rows],
+            "o_custkey": [1] * len(rows),
+            "o_orderstatus": ["O"] * len(rows),
+            "o_totalprice": [1.0] * len(rows),
+            "o_orderdate": pd.to_datetime([r[2] for r in rows]),
+            "o_orderpriority": [r[1] for r in rows],
+        }
+    )
+    d = str(tmp_path / "mini")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        str(tmp_path / "mini" / "orders.parquet")
+    )
+    got = {
+        r.orderkey: r.n_overlaps
+        for r in join_interval_overlap(spark, d).collect()
+    }
+    assert got == {1: 1, 3: 1}, got
+
+
+def test_span_scrub_edge_documents(spark, tmp_path):
+    """Constructed edge corpus for text_span_scrub: empty doc, sub-span
+    doc, exactly-one-span doc, and two docs sharing an identical
+    16-token body — the keep-first rule must keep doc 3's copy (lowest
+    doc_id) and strip doc 4's, preserving doc 4's tail."""
+    import pandas as pd
+
+    from firebase_realtime_database_backup_spark.operators.text import (
+        text_span_scrub,
+    )
+
+    eight = " ".join(f"w{i}" for i in range(8))
+    sixteen = " ".join(f"w{i}" for i in range(16))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "",  # empty: no spans, rebuilt as-is
+                "only three tokens",  # sub-span: pure tail
+                sixteen,  # two spans, first occurrences
+                sixteen + " tailtok",  # same two spans + a tail
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [0, 17, len(sixteen), len(sixteen) + 8],
+        }
+    )
+    d = str(tmp_path / "mini2")
+    spark.createDataFrame(docs).coalesce(1).write.parquet(
+        str(tmp_path / "mini2" / "documents.parquet")
+    )
+    got = {
+        r.doc_id: (r.scrubbed_text, r.n_spans, r.n_removed)
+        for r in text_span_scrub(spark, d).collect()
+    }
+    assert got[1] == ("", 0, 0)
+    assert got[2] == ("only three tokens", 0, 0)
+    assert got[3] == (sixteen, 2, 0)
+    assert got[4] == ("tailtok", 2, 2), got[4]
