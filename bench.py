@@ -149,6 +149,8 @@ HEADLINE = [
     "join_interval_overlap",
     "stream_watermark_audit",
     "events_session_gap_histogram",
+    "window_open_intervals",
+    "events_seasonality_profile",
     "events_ewma_daily",
     "text_span_dedup",
     "text_span_dedup_xxhash",

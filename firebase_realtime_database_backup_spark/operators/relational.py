@@ -4677,3 +4677,122 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.col("r_key").alias("orderkey")).agg(
         F.count(F.lit(1)).alias("n_overlaps")
     )
+
+
+@REG.query(
+    "window_open_intervals",
+    oracle="""
+    WITH iv AS (
+      SELECT CAST(o_orderdate AS DATE) AS d0,
+             CAST(o_orderdate AS DATE) + 7 AS d1
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+    ),
+    deltas AS (
+      SELECT d0 AS day, 1 AS delta FROM iv
+      UNION ALL
+      SELECT d1 + 1 AS day, -1 AS delta FROM iv
+    ),
+    daily AS (SELECT day, SUM(delta) AS net FROM deltas GROUP BY day)
+    SELECT day, CAST(SUM(net) OVER (ORDER BY day) AS BIGINT) AS n_open
+    FROM daily
+    """,
+)
+def window_open_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency: how many 1996 urgent-order
+    windows are OPEN on each day the count changes — the classic
+    "concurrent sessions / open tickets / peak load" timeline, and the
+    stabbing-count complement of join_interval_overlap (that one asks
+    which intervals overlap EACH OTHER; this one asks how many cover
+    each point).
+
+    The naive form joins every interval to every day it covers (rows x
+    span) then counts per day; the sweep needs only the ENDPOINTS:
+    each interval contributes (+1 at start, -1 past end), the deltas
+    aggregate to the day grain map-side, and one running sum over that
+    reduced grain replays the timeline.  The unpartitioned window is
+    DELIBERATE and safe: it runs on the post-aggregation day grain
+    (≤366 rows/year here; a few thousand at any horizon), the
+    aggregate-then-recurse shape shared with events_ewma_daily — the
+    raw interval relation never sees a window.  At 100 TB the endpoint
+    explode is 2 rows per interval regardless of span length (a
+    year-long interval costs the same as a day), which is exactly why
+    sweeps beat per-day explodes for long-lived intervals."""
+    iv = (
+        read_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & F.to_date("o_orderdate").between("1996-01-01", "1996-12-31")
+        )
+        .select(F.to_date("o_orderdate").alias("d0"))
+        .withColumn("d1", F.date_add("d0", 7))
+    )
+    deltas = iv.select(
+        F.col("d0").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select(F.date_add("d1", 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("net"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", F.sum("net").over(w).cast("bigint").alias("n_open")
+    )
+
+
+@REG.query(
+    "events_seasonality_profile",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(DAYOFWEEK(ts) + 1 AS BIGINT) AS dow,
+             CAST(HOUR(ts) AS BIGINT) AS hour,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, dow, hour,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY event_type) AS share
+    FROM g
+    """,
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: event volume by (type, day-of-week,
+    hour-of-day) with each cell's share of its type's total — the
+    baseline that turns anomaly detection (events_anomaly_mad, the
+    drift chi²) from "today differs from yesterday" into "today differs
+    from what Mondays at 9am normally look like", and the evidence for
+    load-shaping decisions (when to schedule compaction, what a
+    streaming job's peak state looks like).
+
+    Pure count arithmetic — integer cells, one exact integer-ratio
+    division for the share — so both engines agree bit-for-bit (the
+    float-SUM-order trap that makes naive AVG(value) profiles
+    cross-engine-unstable is structurally absent).  Plan: one map-side
+    partial-agg shuffle to the (type, dow, hour) grain (≤ 840 rows),
+    then the share window runs on that reduced grain — the
+    aggregate-then-recurse shape again.  Calendar gotcha pinned by the
+    oracle: Spark dayofweek is 1=Sunday..7 while DuckDB DAYOFWEEK is
+    0=Sunday..6 — the oracle adds 1 so both emit the Spark convention."""
+    from pyspark.sql import Window
+
+    g = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.dayofweek("ts").cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    return g.select(
+        "event_type",
+        "dow",
+        "hour",
+        F.col("n").cast("bigint").alias("n_events"),
+        (F.col("n").cast("double") / F.sum("n").over(w)).alias("share"),
+    )
