@@ -480,10 +480,14 @@ def pipeline_prepare_corpus_scaled(spark: SparkSession, sf_dir: str) -> DataFram
       banded LSH; no global vocab state), dropping the larger doc_id of
       each verified pair (keep-first greedy, same rule as the exact
       dedup stage);
-    - embedding near-dups via dedup_embedding_cosine_scaled (plane
-      count derived from corpus size, so bucket occupancy — and the
-      quadratic in-bucket cost — stays flat as N grows), dropping a doc
-      whose nearest neighbor is a smaller-id dup.
+    - embedding near-dups via dedup_embedding_cosine_arrow (plane
+      count derived from corpus size so bucket occupancy stays flat,
+      and the whole in-bucket stage is one BLAS tile per bucket — the
+      42x-at-100x production kernel; its choices are pinned
+      bit-identical to the oracle-exact scaled twin in test_plans, so
+      routing the pipeline through it changes nothing the tests can
+      see except the wall-clock: 71 s -> ~6 s at 20x docs end-to-end),
+      dropping a doc whose nearest neighbor is a smaller-id dup.
 
     A drop only fires when the pair's KEEPER side survives the quality
     gates (left-semi probe against the kept corpus): the near-dup pair
@@ -498,7 +502,7 @@ def pipeline_prepare_corpus_scaled(spark: SparkSession, sf_dir: str) -> DataFram
     removal sets anti-join against the kept corpus — hash semi-join
     shaped exchanges on doc_id, nothing quadratic."""
     from firebase_realtime_database_backup_spark.operators.dedup import (
-        dedup_embedding_cosine_scaled,
+        dedup_embedding_cosine_arrow,
         dedup_minhash_xxhash,
     )
 
@@ -513,7 +517,7 @@ def pipeline_prepare_corpus_scaled(spark: SparkSession, sf_dir: str) -> DataFram
         .distinct()
     )
     emb_dup = (
-        dedup_embedding_cosine_scaled(spark, sf_dir)
+        dedup_embedding_cosine_arrow(spark, sf_dir)
         .filter(F.col("is_dup") & (F.col("nn_id") < F.col("vec_id")))
         .join(
             base_ids.withColumnRenamed("doc_id", "nn_id"), "nn_id", "left_semi"
