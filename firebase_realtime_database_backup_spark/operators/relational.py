@@ -2081,6 +2081,94 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.query(
+    "sink_snapshot_diff",
+    oracle="""
+    WITH old_v AS (
+      SELECT o_orderkey,
+             MD5(CONCAT_WS('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
+                           o_orderpriority)) AS old_fp
+      FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    new_v AS (
+      SELECT o_orderkey,
+             MD5(CONCAT_WS('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
+                           CASE WHEN o_orderkey % 7 = 0 THEN '1-URGENT'
+                                ELSE o_orderpriority END)) AS new_fp
+      FROM orders WHERE o_orderkey % 89 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.old_fp IS NULL THEN 'added'
+                WHEN n.new_fp IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           o.old_fp, n.new_fp
+    FROM old_v o FULL OUTER JOIN new_v n USING (o_orderkey)
+    WHERE o.old_fp IS NULL OR n.new_fp IS NULL OR o.old_fp <> n.new_fp
+    """,
+)
+def sink_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the table-compare primitive lakehouses ship
+    (Delta CDF reconstruction, Iceberg changelog scan, data-reconciled
+    migrations): given two versions of a table, emit exactly the rows
+    that were added, removed, or changed, identified by a row
+    fingerprint.  Both versions derive deterministically from orders
+    (old drops keys %97==0, new drops %89==0 and rewrites priority on
+    %7==0) so the oracle is self-contained.  Fingerprints hash only
+    integer/string columns rendered identically on both engines —
+    float columns would need a cents-grain cast first (the oround
+    discipline).
+
+    Plan: ONE full-outer sort-merge join co-partitioned on the key,
+    with the fingerprint computed map-side under the scan and the
+    'unchanged' bulk (the overwhelming majority at 100 TB) filtered
+    before anything else sees it.  Both sides shuffle once on the join
+    key; on a bucketed/partitioned table both Exchanges disappear and
+    the diff is a zip of co-located partitions.  The output is the CDC
+    change set sink_merge_upsert applies — the two ops compose into
+    snapshot-replicate."""
+    orders = read_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+
+    def fp(prio):
+        return F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                prio,
+            )
+        )
+
+    old_v = orders.filter(k % 97 != 0).select(
+        "o_orderkey", fp(F.col("o_orderpriority")).alias("old_fp")
+    )
+    new_v = orders.filter(k % 89 != 0).select(
+        "o_orderkey",
+        fp(
+            F.when(k % 7 == 0, F.lit("1-URGENT")).otherwise(
+                F.col("o_orderpriority")
+            )
+        ).alias("new_fp"),
+    )
+    return (
+        old_v.join(new_v, "o_orderkey", "full_outer")
+        .filter(
+            F.col("old_fp").isNull()
+            | F.col("new_fp").isNull()
+            | (F.col("old_fp") != F.col("new_fp"))
+        )
+        .select(
+            "o_orderkey",
+            F.when(F.col("old_fp").isNull(), "added")
+            .when(F.col("new_fp").isNull(), "removed")
+            .otherwise("changed")
+            .alias("status"),
+            "old_fp",
+            "new_fp",
+        )
+    )
+
+
+@REG.query(
     "scd2_validity_windows",
     oracle="""
     SELECT user_id, event_type,

@@ -1349,6 +1349,263 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REG.query(
+    "text_surprisal_score",
+    oracle="""
+    WITH occ AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+    ),
+    freq AS (SELECT term, COUNT(*) AS f FROM occ GROUP BY term),
+    tot AS (SELECT CAST(SUM(f) AS BIGINT) AS n FROM freq),
+    bits AS (
+      SELECT term, LENGTH(BIN(n // f)) - 1 AS bits FROM freq, tot
+    )
+    SELECT o.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(b.bits) AS BIGINT) AS sum_bits,
+           CAST(SUM(b.bits) AS DOUBLE) / COUNT(*) AS mean_bits
+    FROM occ o JOIN bits b USING (term)
+    GROUP BY o.doc_id
+    """,
+)
+def text_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized unigram cross-entropy per document — the actual
+    perplexity-proxy ranking signal (CCNet-style LM filtering scores
+    documents by mean token log-probability under a corpus LM; here the
+    LM is the corpus's own unigram distribution).  A token's surprisal
+    is quantized to whole bits, floor(log2(N / f_t)), computed as
+    LENGTH(BIN(N DIV f_t)) - 1 — pure integer/string arithmetic that is
+    bit-identical on any engine, where a float ln() chain would diverge
+    in the last ulp between JVM and C libms (the reason
+    text_rarity_score stops at a rare-token ratio).  The per-doc mean
+    is one exact BIGINT sum divided once at the end.
+
+    High mean_bits = text dominated by corpus-rare tokens (OCR noise,
+    hash dumps); abnormally low = boilerplate loops.  Plan shape is
+    text_rarity_score's: one vocabulary shuffle builds the frequency
+    table, the 1-row total broadcast-crossjoins onto it, and the scored
+    vocabulary broadcasts back onto the occurrence stream, which then
+    reduces on doc_id — the occurrence side never reshuffles.  At
+    100 TB the broadcast becomes a persisted frequency table and the
+    same plan co-partitions on term."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    occ = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    freq = occ.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    tot = freq.agg(F.sum("f").alias("n"))
+    bits = freq.crossJoin(F.broadcast(tot)).select(
+        "term", (F.length(F.bin(F.expr("n DIV f"))) - 1).alias("bits")
+    )
+    return (
+        occ.join(F.broadcast(bits), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("bits").alias("sum_bits"),
+            (F.sum("bits").cast("double") / F.count(F.lit(1))).alias(
+                "mean_bits"
+            ),
+        )
+    )
+
+
+#: Number of BPE merge rounds mined by text_bpe_merges.  Real tokenizer
+#: training runs ~10^5 rounds over exactly this loop; the count here
+#: keeps the oracle's stacked-CTE form readable while exercising every
+#: data-dependent step (the merge chosen at round k rewrites the corpus
+#: round k+1 counts over).
+BPE_MERGES = 6
+
+
+def _bpe_oracle(k_rounds: int) -> str:
+    """Generate the stacked-CTE DuckDB twin of the BPE merge loop.
+
+    Each round is two CTEs: p{k} picks the most frequent adjacent
+    symbol pair (ties broken lexicographically), w{k+1} rewrites every
+    word's symbol list with that pair merged.  The rewrite uses the
+    same self-delimiting encoding as the Spark side: every symbol is
+    wrapped CHR(31)..CHR(30), so a plain left-to-right REPLACE of the
+    encoded pair is exactly BPE's greedy non-overlapping merge and can
+    never match across symbol boundaries (merging (a,b) cannot corrupt
+    a neighboring symbol 'bc').  COALESCE(.., CHR(2)) keeps REPLACE a
+    no-op when a round finds no pair (degenerate corpora), matching the
+    Spark loop's early break."""
+    enc = "ARRAY_TO_STRING(LIST_TRANSFORM(syms, s -> CHR(31)||s||CHR(30)), '')"
+    parts = [
+        """
+    WITH w0 AS (
+      SELECT REGEXP_SPLIT_TO_ARRAY(w, '') AS syms, COUNT(*) AS n
+      FROM (
+        SELECT REPLACE(REPLACE(w, CHR(31), ''), CHR(30), '') AS w
+        FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+      )
+      WHERE w <> '' GROUP BY 1
+    )"""
+    ]
+    for k in range(k_rounds):
+        parts.append(
+            f""",
+    p{k} AS (
+      SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM w{k}, UNNEST(RANGE(1, LEN(syms))) AS t(i)
+      GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    w{k + 1} AS (
+      SELECT LIST_TRANSFORM(LIST_FILTER(STRING_SPLIT(
+               REPLACE({enc},
+                 COALESCE((SELECT CHR(31)||a||CHR(30)||CHR(31)||b||CHR(30)
+                           FROM p{k}), CHR(2)),
+                 COALESCE((SELECT CHR(31)||a||b||CHR(30) FROM p{k}), '')),
+               CHR(30)), x -> x <> ''), x -> x[2:]) AS syms, n
+      FROM w{k}
+    )"""
+        )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {k + 1} AS r, a, b, cnt FROM p{k}" for k in range(k_rounds)
+    )
+    parts.append(
+        f"""
+    SELECT CAST(r AS INT) AS merge_rank, a AS lhs, b AS rhs,
+           a || b AS merged, cnt AS pair_count
+    FROM ({unions})
+    ORDER BY merge_rank"""
+    )
+    return "".join(parts)
+
+
+@REG.query("text_bpe_merges", oracle=_bpe_oracle(BPE_MERGES))
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge mining — the vocabulary-induction loop
+    every modern tokenizer (GPT-2 BPE, SentencePiece-BPE) trains with:
+    repeatedly find the most frequent adjacent symbol pair in the
+    corpus and fuse it into one symbol.  Returns the first BPE_MERGES
+    merges with their pair counts — the head of the merges.txt a
+    tokenizer build would emit.
+
+    Distributed shape: the loop runs at the WORD-FREQUENCY grain (the
+    classic trick — a corpus of trillions of tokens collapses to a
+    vocabulary-sized (word, count) relation, and every pair count is a
+    weighted agg over it).  Each round is one vocabulary shuffle for
+    the pair counts, a 1-row argmax to the driver (bounded driver
+    state, like graph_pagerank's rank round-trip), and a map-only
+    rewrite of the symbol arrays.  localCheckpoint truncates the
+    lineage so round k's plan does not replay rounds 0..k-1.
+
+    The rewrite encodes each word's symbols as CHR(31)sym CHR(30)
+    concatenated, then does a single literal REPLACE of the winning
+    pair: every symbol occurrence carries its own delimiters, so
+    left-to-right REPLACE is exactly BPE's greedy non-overlapping
+    merge and cannot match across symbol boundaries.  Identical
+    integer/string arithmetic on both engines — the oracle is the same
+    loop unrolled into stacked CTEs (_bpe_oracle)."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .select(
+            F.replace(
+                F.replace(F.col("w"), F.lit("\x1f"), F.lit("")),
+                F.lit("\x1e"),
+                F.lit(""),
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cur = words.select(F.split("w", "").alias("syms"), "n").localCheckpoint()
+    merges: list[tuple] = []
+    for k in range(BPE_MERGES):
+        top = (
+            cur.select(
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(syms, 1, size(syms)-1),"
+                        " slice(syms, 2, size(syms)-1),"
+                        " (x, y) -> struct(x AS a, y AS b))"
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+        merges.append((k + 1, a, b, a + b, cnt))
+        pat = F.lit("\x1f" + a + "\x1e\x1f" + b + "\x1e")
+        rep = F.lit("\x1f" + a + b + "\x1e")
+        enc = F.concat_ws(
+            "", F.expr("transform(syms, s -> concat(char(31), s, char(30)))")
+        )
+        cur = cur.select(
+            F.replace(enc, pat, rep).alias("e"), "n"
+        ).select(
+            F.expr(
+                "transform(filter(split(e, char(30)), x -> x != ''),"
+                " x -> substring(x, 2))"
+            ).alias("syms"),
+            "n",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, lhs string, rhs string, merged string,"
+        " pair_count bigint",
+    )
+
+
+@REG.query(
+    "text_adaptive_length_filter",
+    oracle="""
+    WITH bounds AS (
+      SELECT lang,
+             QUANTILE_CONT(n_chars, 0.05) AS lo,
+             QUANTILE_CONT(n_chars, 0.95) AS hi
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars, b.lo, b.hi,
+           d.n_chars >= b.lo AND d.n_chars <= b.hi AS keep
+    FROM documents d JOIN bounds b USING (lang)
+    """,
+)
+def text_adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-language length gate — fixed length cutoffs (the
+    Gopher-rule style) misfire on multilingual corpora because 100
+    characters of German and 100 of Chinese carry very different
+    content; the production fix is percentile bounds computed per
+    language from the corpus itself.  Keeps docs inside the [p5, p95]
+    n_chars band of THEIR language.
+
+    Exactness: linear-interpolated percentiles over integer n_chars —
+    Spark `percentile` and DuckDB QUANTILE_CONT share the definition
+    (the agg_percentiles discipline), and an integer compared against
+    the interpolated double cannot flip between engines unless the
+    bound is itself integral, where both are exact.
+
+    Plan: the per-lang bounds relation is |langs| rows — computed in
+    one partial-agged shuffle and broadcast back onto the corpus scan,
+    so the document side never reshuffles (the rarity-score shape).
+    At 100 TB the exact percentile becomes approx_percentile with the
+    same broadcast-back join; the gate itself is unchanged."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    bounds = docs.groupBy("lang").agg(
+        F.percentile("n_chars", 0.05).alias("lo"),
+        F.percentile("n_chars", 0.95).alias("hi"),
+    )
+    return docs.join(F.broadcast(bounds), "lang").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "lo",
+        "hi",
+        ((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi"))).alias(
+            "keep"
+        ),
+    )
+
+
 #: Overlapping-chunk geometry: window of 16 tokens advancing 8 — each
 #: token (except edges) appears in two windows, the standard training
 #: trick that keeps context at window boundaries learnable.
