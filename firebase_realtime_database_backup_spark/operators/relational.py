@@ -2125,7 +2125,7 @@ def sink_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the diff is a zip of co-located partitions.  The output is the CDC
     change set sink_merge_upsert applies — the two ops compose into
     snapshot-replicate."""
-    orders = read_table(spark, sf_dir, "orders")
+    orders = spread(read_table(spark, sf_dir, "orders"))
     k = F.col("o_orderkey")
 
     def fp(prio):
