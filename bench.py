@@ -75,6 +75,7 @@ HEADLINE = [
     "tpch_q2_min_cost_supplier",
     "events_item_cooccurrence",
     "sink_merge_upsert",
+    "sink_snapshot_diff",
     "quality_audit_constraints",
     "scd2_validity_windows",
     "sample_deterministic",
@@ -188,6 +189,9 @@ HEADLINE = [
     "sim_dim_stats",
     "text_source_blocklist",
     "text_rarity_score",
+    "text_surprisal_score",
+    "text_adaptive_length_filter",
+    "text_bpe_merges",
     "dedup_keep_best_quality",
     "pipeline_prepare_corpus_scaled",
     "multimodal_resize_pool",
