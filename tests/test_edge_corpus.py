@@ -230,3 +230,113 @@ def test_all_queries_survive_edge_corpus(spark, edge_dir):
         except Exception as exc:  # noqa: BLE001 — collecting all failures
             failures.append((name, str(exc).splitlines()[:1]))
     assert not failures, failures
+
+
+@pytest.fixture(scope="module")
+def bpe_dir(tmp_path_factory):
+    """Corpus crafted to stress exactly the BPE-merge subtleties the
+    self-delimiting encoding exists for:
+
+    - same-char runs of odd/even length ('aaaa', 'aaaaa'): greedy
+      left-to-right NON-OVERLAPPING pair counting and merging (naive
+      overlap counting or replace-continuation bugs change round 1);
+    - alternations ('ababab'): after (a,b) merges, round 2 must see
+      the NEW symbol 'ab' adjacent to itself, never a stale char pair;
+    - boundary bait ('abc' vs 'a bc'): once 'ab' is a symbol, a plain
+      un-delimited string replace of 'a b' inside encoded 'a bc'
+      would corrupt the symbol 'bc' — the CHR(31)/CHR(30) wrapping
+      must make that structurally impossible;
+    - CHR(31) inside a raw token: stripped identically everywhere.
+    """
+    d = str(tmp_path_factory.mktemp("bpe_corpus"))
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.001"
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet') LIMIT 0)"
+            f" TO '{os.path.join(d, t + '.parquet')}' (FORMAT PARQUET)"
+        )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM (VALUES
+            (CAST(1 AS BIGINT), 'aaaa aaaaa aa aaaa', 'en', 's0', CAST(18 AS BIGINT)),
+            (CAST(2 AS BIGINT), 'ababab abab ab', 'en', 's0', CAST(14 AS BIGINT)),
+            (CAST(3 AS BIGINT), 'abc a bc abc bc', 'en', 's0', CAST(15 AS BIGINT)),
+            (CAST(4 AS BIGINT), 'xaby xabz aab', 'en', 's0', CAST(13 AS BIGINT)),
+            (CAST(5 AS BIGINT), 'q' || CHR(31) || 'q qq', 'en', 's0', CAST(5 AS BIGINT))
+          ) t(doc_id, text, lang, source, n_chars)
+        ) TO '{os.path.join(d, "documents.parquet")}' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    return d
+
+
+def _ref_bpe(texts, k_rounds):
+    """Pure-Python reference BPE (the textbook algorithm, word-frequency
+    grain, greedy left-to-right non-overlapping merges, ties broken by
+    (count DESC, lhs ASC, rhs ASC))."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            w = w.replace("\x1f", "").replace("\x1e", "")
+            if w:
+                words[w] += 1
+    vocab = {tuple(w): n for w, n in words.items()}
+    merges = []
+    for _ in range(k_rounds):
+        pairs = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((a, b, cnt))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_match_reference_and_oracle(spark, bpe_dir):
+    """text_bpe_merges must reproduce the textbook BPE merge sequence
+    on the adversarial corpus (overlap runs, alternations, boundary
+    bait) AND stay hash-exact against its stacked-CTE DuckDB oracle."""
+    import __spark_entry__ as e
+
+    from firebase_realtime_database_backup_spark.operators.text import BPE_MERGES
+
+    con = verify.duckdb_connection(bpe_dir)
+    r = verify.compare_query(
+        spark, con, "text_bpe_merges",
+        e.queries()["text_bpe_merges"],
+        e.oracle_sql()["text_bpe_merges"], bpe_dir,
+    )
+    assert r.ok, r.details
+
+    texts = [row.text for row in
+             spark.read.parquet(os.path.join(bpe_dir, "documents.parquet"))
+             .collect()]
+    expected = _ref_bpe(texts, BPE_MERGES)
+    got = [
+        (row.lhs, row.rhs, row.pair_count)
+        for row in e.queries()["text_bpe_merges"](spark, bpe_dir)
+        .orderBy("merge_rank").collect()
+    ]
+    assert got == expected, (got, expected)
