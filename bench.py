@@ -192,6 +192,8 @@ HEADLINE = [
     "text_surprisal_score",
     "text_adaptive_length_filter",
     "text_bpe_merges",
+    "text_bpe_encode",
+    "sim_dim_truncation_recall",
     "dedup_keep_best_quality",
     "pipeline_prepare_corpus_scaled",
     "multimodal_resize_pool",

@@ -1290,3 +1290,114 @@ def sim_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _ivfpq_search(spark, sf_dir, codes, cents, codebooks, n_corpus)
+
+
+#: Truncation tiers audited by sim_dim_truncation_recall.  The last
+#: entry must be the full dimensionality (the recall baseline).
+TRUNC_DIMS = (8, 16, 32, 64)
+
+
+@REG.query(
+    "sim_dim_truncation_recall",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+    ),
+    tiers AS (SELECT UNNEST({list(TRUNC_DIMS)}) AS d),
+    scored AS (
+      SELECT t.d, q.q_id, c.c_id,
+             LIST_DOT_PRODUCT(q.qe[1:t.d], c.ce[1:t.d])
+               / (SQRT(LIST_DOT_PRODUCT(q.qe[1:t.d], q.qe[1:t.d]))
+                  * SQRT(LIST_DOT_PRODUCT(c.ce[1:t.d], c.ce[1:t.d]))) AS cosine
+      FROM q, c, tiers t
+      WHERE q.q_id <> c.c_id
+    ),
+    topk AS (
+      SELECT d, q_id, c_id FROM (
+        SELECT d, q_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY d, q_id
+                                  ORDER BY cosine DESC, c_id) AS rk
+        FROM scored
+      ) WHERE rk <= {TOP_K}
+    ),
+    base AS (SELECT q_id, c_id FROM topk WHERE d = {TRUNC_DIMS[-1]})
+    SELECT CAST(t.d AS INT) AS d, t.q_id,
+           CAST(SUM(CASE WHEN b.c_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           CAST(SUM(CASE WHEN b.c_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / {TOP_K} AS recall
+    FROM topk t LEFT JOIN base b
+      ON t.q_id = b.q_id AND t.c_id = b.c_id
+    WHERE t.d < {TRUNC_DIMS[-1]}
+    GROUP BY t.d, t.q_id
+    """,
+)
+def sim_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation audit: recall@k of exact
+    cosine top-k computed on the first d dimensions against the
+    full-dimension baseline, for d in TRUNC_DIMS.  This is the query
+    run BEFORE shrinking an embedding index — it measures, per query,
+    how much of the true neighborhood survives storing/searching only
+    a prefix of each vector (MRL-trained embeddings are front-loaded;
+    the audit quantifies whether YOURS are).
+
+    One corpus scan scores every tier: the pair relation is built once
+    (corpus x broadcast queries, the sim_cosine_topk shape), the tier
+    axis is a 4-row explode on top of it, and each tier's top-k is the
+    same per-(d, q_id) window.  The truncated tiers then left-join the
+    d=64 baseline on (q_id, c_id) — a TOP_K-sized relation per query —
+    so the expensive side is exactly one pass over the corpus
+    regardless of how many tiers are audited.  At 100 TB the slice-dot
+    is free relative to the scan (prefix reads of the same column) and
+    the audit parallelizes per (tier, query) partition."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = _query_side(emb).select("q_id", "qe")
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").cast("array<double>").alias("ce"),
+    )
+    d = F.col("d")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.explode(F.array(*[F.lit(t) for t in TRUNC_DIMS])).alias("d"),
+            "q_id",
+            "c_id",
+            "qe",
+            "ce",
+        )
+        .select(
+            "d",
+            "q_id",
+            "c_id",
+            _cosine(F.slice(F.col("qe"), F.lit(1), d),
+                    F.slice(F.col("ce"), F.lit(1), d)).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("d", "q_id").orderBy(F.desc("cosine"), F.col("c_id"))
+    topk = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("d", "q_id", "c_id")
+    )
+    base = (
+        topk.filter(F.col("d") == TRUNC_DIMS[-1])
+        .select("q_id", "c_id", F.lit(1).alias("hit"))
+    )
+    return (
+        topk.filter(F.col("d") < TRUNC_DIMS[-1])
+        .join(F.broadcast(base), ["q_id", "c_id"], "left")
+        .groupBy(F.col("d").cast("int").alias("d"), "q_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_overlap"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / TOP_K
+            ).alias("recall"),
+        )
+    )

@@ -1416,8 +1416,10 @@ def text_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 6
 
 
-def _bpe_oracle(k_rounds: int) -> str:
-    """Generate the stacked-CTE DuckDB twin of the BPE merge loop.
+def _bpe_cte_chain(k_rounds: int) -> str:
+    """Generate the stacked-CTE DuckDB twin of the BPE merge loop
+    (shared by text_bpe_merges and text_bpe_encode — the final SELECT
+    differs, the chain must not).
 
     Each round is two CTEs: p{k} picks the most frequent adjacent
     symbol pair (ties broken lexicographically), w{k+1} rewrites every
@@ -1428,17 +1430,18 @@ def _bpe_oracle(k_rounds: int) -> str:
     never match across symbol boundaries (merging (a,b) cannot corrupt
     a neighboring symbol 'bc').  COALESCE(.., CHR(2)) keeps REPLACE a
     no-op when a round finds no pair (degenerate corpora), matching the
-    Spark loop's early break."""
+    Spark loop's early break.  Every w{k} carries the original word so
+    the encode query can join the final symbol table back onto docs."""
     enc = "ARRAY_TO_STRING(LIST_TRANSFORM(syms, s -> CHR(31)||s||CHR(30)), '')"
     parts = [
         """
     WITH w0 AS (
-      SELECT REGEXP_SPLIT_TO_ARRAY(w, '') AS syms, COUNT(*) AS n
+      SELECT w, REGEXP_SPLIT_TO_ARRAY(w, '') AS syms, COUNT(*) AS n
       FROM (
         SELECT REPLACE(REPLACE(w, CHR(31), ''), CHR(30), '') AS w
         FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
       )
-      WHERE w <> '' GROUP BY 1
+      WHERE w <> '' GROUP BY w
     )"""
     ]
     for k in range(k_rounds):
@@ -1450,7 +1453,7 @@ def _bpe_oracle(k_rounds: int) -> str:
       GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1
     ),
     w{k + 1} AS (
-      SELECT LIST_TRANSFORM(LIST_FILTER(STRING_SPLIT(
+      SELECT w, LIST_TRANSFORM(LIST_FILTER(STRING_SPLIT(
                REPLACE({enc},
                  COALESCE((SELECT CHR(31)||a||CHR(30)||CHR(31)||b||CHR(30)
                            FROM p{k}), CHR(2)),
@@ -1459,44 +1462,48 @@ def _bpe_oracle(k_rounds: int) -> str:
       FROM w{k}
     )"""
         )
+    return "".join(parts)
+
+
+def _bpe_merges_oracle(k_rounds: int) -> str:
     unions = "\n      UNION ALL ".join(
         f"SELECT {k + 1} AS r, a, b, cnt FROM p{k}" for k in range(k_rounds)
     )
-    parts.append(
-        f"""
+    return (
+        _bpe_cte_chain(k_rounds)
+        + f"""
     SELECT CAST(r AS INT) AS merge_rank, a AS lhs, b AS rhs,
            a || b AS merged, cnt AS pair_count
     FROM ({unions})
     ORDER BY merge_rank"""
     )
-    return "".join(parts)
 
 
-@REG.query("text_bpe_merges", oracle=_bpe_oracle(BPE_MERGES))
-def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-pair-encoding merge mining — the vocabulary-induction loop
-    every modern tokenizer (GPT-2 BPE, SentencePiece-BPE) trains with:
-    repeatedly find the most frequent adjacent symbol pair in the
-    corpus and fuse it into one symbol.  Returns the first BPE_MERGES
-    merges with their pair counts — the head of the merges.txt a
-    tokenizer build would emit.
+def _bpe_encode_oracle(k_rounds: int) -> str:
+    return (
+        _bpe_cte_chain(k_rounds)
+        + f""",
+    doc_words AS (
+      SELECT doc_id, REPLACE(REPLACE(w, CHR(31), ''), CHR(30), '') AS w
+      FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+            FROM documents)
+    )
+    SELECT d.doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(LENGTH(d.w)) AS BIGINT) AS n_chars,
+           CAST(SUM(LEN(f.syms)) AS BIGINT) AS n_symbols,
+           CAST(SUM(LEN(f.syms)) AS DOUBLE)
+             / CAST(SUM(LENGTH(d.w)) AS BIGINT) AS compression
+    FROM doc_words d JOIN w{k_rounds} f USING (w)
+    WHERE d.w <> ''
+    GROUP BY d.doc_id"""
+    )
 
-    Distributed shape: the loop runs at the WORD-FREQUENCY grain (the
-    classic trick — a corpus of trillions of tokens collapses to a
-    vocabulary-sized (word, count) relation, and every pair count is a
-    weighted agg over it).  Each round is one vocabulary shuffle for
-    the pair counts, a 1-row argmax to the driver (bounded driver
-    state, like graph_pagerank's rank round-trip), and a map-only
-    rewrite of the symbol arrays.  localCheckpoint truncates the
-    lineage so round k's plan does not replay rounds 0..k-1.
 
-    The rewrite encodes each word's symbols as CHR(31)sym CHR(30)
-    concatenated, then does a single literal REPLACE of the winning
-    pair: every symbol occurrence carries its own delimiters, so
-    left-to-right REPLACE is exactly BPE's greedy non-overlapping
-    merge and cannot match across symbol boundaries.  Identical
-    integer/string arithmetic on both engines — the oracle is the same
-    loop unrolled into stacked CTEs (_bpe_oracle)."""
+def _bpe_loop(spark: SparkSession, sf_dir: str, k_rounds: int):
+    """Run the distributed BPE merge loop; returns (final word->symbols
+    relation carrying (w, syms, n), merges list).  Shared by the mining
+    and encoding queries so both see the identical merge sequence."""
     docs = spread(read_table(spark, sf_dir, "documents"))
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
@@ -1511,9 +1518,11 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    cur = words.select(F.split("w", "").alias("syms"), "n").localCheckpoint()
+    cur = words.select(
+        "w", F.split("w", "").alias("syms"), "n"
+    ).localCheckpoint()
     merges: list[tuple] = []
-    for k in range(BPE_MERGES):
+    for k in range(k_rounds):
         top = (
             cur.select(
                 F.explode(
@@ -1541,18 +1550,93 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "", F.expr("transform(syms, s -> concat(char(31), s, char(30)))")
         )
         cur = cur.select(
-            F.replace(enc, pat, rep).alias("e"), "n"
+            "w", F.replace(enc, pat, rep).alias("e"), "n"
         ).select(
+            "w",
             F.expr(
                 "transform(filter(split(e, char(30)), x -> x != ''),"
                 " x -> substring(x, 2))"
             ).alias("syms"),
             "n",
         ).localCheckpoint()
+    return cur, merges
+
+
+@REG.query("text_bpe_merges", oracle=_bpe_merges_oracle(BPE_MERGES))
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge mining — the vocabulary-induction loop
+    every modern tokenizer (GPT-2 BPE, SentencePiece-BPE) trains with:
+    repeatedly find the most frequent adjacent symbol pair in the
+    corpus and fuse it into one symbol.  Returns the first BPE_MERGES
+    merges with their pair counts — the head of the merges.txt a
+    tokenizer build would emit.
+
+    Distributed shape: the loop runs at the WORD-FREQUENCY grain (the
+    classic trick — a corpus of trillions of tokens collapses to a
+    vocabulary-sized (word, count) relation, and every pair count is a
+    weighted agg over it).  Each round is one vocabulary shuffle for
+    the pair counts, a 1-row argmax to the driver (bounded driver
+    state, like graph_pagerank's rank round-trip), and a map-only
+    rewrite of the symbol arrays.  localCheckpoint truncates the
+    lineage so round k's plan does not replay rounds 0..k-1.
+
+    The rewrite encodes each word's symbols as CHR(31)sym CHR(30)
+    concatenated, then does a single literal REPLACE of the winning
+    pair: every symbol occurrence carries its own delimiters, so
+    left-to-right REPLACE is exactly BPE's greedy non-overlapping
+    merge and cannot match across symbol boundaries.  Identical
+    integer/string arithmetic on both engines — the oracle is the same
+    loop unrolled into stacked CTEs (_bpe_merges_oracle)."""
+    _, merges = _bpe_loop(spark, sf_dir, BPE_MERGES)
     return spark.createDataFrame(
         merges,
         "merge_rank int, lhs string, rhs string, merged string,"
         " pair_count bigint",
+    )
+
+
+@REG.query("text_bpe_encode", oracle=_bpe_encode_oracle(BPE_MERGES))
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the mined BPE merges back to the corpus — the tokenizer
+    APPLY step — and report per-document compression: words, input
+    characters, output BPE symbols, and symbols-per-character.  This is
+    the audit a tokenizer build runs to see what its merge table buys
+    (and the per-doc token counts a budget-aware packing stage needs).
+
+    The merge loop itself runs once at the word-frequency grain
+    (_bpe_loop — shared with text_bpe_merges so both queries see the
+    identical merge sequence); the final (word -> symbols) table is
+    vocabulary-sized and broadcasts onto the corpus's token stream,
+    which reduces on doc_id without ever reshuffling — the same
+    broadcast-back shape as text_rarity_score.  At 100 TB the merge
+    table is trained once and persisted; applying it stays one
+    map-side join per corpus pass."""
+    final_vocab, _ = _bpe_loop(spark, sf_dir, BPE_MERGES)
+    enc_map = final_vocab.select("w", F.size("syms").alias("n_syms"))
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    doc_words = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .select(
+            "doc_id",
+            F.replace(
+                F.replace(F.col("w"), F.lit("\x1f"), F.lit("")),
+                F.lit("\x1e"),
+                F.lit(""),
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    return (
+        doc_words.join(F.broadcast(enc_map), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).alias("n_chars"),
+            F.sum("n_syms").alias("n_symbols"),
+            (
+                F.sum("n_syms").cast("double") / F.sum(F.length("w"))
+            ).alias("compression"),
+        )
     )
 
 
