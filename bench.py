@@ -74,6 +74,7 @@ HEADLINE = [
     "tpch_q22_idle_customers",
     "tpch_q2_min_cost_supplier",
     "events_item_cooccurrence",
+    "graph_triangle_count",
     "sink_merge_upsert",
     "sink_snapshot_diff",
     "quality_audit_constraints",

@@ -3215,6 +3215,166 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shared item-graph edge list (the events_item_cooccurrence output
+#: shape) as a DuckDB CTE body — graph oracles compose it.
+_ITEM_EDGES_SQL = f"""
+      SELECT a.item AS src, b.item AS dst
+      FROM (
+        SELECT user_id, item FROM (
+          SELECT user_id, item,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY item) AS rk
+          FROM (
+            SELECT DISTINCT user_id,
+                   TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)
+                     AS item
+            FROM events
+            WHERE TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)
+                  IS NOT NULL
+          )
+        ) WHERE rk <= {COOC_USER_CAP}
+      ) a JOIN (
+        SELECT user_id, item FROM (
+          SELECT user_id, item,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY item) AS rk
+          FROM (
+            SELECT DISTINCT user_id,
+                   TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)
+                     AS item
+            FROM events
+            WHERE TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)
+                  IS NOT NULL
+          )
+        ) WHERE rk <= {COOC_USER_CAP}
+      ) b
+        ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING COUNT(*) >= 2
+"""
+
+
+@REG.query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH e AS ({_ITEM_EDGES_SQL}),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+      ) GROUP BY node
+    ),
+    oriented AS (
+      SELECT CASE WHEN (ds.d < dd.d) OR (ds.d = dd.d AND e.src < e.dst)
+                  THEN e.src ELSE e.dst END AS u,
+             CASE WHEN (ds.d < dd.d) OR (ds.d = dd.d AND e.src < e.dst)
+                  THEN e.dst ELSE e.src END AS v,
+             CASE WHEN (ds.d < dd.d) OR (ds.d = dd.d AND e.src < e.dst)
+                  THEN dd.d ELSE ds.d END AS v_d
+      FROM e JOIN deg ds ON e.src = ds.node
+             JOIN deg dd ON e.dst = dd.node
+    ),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM oriented e1
+      JOIN oriented e2 ON e1.u = e2.u
+        AND ((e1.v_d < e2.v_d) OR (e1.v_d = e2.v_d AND e1.v < e2.v))
+      JOIN oriented e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+             (SELECT COUNT(*) FROM e) AS n_edges,
+             (SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) FROM deg)
+               AS n_wedges,
+             (SELECT t FROM tri) AS n_triangles
+    )
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CAST(3 * n_triangles AS DOUBLE) / n_wedges
+             AS global_clustering
+    FROM stats
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the item
+    co-occurrence graph, via DEGREE-ORIENTED wedge join — the standard
+    distributed triangle algorithm (Cohen's MapReduce form; Suri &
+    Vassilvitskii's "last reducer" fix).
+
+    Why orientation is the whole story at 100 TB: counting wedges from
+    raw undirected edges joins the full adjacency on the shared node,
+    and the hottest node (degree h) emits h^2 intermediate rows — a
+    social-scale graph has h ~ 10^7, which is a 10^14-row wedge
+    relation from ONE node.  Orienting every edge from its
+    (degree, id)-smaller endpoint to the larger makes every node's
+    out-degree O(sqrt(m)), so the same wedge join is bounded by
+    m·sqrt(m) TOTAL regardless of skew — the orientation is to graphs
+    what salting is to joins.  Each triangle is then counted exactly
+    once (at its lowest-(degree, id) corner).
+
+    Plan: degrees are one agg over the edge endpoints; the wedge join
+    shuffles oriented edges once on the source; the closing-edge probe
+    is an equi-join on (v, w).  The ratio 3T/W (each triangle closes 3
+    of the W wedges) is the one float division, computed once."""
+    pairs = events_item_cooccurrence(spark, sf_dir).select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    )
+    deg = (
+        pairs.select(F.col("src").alias("node"))
+        .unionByName(pairs.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        pairs.join(deg.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("d", "src_d")
+        .join(
+            deg.withColumnRenamed("node", "dst").withColumnRenamed(
+                "d", "dst_d"
+            ),
+            "dst",
+        )
+    )
+    fwd = (F.col("src_d") < F.col("dst_d")) | (
+        (F.col("src_d") == F.col("dst_d")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = e.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(fwd, F.col("dst_d")).otherwise(F.col("src_d")).alias("v_d"),
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    e3 = oriented.alias("e3")
+    wedge_lt = (F.col("e1.v_d") < F.col("e2.v_d")) | (
+        (F.col("e1.v_d") == F.col("e2.v_d")) & (F.col("e1.v") < F.col("e2.v"))
+    )
+    tri = (
+        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & wedge_lt)
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    wedges = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("(d * (d - 1)) DIV 2")).alias("n_wedges"),
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        wedges.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            F.col("t").alias("n_triangles"),
+            F.try_divide((3 * F.col("t")).cast("double"), F.col("n_wedges")).alias(
+                "global_clustering"
+            ),
+        )
+    )
+
+
 @REG.query(
     "join_asof_forward",
     oracle="""
