@@ -75,6 +75,7 @@ HEADLINE = [
     "tpch_q2_min_cost_supplier",
     "events_item_cooccurrence",
     "graph_triangle_count",
+    "events_forecast_backtest",
     "sink_merge_upsert",
     "sink_snapshot_diff",
     "quality_audit_constraints",

@@ -2894,6 +2894,72 @@ def quality_column_profile_scaled(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @REG.query(
+    "events_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n_days,
+           CAST(SUM(ABS(d.n - l7.n)) AS BIGINT) AS sae_7d,
+           CAST(SUM(ABS(d.n - l1.n)) AS BIGINT) AS sae_1d,
+           CAST(SUM(ABS(d.n - l7.n)) AS DOUBLE) / COUNT(*) AS mae_7d,
+           CAST(SUM(ABS(d.n - l1.n)) AS DOUBLE) / COUNT(*) AS mae_1d
+    FROM daily d
+    JOIN daily l7 ON l7.event_type = d.event_type
+                 AND l7.day = d.day - 7
+    JOIN daily l1 ON l1.event_type = d.event_type
+                 AND l1.day = d.day - 1
+    GROUP BY d.event_type
+    """,
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — before anyone ships a traffic
+    forecast, this is the baseline it must beat: predict each day's
+    per-type event count with (a) the count 7 days earlier and (b) the
+    count 1 day earlier, and report the mean absolute error of both
+    over every day where both references exist (same day set, so the
+    comparison is fair).  mae_7d << mae_1d is the measurable signature
+    of weekly seasonality (the events_seasonality_profile grain put to
+    work); integer counts make the SAE sums exact and the MAE a single
+    division.
+
+    Plan: events reduce ONCE to the (type, day) grain — everything
+    after runs on ~types x days rows.  The two lag references are
+    equi-joins on (type, day-k) arithmetic, not LAG windows: calendar
+    gaps must exclude a day from the backtest, while LAG(n, k) would
+    silently compare against the k-th previous OBSERVED day — a wrong
+    number precisely when traffic dropped out, the case a forecast
+    audit exists to catch."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    d = daily.alias("d")
+    l7 = daily.alias("l7")
+    l1 = daily.alias("l1")
+    joined = d.join(
+        l7,
+        (F.col("l7.event_type") == F.col("d.event_type"))
+        & (F.col("l7.day") == F.date_sub(F.col("d.day"), 7)),
+    ).join(
+        l1,
+        (F.col("l1.event_type") == F.col("d.event_type"))
+        & (F.col("l1.day") == F.date_sub(F.col("d.day"), 1)),
+    )
+    sae7 = F.sum(F.abs(F.col("d.n") - F.col("l7.n")))
+    sae1 = F.sum(F.abs(F.col("d.n") - F.col("l1.n")))
+    return joined.groupBy(F.col("d.event_type").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        sae7.alias("sae_7d"),
+        sae1.alias("sae_1d"),
+        (sae7.cast("double") / F.count(F.lit(1))).alias("mae_7d"),
+        (sae1.cast("double") / F.count(F.lit(1))).alias("mae_1d"),
+    )
+
+
+@REG.query(
     "events_anomaly_mad",
     oracle=f"""
     WITH daily AS (
