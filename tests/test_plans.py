@@ -311,6 +311,10 @@ BNL_DESIGNED = {
     # algorithm (same shape as sim_ivf_topk's centroid assign).
     "dedup_semantic_kmeans",
     "dedup_semantic_kmeans_scaled",
+    # sim_cosine_topk's corpus x broadcast-queries shape: the pair BNL
+    # appears once per tier branch (baseline + truncated — disjoint
+    # d-subsets after filter pushdown, one pass of work total).
+    "sim_dim_truncation_recall",
 }
 # 1-row broadcast probes (scalar-subquery shape): the broadcast bloom
 # bitmap, the min-language-count target, winsorize-style global bounds,
@@ -340,6 +344,11 @@ BNL_ONE_ROW_PROBES = {
     # the quality_drift_chi2 shape: the 1-row (n_uni, n_big) totals row
     # is itself a 1-row x 1-row cross join, then attaches to the pairs
     "text_bigram_collocations": 2,
+    # 1-row corpus-token-total row under the per-term surprisal table
+    "text_surprisal_score": 1,
+    # (nodes, wedges) x (edges) x (triangles): two 1-row x 1-row cross
+    # joins assembling the single stats row
+    "graph_triangle_count": 2,
 }
 BNL_ALLOWED = BNL_DESIGNED | set(BNL_ONE_ROW_PROBES)
 
