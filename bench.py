@@ -76,6 +76,7 @@ HEADLINE = [
     "events_item_cooccurrence",
     "graph_triangle_count",
     "events_forecast_backtest",
+    "events_audience_overlap",
     "sink_merge_upsert",
     "sink_snapshot_diff",
     "quality_audit_constraints",
@@ -196,6 +197,7 @@ HEADLINE = [
     "text_bpe_merges",
     "text_bpe_encode",
     "sim_dim_truncation_recall",
+    "sim_centroid_drift",
     "dedup_keep_best_quality",
     "pipeline_prepare_corpus_scaled",
     "multimodal_resize_pool",

@@ -2894,6 +2894,85 @@ def quality_column_profile_scaled(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @REG.query(
+    "events_audience_overlap",
+    oracle="""
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (
+      SELECT event_type, COUNT(*) AS n FROM tu GROUP BY event_type
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b,
+           CAST(i.n_both AS BIGINT) AS n_both,
+           CAST(i.n_both AS DOUBLE) / (sa.n + sb.n - i.n_both) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: pairwise Jaccard similarity of the user
+    sets behind every pair of event types — the measurement behind "do
+    purchasers also file errors", feature-bundling decisions, and
+    channel-cannibalization analyses.  Exact integer set sizes; the
+    one float division is the Jaccard ratio itself.
+
+    Plan: events reduce once to the DISTINCT (type, user) relation;
+    the pair intersection is a self-join on user_id whose per-user
+    fan-out is bounded by the TYPE universe (|types|^2 rows max per
+    user — structurally capped, unlike item co-occurrence where a cap
+    must be imposed), and set sizes join back as a |types|-row
+    broadcast.  At 100 TB with a large type universe the per-user
+    explosion cap (events_item_cooccurrence's COOC_USER_CAP) and the
+    HLL sketch form (agg_hll_union_rollup) are the documented swaps."""
+    ev = read_table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = tu.alias("a")
+    b = tu.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("event_type", "type_a")),
+            "type_a",
+        )
+        .withColumnRenamed("n", "n_a")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("event_type", "type_b")),
+            "type_b",
+        )
+        .withColumnRenamed("n", "n_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@REG.query(
     "events_forecast_backtest",
     oracle="""
     WITH daily AS (

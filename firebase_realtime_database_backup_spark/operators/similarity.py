@@ -1404,3 +1404,96 @@ def sim_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(hit).cast("double") / TOP_K).alias("recall"),
         )
     )
+
+
+def _centroid_drift_oracle() -> str:
+    from firebase_realtime_database_backup_spark.operators.relational import oround
+
+    avg = oround("AVG(CAST(embedding[r.dim + 1] AS DOUBLE))", 6)
+    return f"""
+    WITH cent AS (
+      SELECT label, vec_id % 2 AS h, r.dim AS dim,
+             {avg} AS c, COUNT(*) AS n
+      FROM embeddings, (SELECT UNNEST(RANGE(0, {DIM})) AS dim) r
+      GROUP BY label, vec_id % 2, r.dim
+    ),
+    paired AS (
+      SELECT a.label, a.dim, a.c AS ca, b.c AS cb, a.n AS n_a, b.n AS n_b
+      FROM cent a JOIN cent b
+        ON a.label = b.label AND a.dim = b.dim AND a.h = 0 AND b.h = 1
+    ),
+    vecs AS (
+      SELECT label, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+             LIST(ca ORDER BY dim) AS va, LIST(cb ORDER BY dim) AS vb
+      FROM paired GROUP BY label
+    )
+    SELECT label, n_a, n_b,
+           LIST_DOT_PRODUCT(va, vb)
+             / (SQRT(LIST_DOT_PRODUCT(va, va))
+                * SQRT(LIST_DOT_PRODUCT(vb, vb))) AS drift_cosine
+    FROM vecs
+    """
+
+
+@REG.query("sim_centroid_drift", oracle=_centroid_drift_oracle())
+def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per-label centroid of one corpus half
+    (even vec_id) vs the other (odd) — cosine near 1.0 means the two
+    populations agree on where the label lives; a label whose halves
+    diverge is the first symptom of a changed embedding model, a
+    poisoned batch, or label noise.  In production the halves are
+    "yesterday's corpus" and "today's batch"; the deterministic
+    vec_id parity split makes the oracle self-contained.
+
+    Exactness: per-(label, half, dim) means are rounded to 6 decimals
+    (the sim_label_centroids canon), and the cosine over the ROUNDED
+    centroid vectors folds in ascending dim order on both engines
+    (sorted collect + left fold ↔ LIST(.. ORDER BY dim) +
+    LIST_DOT_PRODUCT) — the float pipeline is order-pinned end to end.
+
+    Plan: one posexplode + partial-agged shuffle to the (label, half,
+    dim) grain — labels x 2 x DIM rows regardless of corpus size —
+    then everything downstream (pairing, fold, ratio) runs on that
+    reduced relation.  The drift report at 100 TB costs exactly one
+    pass over the embeddings."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2).alias("h"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    )
+    cent = emb.groupBy("label", "h", "dim").agg(
+        F.round(F.avg("v"), 6).alias("c"), F.count(F.lit(1)).alias("n")
+    )
+    a = cent.filter(F.col("h") == 0).select(
+        "label", "dim", F.col("c").alias("ca"), F.col("n").alias("n_a")
+    )
+    b = cent.filter(F.col("h") == 1).select(
+        "label", "dim", F.col("c").alias("cb"), F.col("n").alias("n_b")
+    )
+    vecs = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.expr(
+                "transform(sort_array(collect_list(struct(dim, ca))),"
+                " s -> s.ca)"
+            ).alias("va"),
+            F.expr(
+                "transform(sort_array(collect_list(struct(dim, cb))),"
+                " s -> s.cb)"
+            ).alias("vb"),
+        )
+    )
+    return vecs.select(
+        "label",
+        "n_a",
+        "n_b",
+        F.try_divide(
+            _dot(F.col("va"), F.col("vb")),
+            _norm(F.col("va")) * _norm(F.col("vb")),
+        ).alias("drift_cosine"),
+    )

@@ -139,13 +139,36 @@ DRIVER_PASSED = frozenset({
 })
 
 
+# The 29 oracle-backed queries that existed before round 4 but were
+# never inside a driver attestation window (the round-3 verdict's
+# "What's missing" list).  More never-attested names exist than the
+# driver's ~50-slot window holds, so these float to the VERY front:
+# attesting them completes driver-proven coverage of the whole
+# r1-r3 surface, while round-4 additions that overflow the window
+# simply attest next round.
+ATTEST_BACKLOG = frozenset({
+    "agg_countmin_sketch", "agg_heavy_hitters", "agg_mode_per_group",
+    "agg_regression_exact", "agg_string_agg", "events_anomaly_mad",
+    "events_attribution_linear", "events_moving_median",
+    "events_rfm_scaled", "events_sliding_distinct",
+    "events_top_sequences", "join_asof_forward", "join_asof_nearest",
+    "join_bloom_prefilter", "join_shuffle_hash_hint", "layout_zorder",
+    "quality_benford", "quality_column_profile", "quality_drift_chi2",
+    "quality_referential_integrity", "quality_skew_report",
+    "sample_stratified_topk", "stream_daily_active",
+    "stream_stateful_user_totals", "stream_stream_join",
+    "stream_window_session", "stream_window_sliding",
+    "stream_window_tumbling", "window_streaks",
+})
+
+
 # Registration order is driver-visible: the correctness loop walks
 # ``queries()`` in insertion order and may cap how many it attests per
 # round (rounds 1 and 2 each stopped at the first 50).
-# ``build_registry`` therefore orders: (1) oracle-backed queries the
-# driver has never passed — including the round-2 FAIL/ERR fixes, so a
-# capped window both proves new names and re-proves the fixes; then
-# (2) oracle-backed queries already in DRIVER_PASSED; then (3)
+# ``build_registry`` therefore orders: (1) the never-attested backlog
+# (ATTEST_BACKLOG minus any future passes); (2) other oracle-backed
+# queries the driver has never passed (round-4 additions); then
+# (3) oracle-backed queries already in DRIVER_PASSED; then (4)
 # rows-only queries, which only get the weaker row-count check.
 QUERY_MODULES = (
     "firebase_realtime_database_backup_spark.operators.tpch",
@@ -185,10 +208,12 @@ def build_registry(warn=None) -> "Registry":
 
     def tier(name: str) -> int:
         if name not in merged.oracles:
+            return 3
+        if name in DRIVER_PASSED:
             return 2
-        return 1 if name in DRIVER_PASSED else 0
+        return 0 if name in ATTEST_BACKLOG else 1
 
-    for t in (0, 1, 2):
+    for t in (0, 1, 2, 3):
         for name, fn in merged.queries.items():
             if tier(name) == t:
                 reg.queries[name] = fn
