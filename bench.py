@@ -196,6 +196,7 @@ HEADLINE = [
     "text_adaptive_length_filter",
     "text_bpe_merges",
     "text_bpe_encode",
+    "mix_token_budget_select",
     "sim_dim_truncation_recall",
     "sim_centroid_drift",
     "dedup_keep_best_quality",

@@ -877,6 +877,142 @@ def mix_temperature_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Coarse quality buckets for the two-level budget cumsum.  64 is the
+#: quality formula's length-saturation knee; any monotone bucketing of
+#: the selection key works (finer buckets shrink the boundary slice).
+BUDGET_QBUCKETS = 64
+
+#: Session-scoped narrow (doc_id, source, n_tokens, quality, qb)
+#: relation for the token-budget selector, keyed (applicationId,
+#: sf_dir) — the same multi-consumer reuse contract as dedup's
+#: _BAND_INDEX_CACHE.  The selector's stats pass, full-bucket keep,
+#: and boundary slice all consume this relation; without the cache
+#: each subtree re-tokenizes the corpus (predicate pushdown splits
+#: any shared Exchange, measured 3x the scan cost at 20x).
+_BUDGET_FEATS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+@REG.query(
+    "mix_token_budget_select",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id, source,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+             LEAST(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) / 64.0, 1.0) * 0.4
+               + (CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                  / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE)) * 0.4
+               + (1.0 - CAST(LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+                    ['the', 'a', 'of', 'and', 'to'])) AS DOUBLE)
+                      / CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE))
+                 * 0.2 AS quality
+      FROM documents
+    ),
+    tot AS (
+      SELECT CAST(FLOOR(SUM(n_tokens) / 2.0) AS BIGINT) AS budget FROM feats
+    ),
+    ranked AS (
+      SELECT f.*,
+             CAST(SUM(n_tokens)
+                  OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS cum
+      FROM feats f
+    )
+    SELECT r.doc_id, r.source, r.n_tokens, r.quality
+    FROM ranked r, tot t
+    WHERE r.cum <= t.budget
+    """,
+)
+def mix_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data selection: keep the highest-quality documents
+    whose running token count fits a budget (here half the corpus) —
+    the quality-greedy knapsack every "train on the best N tokens"
+    recipe runs, with the text_quality_score formula as the ranking
+    key and the maximal prefix of the (quality DESC, doc_id) order as
+    the exact semantics.
+
+    The oracle states it as one global window cumsum; the Spark plan
+    NEVER globally sorts the corpus.  Two-level cumsum instead:
+    (1) docs map to a coarse quality bucket (floor(quality·64) — any
+    monotone function of the selection key preserves prefix-ness,
+    and equal keys can't straddle buckets), and per-bucket token sums
+    aggregate partially map-side to a ≤65-row relation; (2) the
+    running total over THAT relation finds the boundary bucket —
+    buckets wholly under budget semi-join back (map-only keep), and
+    only the boundary bucket's slice pays an exact in-bucket window,
+    offset by the buckets-above total.  At 100 TB the window sorts
+    ~1/64th of the corpus instead of all of it; recursing the same
+    split inside a hot boundary bucket bounds it further.  The same
+    aggregate-then-recurse move as window_open_intervals, applied to
+    a corpus-grain selection.  Cost shape: the corpus is tokenized
+    ONCE into a session-cached narrow (doc_id, source, n_tokens,
+    quality, qb) relation (~32 B/row — the persisted feature table a
+    production pipeline would write anyway) that the stats pass and
+    both branches consume; the corpus is never shuffled at doc grain,
+    and every Window in the plan is qb-keyed (asserted in test_plans),
+    i.e. either the ≤65-row bucket relation or the boundary slice."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    feats = _BUDGET_FEATS_CACHE.get(cache_key)
+    if feats is None:
+        docs = read_table(spark, sf_dir, "documents")
+        toks = F.split(F.col("text"), " ")
+        ntd = F.size(toks).cast("double")
+        nu = F.size(F.array_distinct(toks)).cast("double")
+        stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")])
+        ns = F.size(F.array_intersect(toks, stop)).cast("double")
+        quality = (
+            F.least(ntd / 64.0, F.lit(1.0)) * 0.4
+            + (nu / ntd) * 0.4
+            + (F.lit(1.0) - ns / nu) * 0.2
+        )
+        feats = docs.select(
+            "doc_id",
+            "source",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            quality.alias("quality"),
+            F.floor(quality * BUDGET_QBUCKETS).cast("int").alias("qb"),
+        ).cache()
+        _BUDGET_FEATS_CACHE[cache_key] = feats
+    bsums = feats.groupBy("qb").agg(F.sum("n_tokens").alias("s"))
+    prev_w = (
+        Window.orderBy(F.col("qb").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    all_w = Window.orderBy(F.col("qb").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    marked = bsums.select(
+        "qb",
+        "s",
+        F.coalesce(F.sum("s").over(prev_w), F.lit(0))
+        .cast("bigint")
+        .alias("prev"),
+        F.floor(F.sum("s").over(all_w) / 2.0).cast("bigint").alias("budget"),
+    )
+    full = marked.filter(F.col("prev") + F.col("s") <= F.col("budget"))
+    boundary = marked.filter(
+        (F.col("prev") < F.col("budget"))
+        & (F.col("prev") + F.col("s") > F.col("budget"))
+    )
+    kept_full = feats.join(
+        F.broadcast(full.select("qb")), "qb", "left_semi"
+    )
+    in_bucket_w = Window.partitionBy("qb").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    kept_boundary = (
+        feats.join(
+            F.broadcast(boundary.select("qb", "prev", "budget")), "qb"
+        )
+        .withColumn(
+            "cum", F.sum("n_tokens").over(in_bucket_w) + F.col("prev")
+        )
+        .filter(F.col("cum") <= F.col("budget"))
+    )
+    out_cols = ["doc_id", "source", "n_tokens", "quality"]
+    return kept_full.select(*out_cols).unionByName(
+        kept_boundary.select(*out_cols)
+    )
+
+
 @REG.query(
     "text_tfidf",
     oracle="""

@@ -983,3 +983,42 @@ def test_span_scrub_edge_documents(spark, tmp_path):
     assert got[2] == ("only three tokens", 0, 0)
     assert got[3] == (sixteen, 2, 0)
     assert got[4] == ("tailtok", 2, 2), got[4]
+
+
+def test_token_budget_select_matches_global_window(spark, queries):
+    """The two-level budget cumsum must select exactly the maximal
+    (quality DESC, doc_id) prefix a single global window would — and
+    the corpus-grain branch must stay window-free (only the <=65-row
+    bucket relation and the boundary slice sort)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = queries["mix_token_budget_select"](spark, SF)
+    got = {r.doc_id for r in df.collect()}
+
+    # brute force: one global window over the full corpus
+    feats = queries["text_quality_score"](spark, SF).select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("nt"), "quality"
+    )
+    total = feats.agg(F.floor(F.sum("nt") / 2.0).cast("bigint")).collect()[0][0]
+    w = W.orderBy(F.col("quality").desc(), "doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ref = {
+        r.doc_id
+        for r in feats.withColumn("cum", F.sum("nt").over(w))
+        .filter(F.col("cum") <= total)
+        .collect()
+    }
+    assert got == ref
+    # budget respected and maximal: no smaller-keyed doc could be added
+    kept_tokens = df.agg(F.sum("n_tokens")).collect()[0][0]
+    assert kept_tokens <= total
+    # every Window in the plan must be qb-keyed: either the <=65-row
+    # bucket relation (ordered by qb) or the boundary slice
+    # (partitioned by qb) — NEVER a corpus-grain global window
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "qb#" in line, line
+    assert "CartesianProduct" not in plan
