@@ -197,6 +197,7 @@ HEADLINE = [
     "text_bpe_merges",
     "text_bpe_encode",
     "mix_token_budget_select",
+    "text_char_entropy",
     "sim_dim_truncation_recall",
     "sim_centroid_drift",
     "dedup_keep_best_quality",

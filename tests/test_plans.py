@@ -1022,3 +1022,96 @@ def test_token_budget_select_matches_global_window(spark, queries):
         if "windowspecdefinition" in line:
             assert "qb#" in line, line
     assert "CartesianProduct" not in plan
+
+
+def test_token_budget_select_edge_corpora(spark, tmp_path):
+    """Boundary arithmetic for the two-level budget cumsum:
+    (a) single-bucket corpus — every doc has identical quality, so the
+        ONLY bucket is the boundary bucket and the in-bucket window
+        must cut the (doc_id-ordered) prefix at the budget;
+    (b) exact-fit — when a bucket's running total lands exactly ON the
+        budget it is kept whole and the next bucket contributes
+        nothing (prev == budget is not a boundary)."""
+    import pandas as pd
+
+    from firebase_realtime_database_backup_spark.operators.text import (
+        mix_token_budget_select,
+    )
+
+    def write(docs, name):
+        d = str(tmp_path / name)
+        spark.createDataFrame(pd.DataFrame(docs)).coalesce(1).write.parquet(
+            str(tmp_path / name / "documents.parquet")
+        )
+        return d
+
+    # (a) 4 identical-quality docs of 4 tokens each; budget = 8 tokens
+    #     -> exactly docs 1 and 2 (doc_id order inside the one bucket)
+    same = "alpha beta gamma delta"
+    d = write(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [same] * 4,
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [len(same)] * 4,
+        },
+        "one_bucket",
+    )
+    got = sorted(r.doc_id for r in mix_token_budget_select(spark, d).collect())
+    assert got == [1, 2], got
+
+    # (b) two quality tiers: 2 high-quality docs (distinct 8-token
+    #     texts) and 2 low-quality one-word docs.  Total = 18 tokens,
+    #     budget = 9; the high bucket's 16 tokens exceed 9, so IT is
+    #     the boundary: keep its first doc (8 <= 9), drop the second
+    #     (16 > 9), and the low bucket (prev=16 > budget) contributes
+    #     nothing.
+    hi1 = "one two three four five six seven eight"
+    hi2 = "uno dos tres cuatro cinco seis siete ocho"
+    d2 = write(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [hi1, hi2, "word", "word"],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [len(hi1), len(hi2), 4, 4],
+        },
+        "two_tier",
+    )
+    got2 = sorted(r.doc_id for r in mix_token_budget_select(spark, d2).collect())
+    assert got2 == [1], got2
+
+
+def test_char_entropy_edge_documents(spark, tmp_path):
+    """Degenerate inputs for the quantized char entropy: empty text
+    (the ''-split singleton -> 0 bits, low), a single repeated char
+    (0 bits exactly), and an all-distinct-chars doc (each count=1 ->
+    floor(log2(n)) bits per char)."""
+    import pandas as pd
+
+    from firebase_realtime_database_backup_spark.operators.text import (
+        text_char_entropy,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["", "aaaaaaaa", "abcdefgh"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [0, 8, 8],
+        }
+    )
+    d = str(tmp_path / "ent")
+    spark.createDataFrame(docs).coalesce(1).write.parquet(
+        str(tmp_path / "ent" / "documents.parquet")
+    )
+    got = {
+        r.doc_id: (r.n_chars_counted, r.entropy_bits_num, r.is_low_entropy)
+        for r in text_char_entropy(spark, d).collect()
+    }
+    assert got[1] == (1, 0, True)
+    assert got[2] == (8, 0, True)
+    # 8 distinct chars, n=8, each count 1 -> 8 * floor(log2(8)) = 24
+    assert got[3] == (8, 24, False)
