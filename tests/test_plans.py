@@ -1115,3 +1115,37 @@ def test_char_entropy_edge_documents(spark, tmp_path):
     assert got[2] == (8, 0, True)
     # 8 distinct chars, n=8, each count 1 -> 8 * floor(log2(8)) = 24
     assert got[3] == (8, 24, False)
+
+
+def test_token_budget_cache_keyed_per_corpus(spark, tmp_path):
+    """The session-scoped feats cache is keyed (applicationId, sf_dir):
+    querying a SECOND corpus in the same session must reflect that
+    corpus's documents, not the first one's cached relation (the
+    cross-corpus cache-poisoning class the quarantine fixture had)."""
+    import pandas as pd
+
+    from firebase_realtime_database_backup_spark.operators.text import (
+        mix_token_budget_select,
+    )
+
+    def write(ids, name):
+        docs = pd.DataFrame(
+            {
+                "doc_id": ids,
+                "text": [f"tok{i} alpha beta gamma" for i in ids],
+                "lang": ["en"] * len(ids),
+                "source": ["s"] * len(ids),
+                "n_chars": [20] * len(ids),
+            }
+        )
+        spark.createDataFrame(docs).coalesce(1).write.parquet(
+            str(tmp_path / name / "documents.parquet")
+        )
+        return str(tmp_path / name)
+
+    a = write([1, 2, 3, 4], "corpus_a")
+    b = write([101, 102, 103, 104], "corpus_b")
+    got_a = {r.doc_id for r in mix_token_budget_select(spark, a).collect()}
+    got_b = {r.doc_id for r in mix_token_budget_select(spark, b).collect()}
+    assert got_a and got_a <= {1, 2, 3, 4}
+    assert got_b and got_b <= {101, 102, 103, 104}, got_b
