@@ -77,6 +77,7 @@ HEADLINE = [
     "graph_triangle_count",
     "events_forecast_backtest",
     "events_audience_overlap",
+    "events_dau_wau_stickiness",
     "sink_merge_upsert",
     "sink_snapshot_diff",
     "quality_audit_constraints",

@@ -4380,6 +4380,52 @@ def events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.query(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH dau AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    contrib AS (
+      SELECT DATE_ADD(CAST(ts AS DATE), CAST(o AS INT)) AS day, user_id
+      FROM events, UNNEST(RANGE(0, 7)) AS r(o)
+    ),
+    wau AS (
+      SELECT day, COUNT(DISTINCT user_id) AS wau FROM contrib GROUP BY day
+    )
+    SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+           CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+    FROM dau d JOIN wau w USING (day)
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement ratio product teams
+    track (1/7 = everyone visits once a week; 1.0 = everyone active
+    daily).  Composes the two activity relations the engine already
+    computes exactly: per-day distinct actives (one two-phase distinct
+    shuffle) and the trailing-7-day distinct from
+    events_sliding_distinct's O(events) interval-merge + delta sweep —
+    the oracle uses the contribute-forward explode as ground truth for
+    the WAU leg, so this query also re-proves the sweep against it.
+    Reported only on days that HAVE activity (stickiness is undefined
+    on gap days); the ratio is one double division of two exact
+    integers."""
+    events = read_table(spark, sf_dir, "events")
+    dau = events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    wau = events_sliding_distinct(spark, sf_dir).select(
+        F.col("report_day").alias("day"), F.col("n_active_7d").alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+    )
+
+
+@REG.query(
     "join_asof_nearest",
     oracle="""
     WITH ords AS (
