@@ -199,6 +199,7 @@ HEADLINE = [
     "text_bpe_encode",
     "mix_token_budget_select",
     "text_char_entropy",
+    "text_bigram_surprisal",
     "sim_norm_anomaly",
     "sim_dim_truncation_recall",
     "sim_centroid_drift",

@@ -2295,6 +2295,131 @@ def text_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REG.query(
+    "text_bigram_surprisal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+    ),
+    uni AS (
+      SELECT u.w, COUNT(*) AS c FROM toks, UNNEST(t) AS u(w) GROUP BY u.w
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    bi AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(RANGE(1, LEN(t))) AS r(i)
+    ),
+    pairs AS (SELECT w1, w2, COUNT(*) AS n_pair FROM bi GROUP BY w1, w2),
+    pairbits AS (
+      SELECT p.w1, p.w2, LENGTH(BIN(u.c // p.n_pair)) - 1 AS bits
+      FROM pairs p JOIN uni u ON u.w = p.w1
+    ),
+    docbi AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS k FROM bi GROUP BY doc_id, w1, w2
+    ),
+    bsum AS (
+      SELECT d.doc_id, SUM(d.k * pb.bits) AS bbits
+      FROM docbi d JOIN pairbits pb USING (w1, w2)
+      GROUP BY d.doc_id
+    ),
+    first AS (
+      SELECT doc_id, t[1] AS f, CAST(LEN(t) AS BIGINT) AS n_tokens
+      FROM toks
+    ),
+    fbits AS (
+      SELECT f.doc_id, f.n_tokens, LENGTH(BIN(t.n // u.c)) - 1 AS fb
+      FROM first f JOIN uni u ON u.w = f.f CROSS JOIN tot t
+    )
+    SELECT fb.doc_id, fb.n_tokens,
+           CAST(fb.fb + COALESCE(b.bbits, 0) AS BIGINT) AS bits_num,
+           CAST(fb.fb + COALESCE(b.bbits, 0) AS DOUBLE) / fb.n_tokens
+             AS bits_per_token
+    FROM fbits fb LEFT JOIN bsum b USING (doc_id)
+    """,
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring: each document's total code length
+    in WHOLE BITS under the corpus's own bigram model — chain-rule
+    surprisal with P(w2|w1) = c(w1,w2)/c(w1) for every adjacent pair
+    plus a unigram start term, quantized per term to
+    floor(log2(c(w1) // c(w1,w2))) via integer bit-length (the
+    text_surprisal_score discipline, one order up).  This is the
+    perplexity-proxy quality filter that actually sees word ORDER:
+    shuffled or templated text scores high-surprisal bigrams even when
+    its unigram mix looks natural, and bits_per_token is directly
+    comparable across documents.  Scoring the corpus with its own
+    counts also means every bigram is in-vocabulary — no backoff
+    branch, so the statistic stays a pure integer sum.
+
+    Plan shape: unigram and bigram counts are the same two partial-agg
+    token-stream shuffles as text_bigram_collocations (adjacent pairs
+    via the zip_with shifted-slice move — no descending-sequence
+    fabrication on one-token docs); per-PAIR bits are computed once at
+    vocab² grain (pairs ⨝ broadcast unigrams), documents reduce to
+    their distinct-bigram multiset (doc, w1, w2, k) before the scoring
+    join, and the per-doc sum is one partial-agged shuffle.  The 1-row
+    corpus-total cross join is the text_tfidf scalar-subquery shape.
+    At 100 TB the pairbits relation outgrows broadcast → plain shuffle
+    equi-join on (w1, w2) with AQE skew-split on hot function-word
+    pairs, same plan otherwise."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    bi = toks.select(
+        "doc_id",
+        F.expr(
+            "explode(zip_with("
+            "  slice(t, 1, size(t) - 1),"
+            "  slice(t, 2, size(t) - 1),"
+            "  (a, b) -> struct(a AS w1, b AS w2)))"
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    pairs = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    pairbits = pairs.join(
+        F.broadcast(uni.select(F.col("w").alias("w1"), "c")), "w1"
+    ).select(
+        "w1",
+        "w2",
+        (F.length(F.bin(F.floor(F.col("c") / F.col("n_pair")).cast("bigint")))
+         - 1).cast("bigint").alias("bits"),
+    )
+    docbi = bi.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    bsum = (
+        docbi.join(pairbits, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("k") * F.col("bits")).alias("bbits"))
+    )
+    first = toks.select(
+        "doc_id",
+        F.element_at("t", 1).alias("f"),
+        F.size("t").cast("bigint").alias("n_tokens"),
+    )
+    fbits = (
+        first.join(F.broadcast(uni.withColumnRenamed("w", "f")), "f")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.length(F.bin(F.floor(F.col("n") / F.col("c")).cast("bigint")))
+             - 1).cast("bigint").alias("fb"),
+        )
+    )
+    bits_num = F.col("fb") + F.coalesce(F.col("bbits"), F.lit(0))
+    return fbits.join(bsum, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        bits_num.cast("bigint").alias("bits_num"),
+        (bits_num.cast("double") / F.col("n_tokens")).alias("bits_per_token"),
+    )
+
+
 #: Span width (tokens) for C4-style span-level dedup.  8 tokens is the
 #: smallest width at which the synthetic corpus separates cleanly
 #: (453 clean / 6 partial / 41 all-dup docs at sf0.01); real pipelines

@@ -346,6 +346,8 @@ BNL_ONE_ROW_PROBES = {
     "text_bigram_collocations": 2,
     # 1-row corpus-token-total row under the per-term surprisal table
     "text_surprisal_score": 1,
+    # 1-row corpus-token-total row under the first-token unigram term
+    "text_bigram_surprisal": 1,
     # (nodes, wedges) x (edges) x (triangles): two 1-row x 1-row cross
     # joins assembling the single stats row
     "graph_triangle_count": 2,
@@ -1149,3 +1151,37 @@ def test_token_budget_cache_keyed_per_corpus(spark, tmp_path):
     got_b = {r.doc_id for r in mix_token_budget_select(spark, b).collect()}
     assert got_a and got_a <= {1, 2, 3, 4}
     assert got_b and got_b <= {101, 102, 103, 104}, got_b
+
+
+def test_bigram_surprisal_hand_computed(spark, tmp_path):
+    """Hand-computed whole-bit chain-rule surprisal on a 3-doc corpus:
+    uni a=3 b=3 N=6; pairs (a,b)=2 -> bits floor(log2(3//2))=0,
+    (b,a)=1 -> floor(log2(3//1))=1; first-token term floor(log2(6//3))
+    = 1 for both words.  One-token docs must contribute NO bigram
+    (the zip_with shifted-slice guard)."""
+    import pandas as pd
+
+    from firebase_realtime_database_backup_spark.operators.text import (
+        text_bigram_surprisal,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a", "a b", "b a b"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [1, 3, 5],
+        }
+    )
+    d = str(tmp_path / "bigram")
+    spark.createDataFrame(docs).coalesce(1).write.parquet(
+        str(tmp_path / "bigram" / "documents.parquet")
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.bits_num, round(r.bits_per_token, 6))
+        for r in text_bigram_surprisal(spark, d).collect()
+    }
+    assert got[1] == (1, 1, 1.0), got[1]
+    assert got[2] == (2, 1, 0.5), got[2]
+    assert got[3] == (3, 2, round(2 / 3, 6)), got[3]
