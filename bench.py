@@ -91,6 +91,7 @@ HEADLINE = [
     "agg_histogram_equiwidth",
     "sample_stratified_topk",
     "quality_column_profile",
+    "quality_corpus_datasheet",
     "window_streaks",
     "quality_drift_chi2",
     "events_anomaly_mad",

@@ -2794,6 +2794,87 @@ def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.query(
+    "quality_corpus_datasheet",
+    oracle="""
+    WITH feats AS (
+      SELECT source, lang, n_chars, MD5(text) AS h,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(FLOOR((
+               LEAST(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) / 64.0, 1.0) * 0.4
+               + (CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                  / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE)) * 0.4
+               + (1.0 - CAST(LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+                    ['the', 'a', 'of', 'and', 'to'])) AS DOUBLE)
+                      / CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE))
+                 * 0.2) * 1000000) AS BIGINT) AS qmicro
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           MEDIAN(n_chars) AS med_chars,
+           CAST(SUM(qmicro) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_quality,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS DOUBLE) / COUNT(*) AS dup_rate
+    FROM feats
+    GROUP BY source
+    """,
+)
+def quality_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus datasheet — the one-page "data card" a dataset
+    release ships: document and token volume, language spread, median
+    document length, mean quality score, and the exact-duplicate rate,
+    one row per source.  This is the report that decides which crawls
+    enter the mix before any expensive near-dup pass runs.
+
+    Exactness: the mean quality is an exact integer mean — each doc's
+    quality (the text_quality_score formula, identical doubles both
+    engines) is FLOORed to integer micro-units, so the per-source SUM
+    is order-independent and the mean is two exact divisions in fixed
+    order; medians average two identical ints; the dup rate counts
+    DISTINCT MD5 (same digest function both engines).
+
+    Plan: one map pass computes the per-doc features, then ONE
+    partial-agged shuffle at source grain.  The two exact
+    count-distincts (lang, hash) expand the aggregate like the exact
+    column profile; quality_column_profile_scaled documents the
+    approx_count_distinct swap when source cardinality times hash
+    cardinality stresses the Expand."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    ntd = F.size(toks).cast("double")
+    nu = F.size(F.array_distinct(toks)).cast("double")
+    stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")])
+    ns = F.size(F.array_intersect(toks, stop)).cast("double")
+    quality = (
+        F.least(ntd / 64.0, F.lit(1.0)) * 0.4
+        + (nu / ntd) * 0.4
+        + (F.lit(1.0) - ns / nu) * 0.2
+    )
+    feats = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("h"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.floor(quality * 1000000).cast("bigint").alias("qmicro"),
+    )
+    n = F.count(F.lit(1))
+    return feats.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.median("n_chars").alias("med_chars"),
+        (F.sum("qmicro").cast("double") / n / F.lit(1000000.0)).alias(
+            "mean_quality"
+        ),
+        (n - F.count_distinct("h")).alias("n_exact_dups"),
+        ((n - F.count_distinct("h")).cast("double") / n).alias("dup_rate"),
+    )
+
+
+@REG.query(
     "quality_column_profile",
     oracle="""
     SELECT 'l_quantity' AS column_name,
