@@ -204,6 +204,7 @@ HEADLINE = [
     "sim_norm_anomaly",
     "sim_dim_truncation_recall",
     "sim_centroid_drift",
+    "sim_contrastive_triplets",
     "dedup_keep_best_quality",
     "pipeline_prepare_corpus_scaled",
     "multimodal_resize_pool",

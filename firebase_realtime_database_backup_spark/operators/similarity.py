@@ -1571,3 +1571,130 @@ def sim_norm_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("adev") > 3 * F.col("mad"))
         .select("vec_id", "label", "norm2", "prefix_mass", "med", "mad")
     )
+
+
+def _triplets_oracle() -> str:
+    from firebase_realtime_database_backup_spark.operators.relational import oround
+
+    cos = oround(
+        _DOT.format(a="q.qe", b="c.ce")
+        + f" / (SQRT({_DOT.format(a='q.qe', b='q.qe')})"
+        + f" * SQRT({_DOT.format(a='c.ce', b='c.ce')}))",
+        6,
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, label AS q_label,
+             CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id AS c_id, label AS c_label,
+             CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.q_id, q.q_label, c.c_id,
+             (c.c_label = q.q_label) AS is_pos,
+             {cos} AS cosine
+      FROM q, c WHERE q.q_id <> c.c_id
+    ),
+    best AS (
+      SELECT * FROM (
+        SELECT s.*, ROW_NUMBER() OVER (PARTITION BY q_id, is_pos
+                                       ORDER BY cosine DESC, c_id) AS rn
+        FROM scored s
+      ) WHERE rn = 1
+    )
+    SELECT p.q_id, p.q_label AS label,
+           p.c_id AS pos_id, p.cosine AS pos_cos,
+           n.c_id AS neg_id, n.cosine AS neg_cos,
+           p.cosine - n.cosine AS margin
+    FROM best p JOIN best n
+      ON p.q_id = n.q_id AND p.is_pos AND NOT n.is_pos
+    """
+
+
+@REG.query("sim_contrastive_triplets", oracle=_triplets_oracle())
+def sim_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative triplet mining for embedding-model training: for
+    each anchor, the most-similar SAME-label vector (the positive) and
+    the most-similar DIFFERENT-label vector (the hard negative — the
+    impostor the model currently confuses), plus the margin between
+    them.  Triplets with small or negative margins are exactly the
+    training pairs a contrastive fine-tune needs; mining them is a
+    standard stage in embedding-pipeline refreshes.
+
+    Exactness: cosines come from the shared fold chain rounded to 6
+    decimals BEFORE ranking on both engines (so the c_id tie-break
+    fires at the same pairs), and the margin subtracts the two
+    ROUNDED values — one IEEE op, same both engines.
+
+    Plan: the corpus scans once map-side against the broadcast anchor
+    set (the sim_cosine_topk shape — the pair BNL is the designed
+    all-pairs score, appearing once per join branch); per-(anchor,
+    polarity) argmax is a window over the scored stream; the final
+    positive⨝negative join is |anchors| rows.  At production anchor
+    counts the window swaps for the IVF/PQ shortlist exactly as the
+    top-k family documents."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").cast("array<double>").alias("qe"),
+        )
+        .withColumn("qn", _norm(F.col("qe")))
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").cast("array<double>").alias("ce"),
+    ).withColumn("cn", _norm(F.col("ce")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "c_id",
+            (F.col("c_label") == F.col("q_label")).alias("is_pos"),
+            # round BEFORE ranking so the rank tie-break (c_id) fires at
+            # exactly the same pairs as the oracle's (which ranks its
+            # oround()ed cosine) — ranking raw doubles would diverge on
+            # near-ties beyond the 6th decimal
+            F.round(
+                F.try_divide(
+                    _dot(F.col("qe"), F.col("ce")), F.col("qn") * F.col("cn")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id", "is_pos").orderBy(
+        F.desc("cosine"), F.col("c_id")
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    pos = best.filter(F.col("is_pos")).select(
+        "q_id",
+        F.col("q_label").alias("label"),
+        F.col("c_id").alias("pos_id"),
+        F.col("cosine").alias("pos_cos"),
+    )
+    neg = best.filter(~F.col("is_pos")).select(
+        "q_id",
+        F.col("c_id").alias("neg_id"),
+        F.col("cosine").alias("neg_cos"),
+    )
+    return pos.join(neg, "q_id").select(
+        "q_id",
+        "label",
+        "pos_id",
+        "pos_cos",
+        "neg_id",
+        "neg_cos",
+        (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
+    )

@@ -315,6 +315,9 @@ BNL_DESIGNED = {
     # appears once per tier branch (baseline + truncated — disjoint
     # d-subsets after filter pushdown, one pass of work total).
     "sim_dim_truncation_recall",
+    # the same corpus x broadcast-anchors score, consumed by both the
+    # positive and negative argmax branches of the triplet join
+    "sim_contrastive_triplets",
 }
 # 1-row broadcast probes (scalar-subquery shape): the broadcast bloom
 # bitmap, the min-language-count target, winsorize-style global bounds,
