@@ -50,6 +50,7 @@ HEADLINE = [
     "window_percent_dist",
     "sort_topk",
     "events_funnel",
+    "events_funnel_windowed",
     "events_trending_topk",
     "events_adoption_curve",
     "events_activity_concentration",

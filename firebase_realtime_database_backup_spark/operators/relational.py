@@ -1246,6 +1246,98 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.query(
+    "events_funnel_windowed",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click, MIN(t1.t_view) AS t_view
+      FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'click'
+        AND e.ts > t1.t_view AND e.ts <= t1.t_view + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN t2 USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND e.ts > t2.t_click AND e.ts <= t2.t_click + INTERVAL 72 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT t1.user_id, t1.t_view, t2.t_click, t3.t_purchase,
+           CASE WHEN t2.user_id IS NULL THEN 1
+                WHEN t3.user_id IS NULL THEN 2
+                ELSE 3 END AS reached_stage
+    FROM t1
+    LEFT JOIN t2 USING (user_id)
+    LEFT JOIN t3 USING (user_id)
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed chained funnel: click within 24 h OF THE FIRST
+    VIEW, then purchase within 72 h OF THAT CLICK — each stage's clock
+    starts at the matched previous stage, which is what "conversion
+    window" means in every funnel product and what the simple
+    events_funnel (unbounded conditional-MIN) cannot express.
+    Semantics pinned precisely: first-view-anchored greedy chain (the
+    industry default) — a later view that would open a different
+    conversion path is intentionally not explored.
+
+    Plan: three conditional-MIN aggregations chained by user_id
+    equi-joins — no self-join on the raw stream, no window, no
+    per-user event sorting.  All three shuffles hash on the same key,
+    so on a cluster the chain runs in co-partitioned stages; per-user
+    state is one timestamp per stage regardless of event volume
+    (whale-user-proof, unlike collect-and-fold funnel kernels).
+    Timestamp comparisons only — no epoch arithmetic to diverge."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 72 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.when(F.col("t_click").isNull(), 1)
+            .when(F.col("t_purchase").isNull(), 2)
+            .otherwise(3)
+            .cast("int")
+            .alias("reached_stage"),
+        )
+    )
+
+
+@REG.query(
     "tpch_q12_priority_lines",
     oracle="""
     SELECT l_linestatus,
