@@ -36,6 +36,7 @@ HEADLINE = [
     "agg_rollup",
     "agg_grouping_sets",
     "agg_percentiles",
+    "agg_median_twolevel",
     "join_salted_skew",
     "tpch_q3_topk_revenue",
     "tpch_q4_order_priority",

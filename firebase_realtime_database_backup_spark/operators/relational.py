@@ -3269,6 +3269,93 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.query(
+    "agg_median_twolevel",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+    )
+    SELECT COUNT(*) AS n_rows,
+           MEDIAN(c) AS median_cents,
+           MEDIAN(c) / 100.0 AS median_price
+    FROM cents
+    """,
+)
+def agg_median_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus-grain median without a global sort — the two-level
+    selection pattern (mix_token_budget_select's move, applied to order
+    statistics): (1) one partial-agged pass reduces 60M prices to a
+    ~1000-row value-bucket histogram; (2) the running count over THAT
+    relation locates which bucket holds each middle position; (3) only
+    the boundary bucket's rows (~1/1000th of the corpus) are sorted,
+    and the k-th element is read off by row_number.  The oracle is
+    DuckDB's MEDIAN; Spark never materializes a global ORDER BY.
+
+    Exactness: prices quantize to integer CENTS (exact for 2-dp money,
+    where raw double pennies are not binary-representable), both middle
+    elements are exact integers, and the even-count interpolation is
+    one exact halving of a < 2^53 integer sum — bit-identical to
+    DuckDB's a/2 + b/2 interpolation on the same rationals.
+
+    At 100 TB this is THE way to exact percentiles on a fact table:
+    histogram passes are map-side combinable, the bucket relation is
+    broadcast-sized, and the only sort touches one bucket (recurse the
+    same split inside a hot bucket).  approx_percentile trades this
+    exactness for one pass; quality gates that CUT on the boundary
+    (winsorize, adaptive length filters) often can't afford the
+    approximation — this op is their primitive."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c")
+    )
+    bsize = 10000  # $100-wide buckets -> ~1k buckets over the price range
+    bcnt = (
+        li.groupBy((F.col("c") / bsize).cast("bigint").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    prev_w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    all_w = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    marked = bcnt.select(
+        "b",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(prev_w), F.lit(0))
+        .cast("bigint")
+        .alias("prev"),
+        F.sum("cnt").over(all_w).cast("bigint").alias("n"),
+    )
+    # the two middle positions (equal when n is odd)
+    ks = marked.select(
+        "b",
+        "cnt",
+        "prev",
+        "n",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr("(n + 1) div 2"), F.expr("(n + 2) div 2")
+                )
+            )
+        ).alias("k"),
+    ).filter((F.col("prev") < F.col("k")) & (F.col("k") <= F.col("prev") + F.col("cnt")))
+    picked = (
+        li.withColumn("b", (F.col("c") / bsize).cast("bigint"))
+        .join(F.broadcast(ks), "b")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("k").orderBy("c")
+            ),
+        )
+        .filter(F.col("rn") == F.col("k") - F.col("prev"))
+    )
+    return picked.agg(
+        F.max("n").alias("n_rows"),
+        F.avg("c").alias("median_cents"),
+        (F.avg("c") / 100.0).alias("median_price"),
+    )
+
+
+@REG.query(
     "agg_countmin_sketch",
     oracle="""
     WITH terms AS (

@@ -1188,3 +1188,26 @@ def test_bigram_surprisal_hand_computed(spark, tmp_path):
     assert got[1] == (1, 1, 1.0), got[1]
     assert got[2] == (2, 1, 0.5), got[2]
     assert got[3] == (3, 2, round(2 / 3, 6)), got[3]
+
+
+def test_median_twolevel_sorts_only_boundary_bucket(spark, queries):
+    """The exact median must match a direct exact percentile AND keep
+    every Window bucket-keyed (the histogram running count over ~1k
+    bucket rows, or the boundary slice partitioned by middle position)
+    — never a global corpus sort."""
+    from pyspark.sql import functions as F
+
+    from firebase_realtime_database_backup_spark.catalog import read_table
+
+    df = queries["agg_median_twolevel"](spark, SF)
+    row = df.collect()[0]
+    cents = read_table(spark, SF, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c")
+    )
+    ref = cents.agg(F.median("c")).collect()[0][0]
+    assert row.median_cents == ref
+    assert row.n_rows == cents.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert ("b#" in line) or ("k#" in line), line
