@@ -84,6 +84,7 @@ HEADLINE = [
     "sink_snapshot_diff",
     "quality_audit_constraints",
     "scd2_validity_windows",
+    "join_scd2_pointintime",
     "sample_deterministic",
     "quality_winsorize",
     "dedup_fuzzy_names",
