@@ -136,6 +136,7 @@ HEADLINE = [
     "text_normalize",
     "dedup_minhash_lsh",
     "dedup_minhash_xxhash",
+    "dedup_minhash_estimate_audit",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_scaled",
     "sim_cosine_topk",
