@@ -35,6 +35,10 @@ from firebase_realtime_database_backup_spark.functions.hashing import (
     knuth_hash,
     knuth_hash_sql,
 )
+from firebase_realtime_database_backup_spark.operators.text import (
+    QUALITY_SQL,
+    quality_expr,
+)
 from firebase_realtime_database_backup_spark.registry import Registry
 
 REG = Registry()
@@ -2285,11 +2289,14 @@ def scd2_validity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w)
+    # unix_millis, never (ts.cast('double') * 1000): the double product
+    # can round one ms low on ms-aligned timestamps in other epoch
+    # ranges — EPOCH_MS/unix_millis is the proven-portable pair
     return ev.select(
         "user_id",
         "event_type",
-        (F.col("ts").cast("double") * 1000).cast("bigint").alias("valid_from_ms"),
-        (nxt.cast("double") * 1000).cast("bigint").alias("valid_to_ms"),
+        F.unix_millis("ts").alias("valid_from_ms"),
+        F.unix_millis(nxt).alias("valid_to_ms"),
         F.col("value").alias("attr_value"),
         nxt.isNull().alias("is_current"),
     )
@@ -2363,24 +2370,26 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "tag", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # carry the WHOLE version row as one struct: a version whose value
+    # is legitimately NULL must still win (last(value, ignorenulls)
+    # would skip it and pair a stale value with the newer valid_from)
+    version = F.when(
+        F.col("tag") == 0,
+        F.struct(F.col("ts").alias("vts"), F.col("version_value").alias("vv")),
+    )
     tagged = dim.unionByName(facts).select(
         "user_id",
         "ts",
         "tag",
         "event_id",
-        F.last("version_value", ignorenulls=True).over(w).alias("vv"),
-        F.last(
-            F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True
-        ).over(w).alias("vfrom"),
+        F.last(version, ignorenulls=True).over(w).alias("ver"),
     )
     return tagged.filter(F.col("tag") == 1).select(
         "user_id",
         F.col("event_id").alias("purchase_id"),
-        (F.col("ts").cast("double") * 1000).cast("bigint").alias("purchase_ms"),
-        F.col("vv").alias("version_value"),
-        (F.col("vfrom").cast("double") * 1000).cast("bigint").alias(
-            "valid_from_ms"
-        ),
+        F.unix_millis("ts").alias("purchase_ms"),
+        F.col("ver.vv").alias("version_value"),
+        F.unix_millis("ver.vts").alias("valid_from_ms"),
     )
 
 
@@ -2976,18 +2985,11 @@ def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.query(
     "quality_corpus_datasheet",
-    oracle="""
+    oracle=f"""
     WITH feats AS (
       SELECT source, lang, n_chars, MD5(text) AS h,
              CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
-             CAST(FLOOR((
-               LEAST(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) / 64.0, 1.0) * 0.4
-               + (CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
-                  / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE)) * 0.4
-               + (1.0 - CAST(LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
-                    ['the', 'a', 'of', 'and', 'to'])) AS DOUBLE)
-                      / CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE))
-                 * 0.2) * 1000000) AS BIGINT) AS qmicro
+             CAST(FLOOR(({QUALITY_SQL}) * 1000000) AS BIGINT) AS qmicro
       FROM documents
     )
     SELECT source,
@@ -3024,15 +3026,7 @@ def quality_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality stresses the Expand."""
     docs = spread(read_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
-    ntd = F.size(toks).cast("double")
-    nu = F.size(F.array_distinct(toks)).cast("double")
-    stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")])
-    ns = F.size(F.array_intersect(toks, stop)).cast("double")
-    quality = (
-        F.least(ntd / 64.0, F.lit(1.0)) * 0.4
-        + (nu / ntd) * 0.4
-        + (F.lit(1.0) - ns / nu) * 0.2
-    )
+    quality = quality_expr(toks)
     feats = docs.select(
         "source",
         "lang",

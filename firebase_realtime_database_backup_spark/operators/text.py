@@ -261,11 +261,39 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The heuristic quality formula shared by text_quality_score,
+#: mix_token_budget_select and quality_corpus_datasheet.  The driver
+#: compare depends on BIT-IDENTICAL doubles, which depends on the exact
+#: operation ORDER — so the formula exists exactly once per engine:
+#: edit quality_expr() and QUALITY_SQL together or not at all.
+QUALITY_SQL = """LEAST(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) / 64.0, 1.0) * 0.4
+      + (CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+         / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE)) * 0.4
+      + (1.0 - CAST(LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+           ['the', 'a', 'of', 'and', 'to'])) AS DOUBLE)
+             / CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE))
+        * 0.2"""
+
+
+def quality_expr(toks) -> "F.Column":
+    """Length saturation + lexical diversity + stopword-type penalty,
+    in the precise op order QUALITY_SQL mirrors."""
+    ntd = F.size(toks).cast("double")
+    nu = F.size(F.array_distinct(toks)).cast("double")
+    stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")])
+    ns = F.size(F.array_intersect(toks, stop)).cast("double")
+    return (
+        F.least(ntd / 64.0, F.lit(1.0)) * 0.4
+        + (nu / ntd) * 0.4
+        + (F.lit(1.0) - ns / nu) * 0.2
+    )
+
+
 @REG.query(
     "text_quality_score",
-    oracle="""
+    oracle=f"""
     WITH feats AS (
-      SELECT doc_id,
+      SELECT doc_id, text,
              CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS n_tokens,
              CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE) AS n_unique,
              CAST(LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
@@ -277,9 +305,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_unique / n_tokens                    AS uniq_ratio,
            n_stop_types / n_unique                AS stop_ratio,
            n_chars / n_tokens                     AS avg_tok_len,
-           LEAST(n_tokens / 64.0, 1.0) * 0.4
-             + (n_unique / n_tokens) * 0.4
-             + (1.0 - n_stop_types / n_unique) * 0.2 AS quality
+           {QUALITY_SQL} AS quality
     FROM feats
     """,
 )
@@ -292,6 +318,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")])
     feats = docs.select(
         "doc_id",
+        "text",
         F.size(toks).cast("double").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("double").alias("n_unique"),
         F.size(F.array_intersect(toks, stop)).cast("double").alias("n_stop_types"),
@@ -303,11 +330,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_unique") / F.col("n_tokens")).alias("uniq_ratio"),
         (F.col("n_stop_types") / F.col("n_unique")).alias("stop_ratio"),
         (F.col("n_chars") / F.col("n_tokens")).alias("avg_tok_len"),
-        (
-            F.least(F.col("n_tokens") / 64.0, F.lit(1.0)) * 0.4
-            + (F.col("n_unique") / F.col("n_tokens")) * 0.4
-            + (F.lit(1.0) - F.col("n_stop_types") / F.col("n_unique")) * 0.2
-        ).alias("quality"),
+        quality_expr(F.split(F.col("text"), " ")).alias("quality"),
     )
 
 
@@ -984,17 +1007,11 @@ _BUDGET_FEATS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 @REG.query(
     "mix_token_budget_select",
-    oracle="""
+    oracle=f"""
     WITH feats AS (
       SELECT doc_id, source,
              CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
-             LEAST(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) / 64.0, 1.0) * 0.4
-               + (CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
-                  / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE)) * 0.4
-               + (1.0 - CAST(LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
-                    ['the', 'a', 'of', 'and', 'to'])) AS DOUBLE)
-                      / CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE))
-                 * 0.2 AS quality
+             {QUALITY_SQL} AS quality
       FROM documents
     ),
     tot AS (
@@ -1042,17 +1059,9 @@ def mix_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache_key = (spark.sparkContext.applicationId, sf_dir)
     feats = _BUDGET_FEATS_CACHE.get(cache_key)
     if feats is None:
-        docs = read_table(spark, sf_dir, "documents")
+        docs = spread(read_table(spark, sf_dir, "documents"))
         toks = F.split(F.col("text"), " ")
-        ntd = F.size(toks).cast("double")
-        nu = F.size(F.array_distinct(toks)).cast("double")
-        stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")])
-        ns = F.size(F.array_intersect(toks, stop)).cast("double")
-        quality = (
-            F.least(ntd / 64.0, F.lit(1.0)) * 0.4
-            + (nu / ntd) * 0.4
-            + (F.lit(1.0) - ns / nu) * 0.2
-        )
+        quality = quality_expr(toks)
         feats = docs.select(
             "doc_id",
             "source",

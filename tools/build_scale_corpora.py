@@ -11,11 +11,16 @@ reproducible recipe:
   suffixes every token with `_r` — DISJOINT vocabulary per replica, so
   near-dup relations don't explode quadratically across replicas while
   within-replica dup structure is preserved exactly; n_chars recomputed.
-- embeddings: R replicas, vec_id shifted by 10^4; replica r > 0 rolls the
-  vector by r % 64 dimensions (norm-preserving, so unit-norm invariants
-  and cosine structure survive); replica 0 is untouched, which keeps the
-  fixed ANN query set (vec_id < 5) bit-identical at every scale — recall
-  numbers stay comparable across corpus sizes.
+- embeddings: R replicas, vec_id shifted by 10^4; replica r in 1..63
+  rolls the vector by r dimensions and replicas >= 64 REVERSE then roll
+  by r % 64 (both transforms norm-preserving, so unit-norm invariants
+  and cosine structure survive) — 128 distinct transforms, so no two
+  replicas are bit-exact copies (the original roll-only recipe made
+  replica 64+k a duplicate of replica k, injecting 36 exact-dup replica
+  pairs into the 100x corpus; fixed round 4, see BASELINE.md note).
+  Replica 0 is untouched, which keeps the fixed ANN query set
+  (vec_id < 5) bit-identical at every scale — recall numbers stay
+  comparable across corpus sizes.
 - events: R replicas, event_id shifted by 10^8 and user_id by 10^6
   (constant per-user event density — sessionize/funnel state per key
   stays fixed while key count scales).
@@ -63,8 +68,13 @@ EMB_SQL = """
 COPY (
   SELECT CAST(vec_id + 10000 * r AS BIGINT) AS vec_id,
          CASE WHEN r = 0 THEN embedding
-              ELSE CAST(list_concat(embedding[(r % 64) + 1:64],
-                                    embedding[1:(r % 64)]) AS FLOAT[])
+              WHEN r < 64 THEN
+                CAST(list_concat(embedding[(r % 64) + 1:64],
+                                 embedding[1:(r % 64)]) AS FLOAT[])
+              ELSE
+                CAST(list_concat(list_reverse(embedding)[(r % 64) + 1:64],
+                                 list_reverse(embedding)[1:(r % 64)])
+                     AS FLOAT[])
          END AS embedding,
          label
   FROM read_parquet('{src}/embeddings.parquet'),
