@@ -134,3 +134,52 @@ def checkpoint_chain(
     """Compact a chain back into a new full snapshot (bounded restore
     cost — the chain never grows past the compaction interval)."""
     write_snapshot(restore_to_version(spark, full_snapshot_dir, delta_dirs), out_dir)
+
+
+def expire_chain(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    full_snapshot_dir: str,
+    delta_dirs: list[str],
+) -> list[str]:
+    """Retention: delete a chain's old full snapshot and the deltas a
+    checkpoint has already compacted — the step that keeps N daily
+    incrementals from accumulating forever (write → diff → checkpoint
+    → EXPIRE is the full lifecycle).
+
+    Safety latch: refuses to delete ANYTHING unless the checkpoint is
+    readable and its manifest row count both (a) is positive and
+    (b) equals the checkpoint's actual row count — a truncated or
+    half-written checkpoint must never authorize destroying the only
+    chain that can reconstruct it.  Returns the directories removed.
+
+    Scale note: the validation reads one manifest JSON and one
+    count() over the checkpoint — O(checkpoint), no chain replay; the
+    deletions are filesystem metadata ops."""
+    import shutil
+
+    from firebase_realtime_database_backup_spark.sinks.snapshot import (
+        read_manifest,
+        read_snapshot,
+    )
+
+    manifest_rows = read_manifest(spark, checkpoint_dir).agg(
+        F.sum("n_rows")
+    ).collect()[0][0]
+    if not manifest_rows or manifest_rows <= 0:
+        raise ValueError(
+            f"checkpoint {checkpoint_dir!r} has an empty/unreadable "
+            "manifest; refusing to expire the chain it depends on"
+        )
+    actual = read_snapshot(spark, checkpoint_dir).count()
+    if actual != manifest_rows:
+        raise ValueError(
+            f"checkpoint {checkpoint_dir!r} row count {actual} != "
+            f"manifest {manifest_rows}; refusing to expire the chain"
+        )
+    removed = []
+    for d in [full_snapshot_dir, *delta_dirs]:
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+            removed.append(d)
+    return removed

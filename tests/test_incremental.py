@@ -60,3 +60,41 @@ def test_apply_delta_is_identity_on_empty_diff(spark):
     assert empty.isEmpty()
     out = apply_delta(v1, empty)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, v1.collect()))
+
+
+def test_expire_chain_after_checkpoint(spark, tmp_path):
+    """write -> delta -> checkpoint -> expire: the old full snapshot and
+    compacted delta are deleted ONLY after the checkpoint validates,
+    and the checkpoint alone still reconstructs the current tree."""
+    import pytest
+
+    from firebase_realtime_database_backup_spark.sinks.incremental import (
+        checkpoint_chain,
+        expire_chain,
+    )
+    from firebase_realtime_database_backup_spark.sinks.snapshot import (
+        read_snapshot,
+    )
+
+    full_dir = str(tmp_path / "full")
+    delta_dir = str(tmp_path / "delta1")
+    ckpt_dir = str(tmp_path / "ckpt")
+    v1, v2 = tree_from_dict(spark, V1), tree_from_dict(spark, V2)
+    write_snapshot(v1, full_dir)
+    incremental_backup(spark, v2, full_dir, delta_dir)
+    checkpoint_chain(spark, full_dir, [delta_dir], ckpt_dir)
+
+    removed = expire_chain(spark, ckpt_dir, full_dir, [delta_dir])
+    assert sorted(removed) == sorted([full_dir, delta_dir])
+    import os
+
+    assert not os.path.isdir(full_dir) and not os.path.isdir(delta_dir)
+    # the checkpoint alone IS the current state
+    assert sorted(map(tuple, read_snapshot(spark, ckpt_dir).collect())) == sorted(
+        map(tuple, v2.collect())
+    )
+
+    # safety latch: a missing/invalid checkpoint refuses to delete
+    with pytest.raises(Exception):
+        expire_chain(spark, str(tmp_path / "nope"), ckpt_dir, [])
+    assert os.path.isdir(ckpt_dir)
