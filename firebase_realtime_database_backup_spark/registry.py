@@ -136,29 +136,53 @@ DRIVER_PASSED = frozenset({
     "tree_normalize_events", "tree_path_ops", "tree_subtree_sizes",
     "udf_grouped_topn", "udf_pandas_scalar",
     "url_project_id_parse",
+    # round 4 (CORRECTNESS_r04.json — 50/50 PASS):
+    "agg_countmin_sketch", "agg_heavy_hitters", "agg_mode_per_group",
+    "agg_regression_exact", "agg_string_agg",
+    "dedup_cross_corpus_cosine", "dedup_minhash_estimate_audit",
+    "events_anomaly_mad", "events_attribution_linear",
+    "events_funnel_windowed", "events_moving_median",
+    "events_rfm_scaled", "events_sliding_distinct",
+    "events_top_sequences",
+    "ingest_schema_evolution",
+    "join_asof_forward", "join_asof_nearest", "join_asof_tolerance",
+    "join_bloom_prefilter", "join_shuffle_hash_hint",
+    "layout_zorder", "mix_token_budget_select",
+    "multimodal_phash_hamming",
+    "quality_benford", "quality_column_profile", "quality_drift_chi2",
+    "quality_referential_integrity", "quality_skew_report",
+    "sample_stratified_topk",
+    "sim_centroid_drift", "sim_contrastive_triplets",
+    "sim_dim_truncation_recall", "sim_norm_anomaly",
+    "sink_snapshot_diff",
+    "stream_daily_active", "stream_stateful_user_totals",
+    "stream_stream_join", "stream_window_session",
+    "stream_window_sliding", "stream_window_tumbling",
+    "text_adaptive_length_filter", "text_bigram_collocations",
+    "text_bigram_surprisal", "text_bpe_encode", "text_bpe_merges",
+    "text_char_entropy", "text_span_dedup", "text_span_scrub",
+    "text_surprisal_score",
+    "window_streaks",
 })
 
 
-# The 29 oracle-backed queries that existed before round 4 but were
-# never inside a driver attestation window (the round-3 verdict's
-# "What's missing" list).  More never-attested names exist than the
-# driver's ~50-slot window holds, so these float to the VERY front:
-# attesting them completes driver-proven coverage of the whole
-# r1-r3 surface, while round-4 additions that overflow the window
-# simply attest next round.
+# The 17 oracle-backed queries that existed before round 5 but were
+# never inside a driver attestation window (the round-4 verdict's
+# "What's missing" list — all judged green in the judge's local
+# driver-faithful loop, never driver-attested).  These float to the
+# VERY front of the window: attesting them completes driver-proven
+# coverage of the whole r1-r4 surface (211/211), while round-5
+# additions fill the remaining window slots in tier 1.
 ATTEST_BACKLOG = frozenset({
-    "agg_countmin_sketch", "agg_heavy_hitters", "agg_mode_per_group",
-    "agg_regression_exact", "agg_string_agg", "events_anomaly_mad",
-    "events_attribution_linear", "events_moving_median",
-    "events_rfm_scaled", "events_sliding_distinct",
-    "events_top_sequences", "join_asof_forward", "join_asof_nearest",
-    "join_bloom_prefilter", "join_shuffle_hash_hint", "layout_zorder",
-    "quality_benford", "quality_column_profile", "quality_drift_chi2",
-    "quality_referential_integrity", "quality_skew_report",
-    "sample_stratified_topk", "stream_daily_active",
-    "stream_stateful_user_totals", "stream_stream_join",
-    "stream_window_session", "stream_window_sliding",
-    "stream_window_tumbling", "window_streaks",
+    "agg_median_twolevel", "events_activity_concentration",
+    "events_adoption_curve", "events_audience_overlap",
+    "events_dau_wau_stickiness", "events_ewma_daily",
+    "events_forecast_backtest", "events_seasonality_profile",
+    "events_session_gap_histogram", "events_trending_topk",
+    "graph_triangle_count", "join_interval_overlap",
+    "join_scd2_pointintime", "layout_compact_small_files",
+    "quality_corpus_datasheet", "stream_watermark_audit",
+    "window_open_intervals",
 })
 
 

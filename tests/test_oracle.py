@@ -59,6 +59,62 @@ def test_driver_passed_names_exist(spark):
     assert not unknown, f"DRIVER_PASSED names not in registry: {sorted(unknown)}"
 
 
+def test_attest_backlog_not_stale(spark):
+    """Rotation-staleness lint (the round-3 AND round-4 process bug).
+
+    ATTEST_BACKLOG pins never-attested names to the front of the
+    driver's capped window.  Twice now a round ended with the backlog
+    fully attested but the constants not rotated, so the next round's
+    window re-proved the same names and attested nothing new.  Fail
+    loudly the moment every backlog member is already in DRIVER_PASSED:
+    the fix is to append the round's CORRECTNESS passes to
+    DRIVER_PASSED and repoint ATTEST_BACKLOG at whatever remains
+    unattested (or empty the backlog if nothing remains)."""
+    import __spark_entry__ as entrymod
+
+    from firebase_realtime_database_backup_spark.registry import (
+        ATTEST_BACKLOG,
+        DRIVER_PASSED,
+    )
+
+    stale = ATTEST_BACKLOG & DRIVER_PASSED
+    assert not stale, (
+        f"ATTEST_BACKLOG names already driver-attested (rotate the "
+        f"constants): {sorted(stale)}"
+    )
+    unknown = ATTEST_BACKLOG - set(entrymod.queries())
+    assert not unknown, f"ATTEST_BACKLOG names not in registry: {sorted(unknown)}"
+
+
+def test_attest_backlog_leads_window(spark):
+    """The first len(backlog) oracle-backed names the driver sees must
+    be exactly the backlog — otherwise the ~50-slot window wastes
+    capacity re-proving attested queries (simulates the driver walk)."""
+    import __spark_entry__ as entrymod
+
+    from firebase_realtime_database_backup_spark.registry import ATTEST_BACKLOG
+
+    oracle_backed = [n for n in entrymod.queries() if n in entrymod.oracle_sql()]
+    head = set(oracle_backed[: len(ATTEST_BACKLOG)])
+    assert head == set(ATTEST_BACKLOG), (
+        f"window head != backlog; missing={sorted(ATTEST_BACKLOG - head)}, "
+        f"unexpected={sorted(head - ATTEST_BACKLOG)}"
+    )
+
+
+def test_prod_twins_are_registered_queries(spark):
+    """Every prod-twin pointer must name a registered query (the
+    teaching→production audit trail is only useful if the twin runs)."""
+    from firebase_realtime_database_backup_spark.registry import build_registry
+
+    reg = build_registry()
+    for teaching, twin in reg.prod_twins.items():
+        assert teaching in reg.queries, f"prod_twin key {teaching!r} unregistered"
+        assert twin in reg.queries, (
+            f"prod_twin {teaching!r} -> {twin!r} names an unregistered query"
+        )
+
+
 def test_every_oracle_has_query(spark):
     import __spark_entry__ as entrymod
 
