@@ -3431,8 +3431,11 @@ def agg_median_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") == F.col("k") - F.col("prev"))
     )
+    # COALESCE the count: on an empty table `picked` has zero rows, so
+    # MAX(n) is NULL while the oracle's COUNT(*) is 0 (medians stay
+    # NULL on both engines).
     return picked.agg(
-        F.max("n").alias("n_rows"),
+        F.coalesce(F.max("n"), F.lit(0).cast("bigint")).alias("n_rows"),
         F.avg("c").alias("median_cents"),
         (F.avg("c") / 100.0).alias("median_price"),
     )
@@ -5322,6 +5325,18 @@ def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = read_table(spark, sf_dir, "documents").select(
             "doc_id", "lang", "source", "n_chars"
         )
+        if docs.isEmpty():
+            # Empty corpus: nothing to fragment or compact.  Writing
+            # would still produce max(1, ceil(0/target)) = 1 empty part
+            # file (and a row-less parquet dir whose read-back can fail
+            # schema inference), diverging from the oracle's
+            # CEIL(0/256.0) = 0.  Emit the audit row directly: all
+            # counts 0, docid_sum NULL (SUM over zero rows).
+            return spark.createDataFrame(
+                [(0, 0, 0, None)],
+                "n_files_before bigint, n_rows bigint, "
+                "n_files_after bigint, docid_sum bigint",
+            )
         tag = hashlib.sha1(memo_key[1].encode()).hexdigest()[:12]
         root = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

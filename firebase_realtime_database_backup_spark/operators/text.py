@@ -1663,9 +1663,12 @@ def _bpe_cte_chain(k_rounds: int) -> str:
     wrapped CHR(31)..CHR(30), so a plain left-to-right REPLACE of the
     encoded pair is exactly BPE's greedy non-overlapping merge and can
     never match across symbol boundaries (merging (a,b) cannot corrupt
-    a neighboring symbol 'bc').  COALESCE(.., CHR(2)) keeps REPLACE a
-    no-op when a round finds no pair (degenerate corpora), matching the
-    Spark loop's early break.  Every w{k} carries the original word so
+    a neighboring symbol 'bc').  COALESCE(.., CHR(31)||CHR(30)) keeps
+    REPLACE a no-op when a round finds no pair (degenerate corpora),
+    matching the Spark loop's early break — the sentinel is an EMPTY
+    delimited symbol, which the grammar (symbols are non-empty) makes
+    unmatchable even on a corpus whose vocabulary contains control
+    characters like '\\x02'.  Every w{k} carries the original word so
     the encode query can join the final symbol table back onto docs."""
     enc = "ARRAY_TO_STRING(LIST_TRANSFORM(syms, s -> CHR(31)||s||CHR(30)), '')"
     parts = [
@@ -1691,7 +1694,7 @@ def _bpe_cte_chain(k_rounds: int) -> str:
       SELECT w, LIST_TRANSFORM(LIST_FILTER(STRING_SPLIT(
                REPLACE({enc},
                  COALESCE((SELECT CHR(31)||a||CHR(30)||CHR(31)||b||CHR(30)
-                           FROM p{k}), CHR(2)),
+                           FROM p{k}), CHR(31)||CHR(30)),
                  COALESCE((SELECT CHR(31)||a||b||CHR(30) FROM p{k}), '')),
                CHR(30)), x -> x <> ''), x -> x[2:]) AS syms, n
       FROM w{k}

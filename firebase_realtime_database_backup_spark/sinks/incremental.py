@@ -125,6 +125,11 @@ def restore_to_version(
     return tree
 
 
+#: Sidecar file a checkpoint writes to record WHICH chain it compacted
+#: (consumed by expire_chain's provenance latch).
+PROVENANCE_FILE = "chain_provenance.json"
+
+
 def checkpoint_chain(
     spark: SparkSession,
     full_snapshot_dir: str,
@@ -132,8 +137,22 @@ def checkpoint_chain(
     out_dir: str,
 ) -> None:
     """Compact a chain back into a new full snapshot (bounded restore
-    cost — the chain never grows past the compaction interval)."""
+    cost — the chain never grows past the compaction interval).
+
+    Also records the compacted chain's directories in a provenance
+    sidecar so retention (expire_chain) can verify it is deleting the
+    chain THIS checkpoint supersedes, not an unrelated one."""
+    import json
+
     write_snapshot(restore_to_version(spark, full_snapshot_dir, delta_dirs), out_dir)
+    with open(os.path.join(out_dir, PROVENANCE_FILE), "w") as fh:
+        json.dump(
+            {
+                "full_snapshot_dir": os.path.abspath(full_snapshot_dir),
+                "delta_dirs": [os.path.abspath(d) for d in delta_dirs],
+            },
+            fh,
+        )
 
 
 def expire_chain(
@@ -147,15 +166,28 @@ def expire_chain(
     incrementals from accumulating forever (write → diff → checkpoint
     → EXPIRE is the full lifecycle).
 
-    Safety latch: refuses to delete ANYTHING unless the checkpoint is
-    readable and its manifest row count both (a) is positive and
-    (b) equals the checkpoint's actual row count — a truncated or
-    half-written checkpoint must never authorize destroying the only
-    chain that can reconstruct it.  Returns the directories removed.
+    Safety latches (ALL must pass before anything is deleted):
 
-    Scale note: the validation reads one manifest JSON and one
-    count() over the checkpoint — O(checkpoint), no chain replay; the
-    deletions are filesystem metadata ops."""
+    1. Integrity: the checkpoint is readable and its manifest row count
+       is positive and equals the checkpoint's actual row count — a
+       truncated or half-written checkpoint must never authorize
+       destroying the only chain that can reconstruct it.
+    2. Provenance: the checkpoint's `chain_provenance.json` (written by
+       checkpoint_chain) must name the directories being expired — a
+       caller passing the WRONG chain (one this checkpoint never
+       compacted, still needed by some other checkpoint) is refused.
+       For checkpoints predating the sidecar, fall back to a content
+       cross-check: replay the chain and require its diff against the
+       checkpoint to be empty (one full-outer join).
+
+    Returns the directories removed.
+
+    Scale note: with provenance present the validation reads one
+    manifest JSON, one sidecar JSON, and one count() over the
+    checkpoint — O(checkpoint), no chain replay; the deletions are
+    filesystem metadata ops.  The no-sidecar fallback replays the
+    chain once (retention is rare; correctness beats speed here)."""
+    import json
     import shutil
 
     from firebase_realtime_database_backup_spark.sinks.snapshot import (
@@ -177,6 +209,37 @@ def expire_chain(
             f"checkpoint {checkpoint_dir!r} row count {actual} != "
             f"manifest {manifest_rows}; refusing to expire the chain"
         )
+    prov_path = os.path.join(checkpoint_dir, PROVENANCE_FILE)
+    if os.path.isfile(prov_path):
+        with open(prov_path) as fh:
+            prov = json.load(fh)
+        recorded_full = prov.get("full_snapshot_dir")
+        recorded_deltas = set(prov.get("delta_dirs", []))
+        if os.path.abspath(full_snapshot_dir) != recorded_full:
+            raise ValueError(
+                f"checkpoint {checkpoint_dir!r} compacted full snapshot "
+                f"{recorded_full!r}, not {full_snapshot_dir!r}; refusing "
+                "to expire a chain it does not supersede"
+            )
+        strays = [
+            d for d in delta_dirs if os.path.abspath(d) not in recorded_deltas
+        ]
+        if strays:
+            raise ValueError(
+                f"checkpoint {checkpoint_dir!r} never compacted delta "
+                f"dirs {strays!r}; refusing to expire them"
+            )
+    else:
+        # Pre-provenance checkpoint: prove BY CONTENT that the passed
+        # chain reconstructs exactly this checkpoint before deleting it.
+        replayed = restore_to_version(spark, full_snapshot_dir, delta_dirs)
+        n_diff = tree_diff(replayed, read_snapshot(spark, checkpoint_dir)).count()
+        if n_diff:
+            raise ValueError(
+                f"chain replay differs from checkpoint {checkpoint_dir!r} "
+                f"on {n_diff} rows; refusing to expire a chain the "
+                "checkpoint does not supersede"
+            )
     removed = []
     for d in [full_snapshot_dir, *delta_dirs]:
         if os.path.isdir(d):

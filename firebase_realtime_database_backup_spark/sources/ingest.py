@@ -290,10 +290,15 @@ def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = spark.read.option("mergeSchema", "true").parquet(
         os.path.join(fixture, "v1"), os.path.join(fixture, "v2")
     )
+    # Classify generations by the SAME rule the oracle uses (doc_id
+    # parity), not by n_chars NULL-ness: a v2 row whose n_chars is
+    # legitimately NULL must still count as v2, and the backfilled-NULL
+    # accounting must not absorb it into v1.
+    is_v2 = F.col("doc_id") % 2 == 1
     return merged.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.count(F.when(F.col("n_chars").isNull(), 1)).alias("n_v1"),
-        F.count("n_chars").alias("n_v2_with_chars"),
-        F.sum("n_chars").alias("chars_sum_v2"),
+        F.count(F.when(~is_v2, 1)).alias("n_v1"),
+        F.count(F.when(is_v2, 1)).alias("n_v2_with_chars"),
+        F.sum(F.when(is_v2, F.col("n_chars"))).alias("chars_sum_v2"),
         F.sum("doc_id").alias("docid_sum"),
     )

@@ -98,3 +98,48 @@ def test_expire_chain_after_checkpoint(spark, tmp_path):
     with pytest.raises(Exception):
         expire_chain(spark, str(tmp_path / "nope"), ckpt_dir, [])
     assert os.path.isdir(ckpt_dir)
+
+
+def test_expire_chain_refuses_wrong_chain(spark, tmp_path):
+    """Provenance latch: a valid checkpoint must not authorize deleting
+    a chain it never compacted (the unrelated-chain footgun), and a
+    pre-provenance checkpoint falls back to the content cross-check."""
+    import os
+
+    import pytest
+
+    from firebase_realtime_database_backup_spark.sinks.incremental import (
+        PROVENANCE_FILE,
+        checkpoint_chain,
+        expire_chain,
+    )
+
+    full_a = str(tmp_path / "full_a")
+    delta_a = str(tmp_path / "delta_a")
+    ckpt_a = str(tmp_path / "ckpt_a")
+    full_b = str(tmp_path / "full_b")  # unrelated, still-needed chain
+    v1, v2 = tree_from_dict(spark, V1), tree_from_dict(spark, V2)
+    write_snapshot(v1, full_a)
+    write_snapshot(v1, full_b)  # content differs from the checkpoint (v2)
+    incremental_backup(spark, v2, full_a, delta_a)
+    checkpoint_chain(spark, full_a, [delta_a], ckpt_a)
+
+    # wrong full snapshot: refused, nothing deleted
+    with pytest.raises(ValueError, match="does not supersede"):
+        expire_chain(spark, ckpt_a, full_b, [delta_a])
+    assert os.path.isdir(full_b) and os.path.isdir(full_a)
+
+    # wrong delta list: refused
+    with pytest.raises(ValueError, match="never compacted"):
+        expire_chain(spark, ckpt_a, full_a, [delta_a, full_b])
+    assert os.path.isdir(full_b)
+
+    # pre-provenance checkpoint (sidecar removed): the content
+    # cross-check replays the chain — wrong chain still refused...
+    os.remove(os.path.join(ckpt_a, PROVENANCE_FILE))
+    with pytest.raises(ValueError, match="differs from checkpoint"):
+        expire_chain(spark, ckpt_a, full_b, [])
+    assert os.path.isdir(full_b)
+    # ...and the true chain passes
+    removed = expire_chain(spark, ckpt_a, full_a, [delta_a])
+    assert sorted(removed) == sorted([full_a, delta_a])
