@@ -32,6 +32,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from firebase_realtime_database_backup_spark.catalog import read_table, spread
+from firebase_realtime_database_backup_spark.functions.hashing import (
+    knuth_bucket_sql,
+)
 from firebase_realtime_database_backup_spark.operators.text import (
     SHINGLE_SQL_CTE,
     doc_shingle_ids,
@@ -516,24 +519,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REG.query("dedup_clusters")  # rows-only: iterative fixpoint, not one SQL query
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate CLUSTERS from near-dup pairs: connected components via
-    iterative min-label propagation — the step that turns pairwise
-    near-dup evidence into keep/drop decisions (keep = cluster min).
+def min_label_components(pairs: DataFrame, max_iter: int = 8) -> DataFrame:
+    """Connected components of an undirected pair list `(doc_a, doc_b)`
+    via iterative min-label propagation: every node repeatedly adopts
+    the smallest label among itself and its neighbors (two shuffles per
+    iteration: edge join + min-agg) until a fixpoint.  Iterations
+    needed = graph diameter, tiny for dup clusters (near-cliques from
+    band collisions); the driver loops, data never leaves executors —
+    the canonical Spark shape for iterative algorithms.
 
-    Each iteration: every node adopts the smallest label among itself
-    and its neighbors (two shuffles: edge join + min-agg).  Iterations
-    needed = graph diameter, which for dup clusters (near-cliques from
-    band collisions) is tiny; the driver loops until a fixpoint count
-    converges — the canonical Spark shape for iterative algorithms
-    (driver controls iteration, data never leaves executors).
-
-    Rows-only check: the fixpoint loop is not a single SQL query
-    (DuckDB's recursive CTEs forbid aggregation in the recursive arm);
-    correctness is pytest-asserted against a brute-force union-find in
-    tests/test_dedup_clusters.py."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    Shared by dedup_clusters (text near-dup graph) and
+    multimodal_phash_cluster (pHash Hamming graph): the consumer of
+    ANY pair-emitting dedup tier wants keep/drop decisions, i.e.
+    cluster labels, not the quadratic pair list.  Returns
+    `(doc_id, cluster_id)` for every node that appears in `pairs`."""
     # symmetric edge list incl. self-loops so isolated endpoints keep labels
     edges = (
         pairs.unionByName(
@@ -551,7 +550,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("changed", F.lit(False))
         .localCheckpoint(eager=True)
     )
-    for _ in range(8):  # diameter bound for near-clique dup clusters
+    for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["doc_b"] == labels["doc_id"])
             .groupBy("doc_a")
@@ -577,7 +576,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     return labels.select(
         "doc_id", F.col("label").alias("cluster_id")
-    ).orderBy("doc_id")
+    )
+
+
+@REG.query("dedup_clusters")  # rows-only: iterative fixpoint, not one SQL query
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: connected components via
+    iterative min-label propagation (see min_label_components) — the
+    step that turns pairwise near-dup evidence into keep/drop
+    decisions (keep = cluster min).
+
+    Rows-only check: the fixpoint loop is not a single SQL query
+    (DuckDB's recursive CTEs forbid aggregation in the recursive arm);
+    correctness is pytest-asserted against a brute-force union-find in
+    tests/test_dedup_clusters.py."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return min_label_components(pairs).orderBy("doc_id")
 
 
 @REG.query(
@@ -2018,6 +2032,7 @@ def dedup_semantic_kmeans_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
            ABS(e.jaccard - CAST(n_eq AS DOUBLE) / {MINHASH_K}) AS abs_err
     FROM exact e JOIN est USING (doc_a, doc_b)
     """,
+    prod_twin="dedup_minhash_audit_sampled",
 )
 def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash estimation-error audit over the pairs the banded LSH
@@ -2051,6 +2066,123 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifying dedup ops are free to inner-join it away."""
     dshingle = doc_shingle_ids(spark, sf_dir).cache()
     bands = _band_index(spark, sf_dir, "dict")
+    cands = _candidate_pairs(bands, bands, "doc_a", "doc_b", ordered=True)
+    overlap = _pair_overlap(cands, dshingle, "doc_a", "doc_b")
+    exact = overlap.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("n_common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+        ).alias("jaccard"),
+    )
+    sig = _minhash_signatures(dshingle)
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(MINHASH_K)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(MINHASH_K)],
+    )
+    n_eq = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        for i in range(MINHASH_K)
+    ).cast("bigint")
+    return (
+        exact.join(F.broadcast(sig_a), "doc_a")
+        .join(F.broadcast(sig_b), "doc_b")
+        .withColumn("minhash_est", n_eq.cast("double") / MINHASH_K)
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            "minhash_est",
+            F.abs(F.col("jaccard") - F.col("minhash_est")).alias("abs_err"),
+        )
+    )
+
+
+#: Doc-level sampling modulus for the SAMPLED estimate audit: keep docs
+#: whose Knuth bucket is 0 (1/MOD of the corpus), so candidate PAIRS
+#: survive at ~1/MOD² — production tunes this to whatever audit budget
+#: it has (e.g. MOD=32 ≈ 0.1% of pairs).  2 here so the test corpora
+#: keep enough sampled pairs to exercise the whole estimate pipeline.
+AUDIT_DOC_SAMPLE_MOD = 2
+
+
+@REG.query(
+    "dedup_minhash_audit_sampled",
+    oracle=f"""
+    WITH {SHINGLE_SQL_CTE},
+    {MINHASH_BANDS_SQL_CTE},
+    sbands AS (
+      SELECT * FROM bands
+      WHERE {knuth_bucket_sql("doc_id", AUDIT_DOC_SAMPLE_MOD)} = 0
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sbands a JOIN sbands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(y.sid) AS n_common
+      FROM cands c
+      LEFT JOIN dshingle x ON x.doc_id = c.doc_a
+      LEFT JOIN dshingle y ON y.doc_id = c.doc_b AND y.sid = x.sid
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    exact AS (
+      SELECT i.doc_a, i.doc_b,
+             CAST(i.n_common AS DOUBLE)
+               / (sa.sz + sb.sz - i.n_common) AS jaccard
+      FROM inter i
+      JOIN doc_sizes sa ON sa.doc_id = i.doc_a
+      JOIN doc_sizes sb ON sb.doc_id = i.doc_b
+    ),
+    est AS (
+      SELECT e.doc_a, e.doc_b,
+             CAST(SUM(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_eq
+      FROM exact e
+      JOIN hashes ha ON ha.doc_id = e.doc_a
+      JOIN hashes hb ON hb.doc_id = e.doc_b AND hb.i = ha.i
+      GROUP BY e.doc_a, e.doc_b
+    )
+    SELECT e.doc_a, e.doc_b, e.jaccard,
+           CAST(n_eq AS DOUBLE) / {MINHASH_K} AS minhash_est,
+           ABS(e.jaccard - CAST(n_eq AS DOUBLE) / {MINHASH_K}) AS abs_err
+    FROM exact e JOIN est USING (doc_a, doc_b)
+    """,
+)
+def dedup_minhash_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The estimate audit's PRODUCTION twin: identical per-pair output
+    (exact Jaccard, signature estimate, absolute error) over a
+    deterministic doc-level sample — the form whose cost is DECOUPLED
+    from candidate-pair volume.  dedup_minhash_estimate_audit audits
+    every pair the band join emits, which on a near-dup-heavy corpus
+    is quadratic in cluster width (129 s at 100× in BASELINE.md, all
+    pair emission); an audit only needs enough pairs to bound the
+    estimator's error distribution, so production samples.
+
+    Sampling is at the DOC grain, BEFORE the band self-join: keeping
+    docs with Knuth bucket 0 (functions/hashing.py — the shared
+    overflow-safe hash every deterministic sampler uses) shrinks the
+    band index by 1/MOD and the join's pair output by ~1/MOD², and the
+    downstream shingle-set broadcast and signature joins see only
+    sampled docs.  Every audited pair is a REAL candidate pair with
+    exact stats — the sample restricts to the subgraph induced by
+    sampled docs, which leaves the per-pair error distribution
+    untouched (pair inclusion is independent of its Jaccard).
+    Engine-reproducible: both sides compute the identical bucket, so
+    the sampled audit is oracle-exact, not statistically compared."""
+    from firebase_realtime_database_backup_spark.functions.hashing import (
+        knuth_bucket,
+    )
+
+    sampled = knuth_bucket(F.col("doc_id"), AUDIT_DOC_SAMPLE_MOD) == 0
+    dshingle = doc_shingle_ids(spark, sf_dir).filter(sampled).cache()
+    bands = _band_index(spark, sf_dir, "dict").filter(sampled)
     cands = _candidate_pairs(bands, bands, "doc_a", "doc_b", ordered=True)
     overlap = _pair_overlap(cands, dshingle, "doc_a", "doc_b")
     exact = overlap.select(

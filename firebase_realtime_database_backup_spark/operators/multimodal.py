@@ -518,6 +518,7 @@ PHASH_HAMMING_MAX = 3
     WHERE BIT_COUNT(XOR(lo_a, lo_b)) + BIT_COUNT(XOR(hi_a, hi_b))
           <= {PHASH_HAMMING_MAX}
     """,
+    prod_twin="multimodal_phash_cluster",
 )
 def multimodal_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash NEAR-dup pairs within Hamming distance 3 — the
@@ -586,6 +587,51 @@ def multimodal_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
         )
         .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+    )
+
+
+@REG.query("multimodal_phash_cluster")  # rows-only: iterative fixpoint
+def multimodal_phash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Hamming pair emitter's PRODUCTION route: near-dup CLUSTERS
+    instead of pairs.  multimodal_phash_hamming's output is quadratic
+    in cluster width by construction (a 100-wide re-encode cluster is
+    4,950 pairs — the 61.8M pairs / 92 s at 100× in BASELINE.md is
+    pure output volume); the downstream consumer wants keep/drop
+    decisions, i.e. one label per image, which is linear.
+
+    Plan: the same Arrow hash pass and band self-join produce the edge
+    list, then min-label propagation (min_label_components, shared
+    with dedup_clusters — driver-looped, two shuffles per iteration,
+    lineage truncated per round) collapses it to components.  Output
+    grain is (doc_id, cluster_id, keep) — cluster size and a keep flag
+    (cluster min) ride along so a single anti-join applies the policy.
+    Edge volume is still quadratic IN THE SHUFFLE for pathological
+    clusters; production caps that with the standard trick of keeping
+    only the ≤K lowest-doc_id edges per (band, band_val) bucket, which
+    preserves connectivity within a bucket — not applied here so the
+    fixpoint test can compare against the exact pair list.
+
+    Rows-only check (fixpoint loop is not one SQL query); pytest
+    compares against a brute-force union-find over the attested
+    multimodal_phash_hamming pairs (tests/test_multimodal.py)."""
+    from firebase_realtime_database_backup_spark.operators.dedup import (
+        min_label_components,
+    )
+
+    pairs = multimodal_phash_hamming(spark, sf_dir).select("doc_a", "doc_b")
+    labels = min_label_components(pairs)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.join(F.broadcast(sizes), "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
     )
 
 

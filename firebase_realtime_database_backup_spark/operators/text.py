@@ -2463,6 +2463,7 @@ SPAN_W = 8
     FROM spans s JOIN counts c USING (span)
     GROUP BY s.doc_id
     """,
+    prod_twin="text_span_dedup_xxhash",
 )
 def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact dedup accounting (the C4 discipline: remove any

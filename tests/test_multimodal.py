@@ -20,3 +20,45 @@ def test_vectorized_decode_matches_scalar_fake():
         assert out.loc[out.doc_id == i, "raster_mean_x100"].iloc[0] == int(
             sum(want) * 100 // len(want)
         )
+
+
+def test_phash_cluster_matches_union_find(spark):
+    """multimodal_phash_cluster must equal a brute-force union-find
+    over the attested multimodal_phash_hamming pair list, and its
+    keep flag must mark exactly the cluster-min member."""
+    from firebase_realtime_database_backup_spark.operators.multimodal import (
+        multimodal_phash_cluster,
+        multimodal_phash_hamming,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in multimodal_phash_hamming(spark, sf).collect()
+    ]
+    assert pairs, "no hamming pairs at sf0.01"
+    rows = multimodal_phash_cluster(spark, sf).collect()
+    got = {r.doc_id: r.cluster_id for r in rows}
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict = {}
+    for x in parent:
+        comp.setdefault(find(x), []).append(x)
+    want = {x: min(members) for members in comp.values() for x in members}
+    assert got == want
+    sizes = {min(m): len(m) for m in comp.values()}
+    for r in rows:
+        assert r.cluster_size == sizes[r.cluster_id]
+        assert r.keep == (r.doc_id == r.cluster_id)
