@@ -1211,3 +1211,32 @@ def test_median_twolevel_sorts_only_boundary_bucket(spark, queries):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert ("b#" in line) or ("k#" in line), line
+
+
+def test_bpe_table_persisted_and_reused(spark):
+    """The BPE merge table must be trained once, persisted, and served
+    from parquet: (a) the persisted merges are identical to an inline
+    run of the training loop, (b) a second ensure call is a memo hit
+    (no retrain), and (c) the encode query's plan reads the persisted
+    vocab — the 6-round driver-argmax loop is amortized, not a
+    per-query cost."""
+    from firebase_realtime_database_backup_spark.operators.text import (
+        BPE_MERGES,
+        _bpe_loop,
+        ensure_bpe_table,
+        text_bpe_encode,
+        text_bpe_merges,
+    )
+
+    path = ensure_bpe_table(spark, SF)
+    got = sorted(tuple(r) for r in text_bpe_merges(spark, SF).collect())
+    _, inline_merges = _bpe_loop(spark, SF, BPE_MERGES)
+    assert got == sorted(inline_merges) and got
+    assert ensure_bpe_table(spark, SF) is path  # memo hit, no retrain
+    plan = (
+        text_bpe_encode(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "bpe_table_" in plan, "encode is not reading the persisted vocab"
