@@ -211,6 +211,188 @@ def test_pq_tiers_survive_tiny_identical_corpus(spark, degenerate_dir):
             assert [c for _, c in sorted(pairs)] == expected
 
 
+@pytest.fixture(scope="module")
+def r4_edge_dir(tmp_path_factory):
+    """Round-4 boundary shapes the 40-row edge corpus can't express:
+
+    - a SINGLE-DAY calendar (every order on 1996-06-01): the sweep-line
+      open-interval count has exactly one opening day, and every
+      urgent×high interval pair overlaps — the degenerate case for
+      first-shared-bin dedup in the binned overlap join;
+    - an ALL-ONE-VERSION SCD2 entity (user 7: one 'view' version, with
+      purchases strictly before it, AT its timestamp, and after) plus a
+      NO-VERSION entity (user 9: purchases, zero views) — the NULL
+      version carry and the dim-first equal-ts rule;
+    - a SINGLE-BUCKET lineitem (all prices inside one $100 bucket, even
+      count): both middle positions land in the boundary bucket and the
+      two-level median interpolates inside it;
+    - an EMPTY-MERGE-TABLE corpus for BPE (every word a distinct single
+      character): round 1 finds no adjacent pair, the loop breaks
+      immediately, and encode must still produce 1 symbol per word;
+    - the single day also collapses every trailing-window/daily-grain
+      events op (ewma, seasonality, trending, gap histogram, forecast
+      backtest, DAU/WAU) to its 1-day degenerate form."""
+    d = str(tmp_path_factory.mktemp("r4_edge_corpus"))
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.001"
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "embeddings"):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet') LIMIT 0)"
+            f" TO '{os.path.join(d, t + '.parquet')}' (FORMAT PARQUET)"
+        )
+
+    def copy(sql: str, name: str) -> None:
+        con.execute(f"COPY ({sql}) TO '{os.path.join(d, name)}' (FORMAT PARQUET)")
+
+    copy(
+        f"""
+        (SELECT * FROM read_parquet('{src}/orders.parquet') LIMIT 0)
+        UNION ALL
+        SELECT r + 1, r % 3, 'O', 1000.0 + r,
+               TIMESTAMP '1996-06-01 00:00:00',
+               CASE WHEN r % 2 = 0 THEN '1-URGENT' ELSE '2-HIGH' END
+        FROM range(8) t(r)
+        """,
+        "orders.parquet",
+    )
+    copy(
+        f"""
+        (SELECT * FROM read_parquet('{src}/events.parquet') LIMIT 0)
+        UNION ALL
+        SELECT * FROM (VALUES
+          -- user 7: ONE dim version (the all-one-version entity)
+          (1, TIMESTAMP '2024-06-01 12:00:00', 7, 'view', 1.5, '{{"item": "1"}}'),
+          --   facts: before any version / AT the version ts / after
+          (2, TIMESTAMP '2024-06-01 10:00:00', 7, 'purchase', 5.0, '{{"item": "2"}}'),
+          (3, TIMESTAMP '2024-06-01 12:00:00', 7, 'purchase', 6.0, '{{"item": "1"}}'),
+          (4, TIMESTAMP '2024-06-01 14:00:00', 7, 'purchase', 7.0, '{{"item": "3"}}'),
+          -- user 8: versions only, no facts
+          (5, TIMESTAMP '2024-06-01 09:00:00', 8, 'view', 2.0, '{{"item": "2"}}'),
+          (6, TIMESTAMP '2024-06-01 11:00:00', 8, 'view', 3.0, '{{"item": "3"}}'),
+          -- user 9: facts only, NO version ever (NULL carry)
+          (7, TIMESTAMP '2024-06-01 08:00:00', 9, 'purchase', 4.0, '{{"item": "2"}}'),
+          (8, TIMESTAMP '2024-06-01 16:00:00', 9, 'purchase', 9.0, '{{"item": "1"}}')
+        ) t(event_id, ts, user_id, event_type, value, props)
+        UNION ALL
+        -- volume within the SAME single day across types/users
+        SELECT 100 + r, TIMESTAMP '2024-06-01 00:00:00'
+                 + INTERVAL (r * 7) MINUTE,
+               10 + r % 4,
+               CASE r % 3 WHEN 0 THEN 'click' WHEN 1 THEN 'view'
+                          ELSE 'purchase' END,
+               CAST(r AS DOUBLE) / 2,
+               '{{"item": "' || (r % 5) || '"}}'
+        FROM range(24) t(r)
+        """,
+        "events.parquet",
+    )
+    copy(
+        f"""
+        (SELECT * FROM read_parquet('{src}/lineitem.parquet') LIMIT 0)
+        UNION ALL
+        SELECT r + 1, r + 1, r + 1, 1, 1.0,
+               10.00 + r * 13.37, 0.05, 0.02, 'N', 'O',
+               TIMESTAMP '1996-06-01 00:00:00'
+        FROM range(6) t(r)
+        """,
+        "lineitem.parquet",
+    )
+    copy(
+        f"""
+        (SELECT * FROM read_parquet('{src}/documents.parquet') LIMIT 0)
+        UNION ALL
+        SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), 'a b c', 'en', 's0', CAST(5 AS BIGINT)),
+          (CAST(2 AS BIGINT), 'd e', 'en', 's0', CAST(3 AS BIGINT)),
+          (CAST(3 AS BIGINT), 'f', 'de', 's1', CAST(1 AS BIGINT))
+        ) t(doc_id, text, lang, source, n_chars)
+        """,
+        "documents.parquet",
+    )
+    con.close()
+    return d
+
+
+#: The round-4 additions (the never-attested backlog) plus the BPE pair
+#: — each run under the FULL oracle comparison on the r4 edge shapes,
+#: like their r1-r3 peers on edge_dir.
+R4_EDGE_QUERIES = (
+    "agg_median_twolevel",
+    "events_activity_concentration",
+    "events_adoption_curve",
+    "events_audience_overlap",
+    "events_dau_wau_stickiness",
+    "events_ewma_daily",
+    "events_forecast_backtest",
+    "events_seasonality_profile",
+    "events_session_gap_histogram",
+    "events_trending_topk",
+    "graph_triangle_count",
+    "join_interval_overlap",
+    "join_scd2_pointintime",
+    "layout_compact_small_files",
+    "quality_corpus_datasheet",
+    "stream_watermark_audit",
+    "window_open_intervals",
+    "text_bpe_merges",
+    "text_bpe_encode",
+)
+
+
+def test_r4_surface_on_edge_shapes(spark, r4_edge_dir):
+    """Every round-4 query must hash-match its oracle on the boundary
+    corpus (single-day calendar, one-version/no-version SCD2 entities,
+    single-bucket median, empty BPE merge table)."""
+    import __spark_entry__ as e
+
+    queries, oracles = e.queries(), e.oracle_sql()
+    con = verify.duckdb_connection(r4_edge_dir)
+    failures = []
+    for name in R4_EDGE_QUERIES:
+        try:
+            r = verify.compare_query(
+                spark, con, name, queries[name], oracles[name], r4_edge_dir
+            )
+            if not r.ok:
+                failures.append((name, r.details[:1]))
+        except Exception as exc:  # noqa: BLE001 — collecting all failures
+            failures.append((name, str(exc).splitlines()[:1]))
+    assert not failures, failures
+
+
+def test_scd2_pointintime_version_carry(spark, r4_edge_dir):
+    """Pin the semantics the fixture was built for: purchase before any
+    version and no-version users carry NULL; the equal-ts purchase
+    resolves dim-first (picks the 12:00 version, not NULL)."""
+    import __spark_entry__ as e
+
+    rows = {
+        r.purchase_id: r
+        for r in e.queries()["join_scd2_pointintime"](spark, r4_edge_dir)
+        .filter("user_id IN (7, 9)")
+        .collect()
+    }
+    assert rows[2].version_value is None          # before any version
+    assert rows[3].version_value == 1.5           # equal ts -> dim-first
+    assert rows[4].version_value == 1.5           # after the version
+    assert rows[7].version_value is None          # user 9: no version ever
+    assert rows[8].version_value is None
+
+
+def test_bpe_empty_merge_table(spark, r4_edge_dir):
+    """Single-char vocabulary: zero merges mined, and encode still
+    emits one symbol per word."""
+    import __spark_entry__ as e
+
+    assert e.queries()["text_bpe_merges"](spark, r4_edge_dir).count() == 0
+    enc = {
+        r.doc_id: (r.n_words, r.n_symbols)
+        for r in e.queries()["text_bpe_encode"](spark, r4_edge_dir).collect()
+    }
+    assert enc == {1: (3, 3), 2: (2, 2), 3: (1, 1)}
+
+
 def test_all_queries_survive_edge_corpus(spark, edge_dir):
     import __spark_entry__ as e
 
