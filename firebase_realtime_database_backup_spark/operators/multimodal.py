@@ -595,36 +595,112 @@ def multimodal_phash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Hamming pair emitter's PRODUCTION route: near-dup CLUSTERS
     instead of pairs.  multimodal_phash_hamming's output is quadratic
     in cluster width by construction (a 100-wide re-encode cluster is
-    4,950 pairs — the 61.8M pairs / 92 s at 100× in BASELINE.md is
-    pure output volume); the downstream consumer wants keep/drop
-    decisions, i.e. one label per image, which is linear.
+    4,950 pairs — the 61.8M pairs at 100× in BASELINE.md is pure
+    output volume); the downstream consumer wants keep/drop decisions,
+    i.e. one label per image, which is linear.
 
-    Plan: the same Arrow hash pass and band self-join produce the edge
-    list, then min-label propagation (min_label_components, shared
-    with dedup_clusters — driver-looped, two shuffles per iteration,
-    lineage truncated per round) collapses it to components.  Output
-    grain is (doc_id, cluster_id, keep) — cluster size and a keep flag
-    (cluster min) ride along so a single anti-join applies the policy.
-    Edge volume is still quadratic IN THE SHUFFLE for pathological
-    clusters; production caps that with the standard trick of keeping
-    only the ≤K lowest-doc_id edges per (band, band_val) bucket, which
-    preserves connectivity within a bucket — not applied here so the
-    fixpoint test can compare against the exact pair list.
+    The load-bearing move is clustering at the HASH grain, never the
+    pair grain: equal 64-bit hashes are Hamming-0 (trivially one
+    component), so the doc relation first collapses to DISTINCT hash
+    values (each carrying its min doc_id as the node id and its
+    multiplicity) — at 100× that is 500k docs → 13,885 nodes, i.e.
+    the identical-hash multiplicity that made the pair list 61.8M
+    rows never materializes.  The band self-join + popcount verify
+    then runs between distinct hashes only, min-label propagation
+    (min_label_components, shared with dedup_clusters) runs on that
+    small node graph, and one broadcast join maps hash → component
+    label back onto the doc grain.  Exactness: a component's label is
+    the min node id = the global min doc_id of the component (every
+    doc's node id ≤ its doc_id), so output is row-identical to
+    running the fixpoint on the full verified pair list — asserted
+    against a brute-force union-find over the attested
+    multimodal_phash_hamming pairs in tests/test_multimodal.py.
 
-    Rows-only check (fixpoint loop is not one SQL query); pytest
-    compares against a brute-force union-find over the attested
-    multimodal_phash_hamming pairs (tests/test_multimodal.py)."""
+    Output grain is (doc_id, cluster_id, cluster_size, keep) — docs
+    appear iff they appear in some verified pair (multiplicity ≥ 2 or
+    a near-neighbor hash), keep marks the cluster-min row, so a
+    single anti-join applies the dedup policy.
+
+    Rows-only check (fixpoint loop is not one SQL query)."""
     from firebase_realtime_database_backup_spark.operators.dedup import (
         min_label_components,
     )
 
-    pairs = multimodal_phash_hamming(spark, sf_dir).select("doc_a", "doc_b")
-    labels = min_label_components(pairs)
-    sizes = labels.groupBy("cluster_id").agg(
+    hashes = phash_hashes(spark, sf_dir)
+    nodes = hashes.groupBy("phash_hi", "phash_lo").agg(
+        F.min("doc_id").alias("node_id"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    banded = nodes.select(
+        "node_id",
+        "phash_hi",
+        "phash_lo",
+        "m",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        (
+                            F.shiftright("phash_lo", b * 16)
+                            if b < 2
+                            else F.shiftright("phash_hi", (b - 2) * 16)
+                        )
+                        .bitwiseAND(F.lit(65535))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("node_id", "phash_hi", "phash_lo", "e.b", "e.band_val")
+    a = banded.select(
+        "b",
+        "band_val",
+        F.col("node_id").alias("doc_a"),
+        F.col("phash_hi").alias("hi_a"),
+        F.col("phash_lo").alias("lo_a"),
+    )
+    c = banded.select(
+        "b",
+        "band_val",
+        F.col("node_id").alias("doc_b"),
+        F.col("phash_hi").alias("hi_b"),
+        F.col("phash_lo").alias("lo_b"),
+    )
+    hamming = F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    ) + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    edges = (
+        a.join(c, ["b", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    edge_labels = min_label_components(edges).withColumnRenamed(
+        "doc_id", "node_id"
+    )
+    # node is "in some verified pair" iff multiplicity >= 2 (Hamming-0
+    # twins) or it has a near-neighbor edge; lone multiplicity-1 nodes
+    # never appear in the pair list and are excluded to stay
+    # row-identical to the pair-grain fixpoint.
+    labeled_nodes = (
+        nodes.join(F.broadcast(edge_labels), "node_id", "left")
+        .filter((F.col("m") >= 2) | F.col("cluster_id").isNotNull())
+        .select(
+            "phash_hi",
+            "phash_lo",
+            F.coalesce("cluster_id", "node_id").alias("cluster_id"),
+        )
+    )
+    docs = hashes.join(F.broadcast(labeled_nodes), ["phash_hi", "phash_lo"])
+    sizes = docs.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
     return (
-        labels.join(F.broadcast(sizes), "cluster_id")
+        docs.join(F.broadcast(sizes), "cluster_id")
         .select(
             "doc_id",
             "cluster_id",
