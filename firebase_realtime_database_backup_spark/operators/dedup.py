@@ -2218,3 +2218,44 @@ def dedup_minhash_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("jaccard") - F.col("minhash_est")).alias("abs_err"),
         )
     )
+
+
+@REG.query(
+    "quality_dup_rate_by_source",
+    oracle="""
+    WITH hashes AS (SELECT source, MD5(text) AS h FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_dup_rows,
+           1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*) AS dup_rate
+    FROM hashes GROUP BY source
+    """,
+)
+def quality_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication rate PER SOURCE — the curation question that sits
+    between the dedup family and the governance family: which feeds
+    are mostly copies?  A crawler re-ingesting the same pages shows up
+    here as a source whose dup_rate climbs release over release, which
+    is the signal to fix the feed rather than pay dedup_exact to keep
+    collapsing it.  (The corpus datasheet reports corpus-wide
+    uniqueness; this is its per-source drill-down, the actionable
+    grain.)
+
+    Plan: one map-side md5 + one (source, hash)-grain distinct
+    aggregation — Spark plans COUNT(*) + COUNT(DISTINCT h) per group
+    as a two-level partial agg (no Expand: single distinct column),
+    so the shuffle carries the hash grain once.  At 100 TB this is
+    the cheapest dedup telemetry there is: no pairs, no bands, no
+    joins — run it on every ingest batch."""
+    docs = read_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("text"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(h).alias("n_unique"),
+        (F.count(F.lit(1)) - F.count_distinct(h)).alias("n_dup_rows"),
+        (
+            F.lit(1.0)
+            - F.count_distinct(h).cast("double") / F.count(F.lit(1))
+        ).alias("dup_rate"),
+    )

@@ -5593,3 +5593,439 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_events"),
         (F.col("n").cast("double") / F.sum("n").over(w)).alias("share"),
     )
+
+
+@REG.query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_distinct_supp,
+           CAST(COUNT(DISTINCT l_suppkey // 32) AS BIGINT) AS n_words
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT count-distinct at scale via two-level bitmap aggregation —
+    the roaring-bitmap trick expressed in pure relational algebra: ids
+    fold into 32-bit words (word = id div 32, bit = id mod 32), stage 1
+    ORs the bit masks per (group, word), stage 2 sums popcounts per
+    group.  The answer is exactly COUNT(DISTINCT id), with NO Expand
+    (the exact-distinct planner move that replicates every input row
+    per distinct column) and NO sketch error.
+
+    Why it matters at 100 TB: exact distinct over a high-cardinality
+    key normally forces a (group, id)-grain dedup shuffle whose width
+    is the DATA size; the bitmap form's stage-1 grain is
+    (group, id/32) — already 32× smaller — and both stages are
+    map-side combinable (BIT_OR and SUM are associative), so the
+    shuffle carries one long per 32-id block per group per partition.
+    The same shape extends to distinct-merge across days: persist the
+    per-word masks and OR them — the exact analogue of agg_hll_sketch's
+    mergeable bytes, without the 2% error.
+
+    Exactness: pure integer bit arithmetic both sides; the oracle
+    states the SPEC (true COUNT DISTINCT) rather than mirroring the
+    bitmap — the stronger check: any lost or double-set bit breaks the
+    hash.  n_words audits the bitmap's footprint (occupied words)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    words = (
+        li.select(
+            "l_returnflag",
+            (F.col("l_suppkey") / 32).cast("bigint").alias("word"),
+            F.expr(
+                "shiftleft(1L, cast(pmod(l_suppkey, 32) as int))"
+            ).alias("mask"),
+        )
+        .groupBy("l_returnflag", "word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    return words.groupBy("l_returnflag").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_distinct_supp"),
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+    )
+
+
+@REG.query(
+    "agg_weighted_median",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ),
+    byval AS (SELECT c, CAST(SUM(w) AS BIGINT) AS w FROM vals GROUP BY c),
+    cum AS (
+      SELECT c, w,
+             CAST(SUM(w) OVER (ORDER BY c) AS BIGINT) AS cw,
+             CAST(SUM(w) OVER () AS BIGINT) AS tot
+      FROM byval
+    )
+    SELECT CAST(MAX(tot) AS BIGINT) AS total_weight,
+           CAST(MIN(c) AS BIGINT) AS wmedian_cents,
+           CAST(MIN(c) AS DOUBLE) / 100.0 AS wmedian_price
+    FROM cum WHERE cw * 2 >= tot
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median — the order statistic engines don't ship: the
+    smallest value whose cumulative weight reaches half the total
+    (here: the price at which half of all shipped QUANTITY sits at or
+    below — 'the median unit sold', not 'the median line item').
+    Inventory/revenue questions are weight-grain, not row-grain, and
+    approx_percentile has no weighted form, so this is a real gap.
+
+    Plan: one map-side-combinable shuffle collapses the fact table to
+    the (value → total weight) grain; the cumulative scan then runs
+    over DISTINCT VALUES only (price cents here — bounded by the price
+    domain, not the row count).  That relation is small enough to
+    window directly; at extreme value-domains the two-level bucket
+    split of agg_median_twolevel composes on top unchanged (bucket by
+    value range, locate the boundary bucket by cumulative weight, scan
+    only it).  Exactness: integer cents × integer quantities, integer
+    cumulative sums, one final /100 — bit-identical everywhere."""
+    li = read_table(spark, sf_dir, "lineitem")
+    byval = (
+        li.select(
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("c"),
+            F.col("l_quantity").cast("bigint").alias("w"),
+        )
+        .groupBy("c")
+        .agg(F.sum("w").alias("w"))
+    )
+    cum = byval.select(
+        "c",
+        F.sum("w").over(Window.orderBy("c")).cast("bigint").alias("cw"),
+        F.sum("w").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint").alias("tot"),
+    )
+    return cum.filter(F.col("cw") * 2 >= F.col("tot")).agg(
+        F.max("tot").alias("total_weight"),
+        F.min("c").alias("wmedian_cents"),
+        (F.min("c").cast("double") / 100.0).alias("wmedian_price"),
+    )
+
+
+@REG.query(
+    "agg_skew_kurtosis_exact",
+    oracle=f"""
+    WITH sums AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(38,10))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(CAST(l_quantity * l_quantity AS VARCHAR) AS DECIMAL(38,10))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(CAST(l_quantity * l_quantity * l_quantity AS VARCHAR) AS DECIMAL(38,10))) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS VARCHAR) AS DECIMAL(38,10))) AS DOUBLE) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    cm AS (
+      SELECT l_returnflag, n,
+             n * s2 - s1 * s1 AS m2n,
+             n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3n,
+             n * n * n * s4 - 4 * n * n * s1 * s3
+               + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS m4n,
+             s1 / n AS mean_qty
+      FROM sums
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_samples,
+           {oround("mean_qty", 6)} AS mean_qty,
+           CASE WHEN m2n > 0 THEN
+             {oround("m3n / (m2n * SQRT(m2n))", 6)} END AS skewness,
+           CASE WHEN m2n > 0 THEN
+             {oround("m4n / (m2n * m2n) - 3", 6)} END AS kurtosis_excess
+    FROM cm
+    """,
+)
+def agg_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment statistics with REPRODUCIBLE floats: per-group
+    population skewness and excess kurtosis from exact DECIMAL power
+    sums — the agg_regression_exact discipline extended to 3rd/4th
+    moments.  Spark's skewness()/kurtosis() stream doubles in
+    partition order and give answers that differ run-to-run on a
+    cluster; quality gates that CUT on a skewness threshold (drift
+    monitors, outlier-tail detectors) need the same number every run.
+
+    Exactness: bounded integers (quantities) keep every power < 2^53
+    exact in double; each converts through its shortest decimal repr
+    to DECIMAL, decimal sums are exact and order-independent, and the
+    closed forms — g1 = n³m3/(n²m2)^1.5 · n^... reduced to
+    m3n/(m2n·√m2n) and g2 = m4n/m2n² − 3, all in the ×n-scaled
+    integer central moments m2n = n·s2 − s1² etc. — are fixed-order
+    double expressions identical on both engines (√ via SQRT, never
+    POWER(x,1.5): sqrt is IEEE-correctly-rounded, pow is libm-
+    dependent).  Degenerate groups (zero variance) yield NULL via the
+    same guard both sides.  One shuffle, map-side partial decimal
+    sums, |groups| rows."""
+    li = read_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,10)"
+    q = F.col("l_quantity")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q.cast(dec)).cast("double").alias("s1"),
+        F.sum((q * q).cast(dec)).cast("double").alias("s2"),
+        F.sum((q * q * q).cast(dec)).cast("double").alias("s3"),
+        F.sum((q * q * q * q).cast(dec)).cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    m2n = n * s2 - s1 * s1
+    m3n = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+    m4n = (
+        n * n * n * s4
+        - 4 * n * n * s1 * s3
+        + 6 * n * s1 * s1 * s2
+        - 3 * s1 * s1 * s1 * s1
+    )
+    return sums.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_samples"),
+        F.round(s1 / n, 6).alias("mean_qty"),
+        F.when(m2n > 0, F.round(m3n / (m2n * F.sqrt(m2n)), 6)).alias(
+            "skewness"
+        ),
+        F.when(m2n > 0, F.round(m4n / (m2n * m2n) - 3, 6)).alias(
+            "kurtosis_excess"
+        ),
+    )
+
+
+@REG.query(
+    "events_funnel_conversion_time",
+    oracle="""
+    WITH stage AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    lags AS (
+      SELECT 'view_to_click' AS step,
+             CAST(EPOCH_MS(t_click) - EPOCH_MS(t_view) AS BIGINT) AS lag_ms
+      FROM stage WHERE t_click > t_view
+      UNION ALL
+      SELECT 'click_to_purchase' AS step,
+             CAST(EPOCH_MS(t_purchase) - EPOCH_MS(t_click) AS BIGINT)
+      FROM stage WHERE t_click > t_view AND t_purchase > t_click
+    )
+    SELECT step,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           QUANTILE_CONT(lag_ms, 0.5) AS median_lag_ms,
+           QUANTILE_CONT(lag_ms, 0.9) AS p90_lag_ms,
+           CAST(MAX(lag_ms) AS BIGINT) AS max_lag_ms
+    FROM lags GROUP BY step
+    """,
+)
+def events_funnel_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT distribution per funnel step — events_funnel
+    says who converted; this says how long each hop took (median/p90/
+    max lag from first view to first later click, and from that click
+    to first later purchase), the number a growth team actually tunes
+    against and the SLA input for re-engagement triggers.
+
+    Plan: the same ONE conditional-min aggregation pass as
+    events_funnel (stage timestamps per user, one user_id shuffle —
+    never a per-step self-join), then two filtered projections union
+    into a 2-group percentile aggregate over |converted users| rows.
+    Exactness: lags are integer epoch-milliseconds (unix_millis /
+    EPOCH_MS, the proven-portable pair); linear-interpolated
+    percentiles over integers follow the agg_percentiles discipline
+    (Spark percentile == DuckDB QUANTILE_CONT bit-for-bit on integer
+    inputs); step-gating comparisons are NULL-strict in both engines
+    (a missing stage drops the row, never fabricates a lag)."""
+    events = read_table(spark, sf_dir, "events")
+    stage = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    vc = stage.filter(F.col("t_click") > F.col("t_view")).select(
+        F.lit("view_to_click").alias("step"),
+        (F.unix_millis("t_click") - F.unix_millis("t_view")).alias("lag_ms"),
+    )
+    cp = stage.filter(
+        (F.col("t_click") > F.col("t_view"))
+        & (F.col("t_purchase") > F.col("t_click"))
+    ).select(
+        F.lit("click_to_purchase").alias("step"),
+        (F.unix_millis("t_purchase") - F.unix_millis("t_click")).alias(
+            "lag_ms"
+        ),
+    )
+    return vc.unionByName(cp).groupBy("step").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.percentile("lag_ms", 0.5).alias("median_lag_ms"),
+        F.percentile("lag_ms", 0.9).alias("p90_lag_ms"),
+        F.max("lag_ms").alias("max_lag_ms"),
+    )
+
+
+@REG.query(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(ROUND(SUM(value) * 100) AS BIGINT) AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(cents) AS BIGINT) AS total_cents
+      FROM daily GROUP BY event_type
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, d.cents,
+             t.n_days * d.cents - t.total_cents AS dev_n
+      FROM daily d JOIN tot t USING (event_type)
+    ),
+    cum AS (
+      SELECT event_type, day, cents, dev_n,
+             CAST(SUM(dev_n) OVER (
+               PARTITION BY event_type ORDER BY day) AS BIGINT) AS cusum_n,
+             MEDIAN(ABS(dev_n)) OVER (PARTITION BY event_type) AS mad_n
+      FROM dev
+    )
+    SELECT event_type, day,
+           CAST(cents AS DOUBLE) / 100.0 AS day_total,
+           cusum_n, mad_n,
+           ABS(cusum_n) > 3 * mad_n AS flagged
+    FROM cum
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on daily per-type revenue: the
+    cumulative sum of deviations from the series mean drifts away from
+    zero when the underlying level SHIFTS (a price change, a tracking
+    bug, a launch) — the classic control-chart statistic that catches
+    sustained regime changes the per-day MAD anomaly gate
+    (events_anomaly_mad) ignores, because no single day is extreme.
+    Days where |CUSUM| exceeds 3 robust deviations are flagged; the
+    maximum-|CUSUM| day estimates the changepoint location.
+
+    Exactness: everything stays INTEGER until the display columns —
+    daily totals quantize to cents, the mean is never divided out
+    (deviation is scaled by n: dev_n = n·cents − total, exact), the
+    running CUSUM is an integer window sum, and the robust scale is a
+    MEDIAN of integers (one exact halving at worst).  The flag
+    compares integers against 3×median — bit-identical engines.
+
+    Plan: one raw-events shuffle to the (type, day) grain; everything
+    after runs on ~365 rows/type/year — window partitions are
+    type-keyed (never global), the mean rides the same reduced grain,
+    and at 100 TB the daily grain IS the statistic (the raw stream
+    never re-shuffles)."""
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.round(F.sum("value") * 100).cast("bigint").alias("cents")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cents").alias("total_cents"),
+    )
+    dev = daily.join(F.broadcast(tot), "event_type").withColumn(
+        "dev_n", F.col("n_days") * F.col("cents") - F.col("total_cents")
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = dev.select(
+        "event_type",
+        "day",
+        "cents",
+        "dev_n",
+        F.sum("dev_n").over(w_run).cast("bigint").alias("cusum_n"),
+        F.median(F.abs(F.col("dev_n"))).over(w_all).alias("mad_n"),
+    )
+    return cum.select(
+        "event_type",
+        "day",
+        (F.col("cents").cast("double") / 100.0).alias("day_total"),
+        "cusum_n",
+        "mad_n",
+        (F.abs(F.col("cusum_n")) > 3 * F.col("mad_n")).alias("flagged"),
+    )
+
+
+@REG.query(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT user_id,
+             TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS item
+      FROM events
+      WHERE TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) IS NOT NULL
+    ),
+    capped AS (
+      SELECT user_id, item FROM (
+        SELECT user_id, item,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY item) AS rk
+        FROM items
+      ) WHERE rk <= {COOC_USER_CAP}
+    ),
+    edges AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_users
+      FROM capped a JOIN capped b
+        ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING COUNT(*) >= 2
+    ),
+    degrees AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT item_a AS item FROM edges
+        UNION ALL SELECT item_b FROM edges
+      ) GROUP BY item
+    )
+    SELECT degree,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM degrees) AS share
+    FROM degrees GROUP BY degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the item co-occurrence graph — the
+    first-look structural audit for ANY graph workload (PageRank,
+    triangles, components): a heavy right tail says hub items will
+    skew every per-vertex shuffle (salt them), a mass at degree 1
+    says the graph is mostly trivial pairs and the component pass is
+    overkill.  Run this BEFORE graph_pagerank to size its iterations
+    and checkpoint cadence.
+
+    Plan: the edge list comes from the same capped per-user self-join
+    as events_item_cooccurrence (bounded cap² pair emission — never an
+    uncapped basket blowup); degrees are one union + count at the item
+    grain; the histogram is a second tiny aggregation at the degree
+    grain with the total broadcast back for shares.  Everything after
+    the edge join runs on |items| rows, then |distinct degrees| rows —
+    the two-level collapse every distribution query here uses."""
+    edges = events_item_cooccurrence(spark, sf_dir)
+    degrees = (
+        edges.select(F.col("item_a").alias("item"))
+        .unionByName(edges.select(F.col("item_b").alias("item")))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    hist = degrees.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_items")
+    )
+    total = degrees.agg(F.count(F.lit(1)).alias("n_total"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "degree",
+        "n_items",
+        (F.col("n_items").cast("double") / F.col("n_total")).alias("share"),
+    )

@@ -1698,3 +1698,61 @@ def sim_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_cos",
         (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
     )
+
+
+@REG.query(
+    "quality_label_balance",
+    oracle="""
+    WITH c AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY label
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM c
+    )
+    SELECT label, n,
+           CAST(n AS DOUBLE) / total AS share,
+           (n - CAST(total AS DOUBLE) / k) * (n - CAST(total AS DOUBLE) / k)
+             / (CAST(total AS DOUBLE) / k) AS chi2_component,
+           CAST(n AS DOUBLE) / total < 0.5 / k
+             OR CAST(n AS DOUBLE) / total > 2.0 / k AS imbalanced
+    FROM c, tot
+    """,
+)
+def quality_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-distribution audit over the embedding corpus: per-class
+    counts, shares, the chi-square contribution against a uniform
+    expectation, and an imbalance flag (share outside [0.5/k, 2/k]) —
+    the dataset-card number every classification/retrieval training
+    set reports, and the gate that catches a class silently vanishing
+    from an ingest batch before a model trains on it.  (The drift
+    monitor quality_drift_chi2 compares two SNAPSHOTS of one column;
+    this audits one snapshot against the uniform prior — the cold-
+    start form that needs no reference corpus.)
+
+    Plan: one label-grain aggregation (map-side combinable, |labels|
+    rows), the 1-row total broadcast back — at 100 TB this is a
+    metadata-cost query regardless of corpus size.  Exactness:
+    integer counts; share/chi²/bounds are fixed-order double
+    expressions written identically in both engines."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    exp = F.col("total").cast("double") / F.col("k")
+    share = F.col("n").cast("double") / F.col("total")
+    return c.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "n",
+        share.alias("share"),
+        ((F.col("n") - exp) * (F.col("n") - exp) / exp).alias(
+            "chi2_component"
+        ),
+        ((share < 0.5 / F.col("k")) | (share > 2.0 / F.col("k"))).alias(
+            "imbalanced"
+        ),
+    )

@@ -2837,3 +2837,86 @@ def text_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
         F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
     )
+
+
+#: Epoch-plan budget: train on this many times the corpus token count
+#: (the compute budget a mixing recipe distributes across sources).
+MIX_EPOCH_BUDGET_X = 2
+
+
+@REG.query(
+    "mix_epoch_repeat_plan",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             CAST(SUBSTR(source, 4) AS INT) % 3 AS tier,
+             CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, tokens,
+             CAST(CASE tier WHEN 0 THEN 60 WHEN 1 THEN 30 ELSE 10 END
+                  AS BIGINT) AS weight
+      FROM toks
+    ),
+    tot AS (
+      SELECT CAST(SUM(tokens) AS BIGINT) AS corpus_tokens,
+             CAST(SUM(weight) AS BIGINT) AS wsum
+      FROM w
+    )
+    SELECT source, tokens AS tokens_available, weight,
+           CAST({MIX_EPOCH_BUDGET_X} * corpus_tokens * weight AS DOUBLE)
+             / wsum AS target_tokens,
+           CAST({MIX_EPOCH_BUDGET_X} * corpus_tokens * weight AS DOUBLE)
+             / wsum / tokens AS epochs,
+           CAST({MIX_EPOCH_BUDGET_X} * corpus_tokens * weight AS DOUBLE)
+             / wsum / tokens > 1.0 AS oversample
+    FROM w, tot
+    """,
+)
+def mix_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EPOCH PLAN behind a data-mixing recipe: given a total token
+    budget (MIX_EPOCH_BUDGET_X × corpus) and per-source target weights,
+    how many passes over each source does training actually take?
+    target_tokens = budget · w/Σw; epochs = target/available.  A
+    source with epochs > 1 is OVERSAMPLED (repeated — the quality-vs-
+    repetition tradeoff every mixing paper budgets explicitly); below
+    1 it is subsampled and mix_weighted_sources' hash gate does the
+    cut.  This is the planning query that turns 'weights' into an
+    executable recipe — and the audit that catches a tiny
+    high-weight source silently being repeated 40×.
+
+    Plan: one map-side token count + source-grain agg (|sources|
+    rows), the 1-row totals broadcast back; arithmetic stays integer
+    (budget·corpus·weight < 2^63) until three fixed-order double
+    divisions, so both engines agree bit-for-bit.  At 100 TB the
+    tokens column comes from the persisted token_stats relation
+    instead of re-splitting text; the plan shape is unchanged."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    tier = F.substring("source", 4, 10).cast("int") % 3
+    toks = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tokens"),
+        F.max(
+            F.when(tier == 0, 60).when(tier == 1, 30).otherwise(10)
+        ).cast("bigint").alias("weight"),
+    )
+    tot = toks.agg(
+        F.sum("tokens").alias("corpus_tokens"),
+        F.sum("weight").alias("wsum"),
+    )
+    target = (
+        (
+            F.lit(MIX_EPOCH_BUDGET_X)
+            * F.col("corpus_tokens")
+            * F.col("weight")
+        ).cast("double")
+        / F.col("wsum")
+    )
+    return toks.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("tokens").alias("tokens_available"),
+        "weight",
+        target.alias("target_tokens"),
+        (target / F.col("tokens")).alias("epochs"),
+        (target / F.col("tokens") > 1.0).alias("oversample"),
+    )
