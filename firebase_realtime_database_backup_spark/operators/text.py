@@ -2920,3 +2920,51 @@ def mix_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (target / F.col("tokens")).alias("epochs"),
         (target / F.col("tokens") > 1.0).alias("oversample"),
     )
+
+
+@REG.query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH {SHINGLE_SQL_CTE},
+    firsts AS (
+      SELECT sid, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      FROM dshingle GROUP BY sid
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) FILTER (WHERE f.first_doc = d.doc_id) AS BIGINT)
+             AS n_novel,
+           CAST(COUNT(*) FILTER (WHERE f.first_doc = d.doc_id) AS DOUBLE)
+             / COUNT(*) AS novelty
+    FROM dshingle d JOIN firsts f USING (sid)
+    GROUP BY d.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document N-GRAM NOVELTY under ingestion order: the fraction
+    of a doc's shingles whose FIRST corpus occurrence (min doc_id) is
+    the doc itself.  Plotted against doc_id this is the marginal-
+    novelty curve data teams use to decide when more of a source stops
+    adding information — a corpus whose late documents score near zero
+    is re-crawling itself (the signal quality_dup_rate_by_source gives
+    at the exact-copy grain, measured here at the n-gram grain where
+    near-copies and boilerplate show up too).
+
+    Plan: reuses the session-cached shingle-id relation; one
+    sid-grain MIN aggregation (map-side combinable) attributes each
+    shingle to its first document, one equi-join back on sid, one
+    doc-grain count — the text_tfidf shape (document frequency becomes
+    first-occurrence attribution).  No pairs, no bands: novelty is a
+    per-shingle property, so cost is linear in shingle volume at any
+    corpus size.  Exactness: integer counts and one final division."""
+    dshingle = doc_shingle_ids(spark, sf_dir)
+    firsts = dshingle.groupBy("sid").agg(F.min("doc_id").alias("first_doc"))
+    joined = dshingle.join(firsts, "sid")
+    novel = F.count(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1)
+    ).cast("bigint")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        novel.alias("n_novel"),
+        (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
+    )
