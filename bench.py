@@ -21,7 +21,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Queries whose first call at a given SF materializes a one-time layout
 # (bucketed tables).  They are warmed ONCE at the bench SF so the timed
 # run measures steady-state query cost, not the amortized layout build.
-LAYOUT_QUERIES = ["flagship_revenue_bucketed", "sim_ivfpq_persisted"]
+LAYOUT_QUERIES = [
+    "flagship_revenue_bucketed",
+    "sim_ivfpq_persisted",
+    # trains + persists the BPE merge table (ensure_bpe_table); the
+    # timed runs then measure the read-back apply cost, matching the
+    # trained-once-and-persisted production contract
+    "text_bpe_merges",
+]
 
 HEADLINE = [
     # relational core
@@ -216,6 +223,20 @@ HEADLINE = [
     # pandas-UDF escape hatches
     "udf_pandas_scalar",
     "udf_grouped_topn",
+    # round 5
+    "agg_bitmap_distinct",
+    "agg_weighted_median",
+    "agg_skew_kurtosis_exact",
+    "events_funnel_conversion_time",
+    "events_changepoint_cusum",
+    "graph_degree_distribution",
+    "quality_dup_rate_by_source",
+    "quality_label_balance",
+    "mix_epoch_repeat_plan",
+    "text_ngram_novelty",
+    "text_char_entropy_scaled",
+    "dedup_minhash_audit_sampled",
+    "multimodal_phash_cluster",
 ]
 
 

@@ -354,6 +354,12 @@ BNL_ONE_ROW_PROBES = {
     # (nodes, wedges) x (edges) x (triangles): two 1-row x 1-row cross
     # joins assembling the single stats row
     "graph_triangle_count": 2,
+    # 1-row item-total row under the degree histogram (share column)
+    "graph_degree_distribution": 1,
+    # 1-row (corpus_tokens, wsum) totals row under the per-source plan
+    "mix_epoch_repeat_plan": 1,
+    # 1-row (total, k) row under the per-label balance report
+    "quality_label_balance": 1,
 }
 BNL_ALLOWED = BNL_DESIGNED | set(BNL_ONE_ROW_PROBES)
 
