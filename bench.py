@@ -237,6 +237,12 @@ HEADLINE = [
     "text_char_entropy_scaled",
     "dedup_minhash_audit_sampled",
     "multimodal_phash_cluster",
+    "quality_ks_test",
+    "events_bot_rate_gate",
+    "window_order_gaps",
+    "quality_outlier_iqr",
+    "sim_knn_label_vote",
+    "sim_knn_label_vote_arrow",
 ]
 
 

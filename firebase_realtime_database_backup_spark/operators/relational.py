@@ -6029,3 +6029,265 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_items",
         (F.col("n_items").cast("double") / F.col("n_total")).alias("share"),
     )
+
+
+@REG.query(
+    "quality_ks_test",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c,
+             l_returnflag = 'R' AS is_r
+      FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    ),
+    byval AS (
+      SELECT c,
+             CAST(COUNT(*) FILTER (WHERE is_r) AS BIGINT) AS n_r,
+             CAST(COUNT(*) FILTER (WHERE NOT is_r) AS BIGINT) AS n_a
+      FROM vals GROUP BY c
+    ),
+    cum AS (
+      SELECT CAST(SUM(n_r) OVER (ORDER BY c) AS BIGINT) AS cum_r,
+             CAST(SUM(n_a) OVER (ORDER BY c) AS BIGINT) AS cum_a,
+             CAST(SUM(n_r) OVER () AS BIGINT) AS tot_r,
+             CAST(SUM(n_a) OVER () AS BIGINT) AS tot_a
+      FROM byval
+    )
+    SELECT CAST(MAX(tot_r) AS BIGINT) AS n_r,
+           CAST(MAX(tot_a) AS BIGINT) AS n_a,
+           CAST(MAX(ABS(cum_r * tot_a - cum_a * tot_r)) AS BIGINT)
+             AS d_scaled,
+           CAST(MAX(ABS(cum_r * tot_a - cum_a * tot_r)) AS DOUBLE)
+             / (MAX(tot_r) * MAX(tot_a)) AS d_stat,
+           CAST(MAX(ABS(cum_r * tot_a - cum_a * tot_r)) AS DOUBLE)
+             / (MAX(tot_r) * MAX(tot_a))
+             > 1.358 * SQRT(CAST(MAX(tot_r) + MAX(tot_a) AS DOUBLE)
+                            / (MAX(tot_r) * MAX(tot_a))) AS rejected_05
+    FROM cum
+    """,
+)
+def quality_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test — the NUMERIC analogue
+    of quality_drift_chi2: D = max |CDF₁ − CDF₂| between the returned
+    ('R') and accepted ('A') price populations, with the α=0.05
+    rejection verdict (c(α)=1.358).  Chi-square needs binning and goes
+    blind to shape changes within a bin; KS compares the full empirical
+    distributions — the right gate for 'did this batch's price/length/
+    score distribution shift?' in data-quality monitoring.
+
+    Exactness: the supremum runs entirely in INTEGERS — the CDF gap at
+    value c is |cum₁·n₂ − cum₂·n₁| (cross-multiplied, exact), maxed as
+    a BIGINT and divided by n₁·n₂ exactly once; the threshold is one
+    SQRT of an exact ratio.  No float accumulates across rows, so both
+    engines agree bit-for-bit.
+
+    Plan: the fact table collapses map-side to the distinct-value
+    grain (the agg_weighted_median shape) with both populations
+    counted in ONE pass (conditional counts, no second scan); the
+    cumulative windows run over distinct cents only.  At extreme value
+    domains the two-level bucket split composes unchanged."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    byval = (
+        li.select(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+            (F.col("l_returnflag") == "R").alias("is_r"),
+        )
+        .groupBy("c")
+        .agg(
+            F.count(F.when(F.col("is_r"), 1)).alias("n_r"),
+            F.count(F.when(~F.col("is_r"), 1)).alias("n_a"),
+        )
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = byval.select(
+        F.sum("n_r").over(Window.orderBy("c")).cast("bigint").alias("cum_r"),
+        F.sum("n_a").over(Window.orderBy("c")).cast("bigint").alias("cum_a"),
+        F.sum("n_r").over(w_all).cast("bigint").alias("tot_r"),
+        F.sum("n_a").over(w_all).cast("bigint").alias("tot_a"),
+    )
+    gap = F.abs(F.col("cum_r") * F.col("tot_a") - F.col("cum_a") * F.col("tot_r"))
+    n_r, n_a = F.max("tot_r"), F.max("tot_a")
+    d_stat = F.max(gap).cast("double") / (n_r * n_a)
+    return cum.agg(
+        n_r.alias("n_r"),
+        n_a.alias("n_a"),
+        F.max(gap).cast("bigint").alias("d_scaled"),
+        d_stat.alias("d_stat"),
+        (
+            d_stat
+            > 1.358
+            * F.sqrt((n_r + n_a).cast("double") / (n_r * n_a))
+        ).alias("rejected_05"),
+    )
+
+
+#: Bot gate: a user whose busiest minute holds at least this many
+#: events is flagged (real pipelines calibrate this per surface).
+BOT_RATE_MAX_PER_MIN = 3
+
+
+@REG.query(
+    "events_bot_rate_gate",
+    oracle=f"""
+    WITH permin AS (
+      SELECT user_id, DATE_TRUNC('minute', ts) AS minute,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, DATE_TRUNC('minute', ts)
+    )
+    SELECT user_id,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_active_minutes,
+           CAST(MAX(n) AS BIGINT) AS max_per_minute,
+           MAX(n) >= {BOT_RATE_MAX_PER_MIN} AS is_bot
+    FROM permin GROUP BY user_id
+    """,
+)
+def events_bot_rate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot / scraper detection by burst rate: per user, the busiest
+    minute's event count — a human cannot click N times a minute for
+    long, so max-rate is the cheapest high-precision bot signal, and
+    bot REMOVAL is a standard pre-training filter for behavioral data
+    (one bot user poisons funnel, retention, AND co-occurrence stats;
+    events_item_cooccurrence's basket cap bounds the damage, this gate
+    removes the cause).
+
+    Plan: two stacked aggregations, both map-side combinable — raw
+    events reduce to the (user, minute) grain in the ONE data-sized
+    shuffle, then to the user grain.  No windows, no self-joins; at
+    100 TB this is the same cost class as events_funnel.  date_trunc
+    to the minute matches DuckDB DATE_TRUNC exactly (both truncate,
+    integer semantics — the proven scalar_date_funcs pair)."""
+    events = read_table(spark, sf_dir, "events")
+    permin = events.groupBy(
+        "user_id", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return permin.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).alias("n_active_minutes"),
+        F.max("n").alias("max_per_minute"),
+        (F.max("n") >= BOT_RATE_MAX_PER_MIN).alias("is_bot"),
+    )
+
+
+@REG.query(
+    "window_order_gaps",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             CAST(DATEDIFF('day',
+               LAG(CAST(o_orderdate AS DATE)) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+      FROM orders
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_orders,
+           CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+           MEDIAN(gap_days) AS median_gap_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    """,
+)
+def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase latency per customer: day gaps between a
+    customer's consecutive orders (lag over the customer partition,
+    orderkey tie-break) reduced to min/median/max — the input to
+    churn models ('customer is N× past their median gap → at risk')
+    and to events_resample_gapfill-style replenishment forecasts.
+
+    Plan: one shuffle on o_custkey serves BOTH the lag window and the
+    final per-customer aggregate (same key, no second exchange); per-
+    customer state is bounded by order count, so the window grain is
+    safe at any scale.  Exactness: integer day arithmetic; MEDIAN over
+    integers interpolates one exact halving at worst (the
+    events_changepoint_cusum discipline)."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.lag(F.to_date("o_orderdate")).over(w),
+        ).cast("bigint").alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("n_orders"),
+        F.min("gap_days").alias("min_gap_days"),
+        F.median("gap_days").alias("median_gap_days"),
+        F.max("gap_days").alias("max_gap_days"),
+    )
+
+
+@REG.query(
+    "quality_outlier_iqr",
+    oracle="""
+    WITH cents AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem
+    ),
+    fences AS (
+      SELECT l_returnflag,
+             QUANTILE_CONT(c, 0.25) AS q1,
+             QUANTILE_CONT(c, 0.75) AS q3
+      FROM cents GROUP BY l_returnflag
+    )
+    SELECT c.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MAX(f.q1) AS q1_cents,
+           MAX(f.q3) AS q3_cents,
+           CAST(COUNT(*) FILTER (
+             WHERE c.c < f.q1 - 1.5 * (f.q3 - f.q1)
+                OR c.c > f.q3 + 1.5 * (f.q3 - f.q1)) AS BIGINT)
+             AS n_outliers,
+           CAST(COUNT(*) FILTER (
+             WHERE c.c < f.q1 - 1.5 * (f.q3 - f.q1)
+                OR c.c > f.q3 + 1.5 * (f.q3 - f.q1)) AS DOUBLE)
+             / COUNT(*) AS outlier_rate
+    FROM cents c JOIN fences f USING (l_returnflag)
+    GROUP BY c.l_returnflag
+    """,
+)
+def quality_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit per group: count rows outside
+    [q1 − 1.5·IQR, q3 + 1.5·IQR] of their group's price distribution —
+    the robust outlier RATE that complements quality_winsorize (which
+    CLIPS at percentile fences) and events_anomaly_mad (time-series
+    grain): a group whose outlier_rate jumps between ingest batches
+    has a tail problem upstream.
+
+    Plan: exact q1/q3 per group in one percentile aggregation, fences
+    broadcast back onto the scan, conditional counts in a second
+    map-side-combinable pass — two scans, zero windows.  Exactness:
+    integer cents against interpolated-percentile fences (the
+    agg_percentiles discipline); the fence arithmetic is one
+    fixed-order double expression written identically both sides."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+    )
+    fences = cents.groupBy("l_returnflag").agg(
+        F.percentile("c", 0.25).alias("q1"),
+        F.percentile("c", 0.75).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("c") < F.col("q1") - 1.5 * iqr) | (
+        F.col("c") > F.col("q3") + 1.5 * iqr
+    )
+    out = F.count(F.when(is_out, 1)).cast("bigint")
+    return (
+        cents.join(F.broadcast(fences), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("q1").alias("q1_cents"),
+            F.max("q3").alias("q3_cents"),
+            out.alias("n_outliers"),
+            (out.cast("double") / F.count(F.lit(1))).alias("outlier_rate"),
+        )
+    )

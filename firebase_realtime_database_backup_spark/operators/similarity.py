@@ -1756,3 +1756,254 @@ def quality_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "imbalanced"
         ),
     )
+
+
+@REG.query(
+    "sim_knn_label_vote",
+    prod_twin="sim_knn_label_vote_arrow",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, label AS q_label,
+             CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings
+      WHERE CAST(((CAST(vec_id AS BIGINT) % 2147483648) * 2654435761)
+                 % 2147483648 AS BIGINT) % 8 = 0
+        AND vec_id < 512
+    ),
+    c AS (
+      SELECT vec_id AS c_id, label AS c_label,
+             CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.q_id, q.q_label, c.c_label,
+             {_DOT.format(a="q.qe", b="c.ce")}
+               / (SQRT({_DOT.format(a="q.qe", b="q.qe")})
+                  * SQRT({_DOT.format(a="c.ce", b="c.ce")})) AS cosine,
+             c.c_id
+      FROM q, c
+      WHERE q.q_id <> c.c_id
+    ),
+    topk AS (
+      SELECT q_id, q_label, c_label FROM (
+        SELECT q_id, q_label, c_label,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, c_id) AS rk
+        FROM scored
+      ) WHERE rk <= {TOP_K}
+    ),
+    votes AS (
+      SELECT q_id, q_label, c_label, COUNT(*) AS n
+      FROM topk GROUP BY q_id, q_label, c_label
+    ),
+    pred AS (
+      SELECT q_id, q_label, c_label AS pred_label FROM (
+        SELECT q_id, q_label, c_label,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY n DESC, c_label) AS r
+        FROM votes
+      ) WHERE r = 1
+    )
+    SELECT q_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) FILTER (WHERE pred_label = q_label) AS BIGINT)
+             AS n_correct,
+           CAST(COUNT(*) FILTER (WHERE pred_label = q_label) AS DOUBLE)
+             / COUNT(*) AS accuracy
+    FROM pred GROUP BY q_label
+    """,
+)
+def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN LABEL-VOTE evaluation — the standard embedding-quality
+    probe: for a FIXED deterministic query panel, predict each panel
+    vector's label by majority vote of its k=5 exact-cosine nearest
+    neighbors (self excluded) and report per-class accuracy.  A class
+    whose accuracy collapses between embedding model versions has lost
+    its cluster structure — the eval a retrieval team runs BEFORE
+    shipping new vectors, complementing sim_centroid_drift (which sees
+    centroid movement but not neighborhood mixing).
+
+    The panel is BOUNDED on purpose: Knuth-hash 1/8 sample AND
+    vec_id < 512 (the sim_cosine_topk fixed-query-set discipline —
+    the scale corpora shift replica ids by 10^4, so the panel stays
+    the same ~64 replica-0 vectors at every scale).  An unbounded
+    fraction sample makes Q grow with N and the score stage N²/8 —
+    measured as a real cliff at 20× before the cap; with it the scan
+    is |panel|×N, the sim_cosine_topk cost class, and accuracy stays
+    comparable across corpus sizes because the panel is identical.
+
+    Plan: the panel broadcasts against the corpus scan exactly like
+    sim_cosine_topk; per-query top-k is a |panel|-partitioned window;
+    the vote is a tiny two-level group/argmax (ties broken by smallest
+    label — deterministic both engines).  At production scale the
+    brute-force score swaps for the IVF-PQ shortlist (sim_ivfpq_topk)
+    with the vote unchanged.  Exactness: LIST_DOT_PRODUCT mirrors the
+    Spark fold bit-for-bit (the module-wide _DOT discipline); ranks
+    tie-break on c_id."""
+    from firebase_realtime_database_backup_spark.functions.hashing import (
+        knuth_bucket,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(
+            (knuth_bucket(F.col("vec_id"), 8) == 0)
+            & (F.col("vec_id") < 512)
+        )
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").cast("array<double>").alias("qe"),
+        )
+        .withColumn("qn", _norm(F.col("qe")))
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").cast("array<double>").alias("ce"),
+    ).withColumn("cn", _norm(F.col("ce")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "c_label",
+            "c_id",
+            (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+             ).alias("cosine"),
+        )
+    )
+    topk = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
+        ),
+    ).filter(F.col("rk") <= TOP_K)
+    votes = topk.groupBy("q_id", "q_label", "c_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pred = votes.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.desc("n"), "c_label")
+        ),
+    ).filter(F.col("r") == 1)
+    correct = F.count(
+        F.when(F.col("c_label") == F.col("q_label"), 1)
+    ).cast("bigint")
+    return pred.groupBy(F.col("q_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        correct.alias("n_correct"),
+        (correct.cast("double") / F.count(F.lit(1))).alias("accuracy"),
+    )
+
+
+@REG.query("sim_knn_label_vote_arrow")  # rows-only: BLAS summation order
+def sim_knn_label_vote_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_knn_label_vote's PRODUCTION twin: the panel×corpus score
+    stage as ONE Arrow matmul per batch instead of an interpreted
+    per-pair array fold.  The teaching form is honest-linear with a
+    constant panel, but its constant is ~8 µs/pair of interpreted HOF
+    fold (measured: 20 s at 20× for a 64-query panel); here the same
+    64×batch cosine block is a single BLAS ``Qn @ Xn.T`` — the
+    dedup_embedding_cosine_arrow move applied to evaluation.
+
+    Shape: the fixed panel (≤64 rows — bounded driver state, like the
+    k-means centroid round-trips) is normalized once and closed over
+    by a mapInPandas kernel; each batch emits only its PARTIAL top-k
+    per query (argpartition, k·|panel| rows per batch — never the full
+    score block), so the exchange after the scan is k·|panel|·batches
+    rows; the global top-k window, vote, and per-label accuracy are
+    identical to the teaching form.  Zero-norm corpus vectors score 0
+    (the kernel guards the divide; the teaching form NULLs them out —
+    one of the two reasons this is rows-only, the other being BLAS
+    pairwise summation vs the fold's left-to-right order).  Vote
+    agreement with the teaching form is pinned in tests/test_plans.py.
+    At 100 TB the brute scan swaps for the IVF-PQ shortlist with the
+    kernel unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    from firebase_realtime_database_backup_spark.functions.hashing import (
+        knuth_bucket,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    panel_rows = (
+        emb.filter(
+            (knuth_bucket(F.col("vec_id"), 8) == 0)
+            & (F.col("vec_id") < 512)
+        )
+        .select("vec_id", "label", F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    if not panel_rows:
+        return spark.createDataFrame(
+            [],
+            "label int, n_queries bigint, n_correct bigint, accuracy double",
+        )
+    qids = np.array([r[0] for r in panel_rows], dtype=np.int64)
+    qlabels = {int(r[0]): r[1] for r in panel_rows}
+    Q = np.stack([np.asarray(r[2], dtype=np.float64) for r in panel_rows])
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    Qn = Q / np.where(qn == 0, 1.0, qn)[:, None]
+
+    def score(batches):
+        for pdf in batches:
+            X = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            nrm = np.sqrt(np.einsum("ij,ij->i", X, X))
+            Xn = X / np.where(nrm == 0, 1.0, nrm)[:, None]
+            S = Qn @ Xn.T  # (panel, batch)
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            S[c_ids[None, :] == qids[:, None]] = -np.inf  # self-mask
+            k = min(TOP_K, S.shape[1])
+            part = np.argpartition(-S, k - 1, axis=1)[:, :k]
+            qi = np.repeat(np.arange(len(qids)), k)
+            cj = part.ravel()
+            keep = np.isfinite(S[qi, cj])
+            yield pd.DataFrame(
+                {
+                    "q_id": qids[qi[keep]],
+                    "c_id": c_ids[cj[keep]],
+                    "c_label": pdf["label"].to_numpy()[cj[keep]],
+                    "cosine": S[qi[keep], cj[keep]],
+                }
+            )
+
+    partial = emb.select("vec_id", "label", "embedding").mapInPandas(
+        score, "q_id long, c_id long, c_label int, cosine double"
+    )
+    topk = partial.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
+        ),
+    ).filter(F.col("rk") <= TOP_K)
+    votes = topk.groupBy("q_id", "c_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pred = votes.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.desc("n"), "c_label")
+        ),
+    ).filter(F.col("r") == 1)
+    qmap = spark.createDataFrame(
+        [(int(k), int(v)) for k, v in qlabels.items()],
+        "q_id long, q_label int",
+    )
+    correct = F.count(
+        F.when(F.col("c_label") == F.col("q_label"), 1)
+    ).cast("bigint")
+    return (
+        pred.join(F.broadcast(qmap), "q_id")
+        .groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            correct.alias("n_correct"),
+            (correct.cast("double") / F.count(F.lit(1))).alias("accuracy"),
+        )
+    )

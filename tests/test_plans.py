@@ -318,6 +318,9 @@ BNL_DESIGNED = {
     # the same corpus x broadcast-anchors score, consumed by both the
     # positive and negative argmax branches of the triplet join
     "sim_contrastive_triplets",
+    # sim_cosine_topk's corpus x broadcast-queries shape over the
+    # deterministic 1/8 query sample (the vote stages are equi-grain)
+    "sim_knn_label_vote",
 }
 # 1-row broadcast probes (scalar-subquery shape): the broadcast bloom
 # bitmap, the min-language-count target, winsorize-style global bounds,
@@ -1246,3 +1249,19 @@ def test_bpe_table_persisted_and_reused(spark):
         .toString()
     )
     assert "bpe_table_" in plan, "encode is not reading the persisted vocab"
+
+
+def test_knn_vote_arrow_matches_teaching(spark, queries):
+    """The Arrow matmul k-NN vote must produce the identical per-label
+    accuracy report as the interpreted-fold teaching form (same panel,
+    same k, same tie-breaks) — BLAS ulp drift must never flip a vote
+    on the base corpus."""
+    a = sorted(
+        tuple(r)
+        for r in queries["sim_knn_label_vote"](spark, SF).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in queries["sim_knn_label_vote_arrow"](spark, SF).collect()
+    )
+    assert a == b and a
