@@ -243,6 +243,10 @@ HEADLINE = [
     "quality_outlier_iqr",
     "sim_knn_label_vote",
     "sim_knn_label_vote_arrow",
+    "events_cohort_ltv",
+    "sql_exists_not_exists",
+    "quality_null_completeness",
+    "agg_approx_quantile_audit",
 ]
 
 

@@ -6291,3 +6291,254 @@ def quality_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (out.cast("double") / F.count(F.lit(1))).alias("outlier_rate"),
         )
     )
+
+
+@REG.query(
+    "events_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    rev AS (
+      SELECT f.cohort_day,
+             CAST(DATEDIFF('day', f.cohort_day, CAST(e.ts AS DATE))
+                  AS BIGINT) AS age_days,
+             e.user_id, e.value
+      FROM events e JOIN firsts f USING (user_id)
+      WHERE e.event_type = 'purchase'
+    ),
+    daily AS (
+      SELECT cohort_day, age_days,
+             CAST(ROUND(SUM(value) * 100) AS BIGINT) AS revenue_cents,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers
+      FROM rev GROUP BY cohort_day, age_days
+    )
+    SELECT cohort_day, age_days, revenue_cents, n_buyers,
+           CAST(SUM(revenue_cents) OVER (
+             PARTITION BY cohort_day ORDER BY age_days) AS BIGINT)
+             AS cum_revenue_cents
+    FROM daily
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LIFETIME-VALUE curves: purchase revenue by (signup
+    cohort, days since signup) with the running cumulative — the
+    revenue-grain companion to events_cohort_retention (which counts
+    ACTIVE users): marketing breaks even where the cum-LTV curve
+    crosses acquisition cost, and cohorts whose curves flatten earlier
+    than their predecessors are the churn signal.
+
+    Plan: one user-grain MIN pass pins each user's cohort day, one
+    user_id equi-join tags purchases (both sides hash the same key —
+    co-partitioned on a cluster), one (cohort, age) reduction, and the
+    cumulative window runs per cohort over ≤ |days| rows.  Exactness:
+    integer day arithmetic; daily revenue quantizes to cents BEFORE
+    the running sum, so the cumulative is an exact integer fold (the
+    events_changepoint_cusum discipline)."""
+    events = read_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    rev = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("age_days"),
+            "user_id",
+            "value",
+        )
+    )
+    daily = rev.groupBy("cohort_day", "age_days").agg(
+        F.round(F.sum("value") * 100).cast("bigint").alias("revenue_cents"),
+        F.count_distinct("user_id").alias("n_buyers"),
+    )
+    w = Window.partitionBy("cohort_day").orderBy("age_days")
+    return daily.select(
+        "cohort_day",
+        "age_days",
+        "revenue_cents",
+        "n_buyers",
+        F.sum("revenue_cents").over(w).cast("bigint").alias(
+            "cum_revenue_cents"
+        ),
+    )
+
+
+@REG.query(
+    "sql_exists_not_exists",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o JOIN lineitem l
+              ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_custkey = c.c_custkey
+              AND l.l_returnflag = 'R'
+          )
+    """,
+)
+def sql_exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS in one query — 'customers with an
+    urgent order who never returned anything' — the subquery shapes
+    the SQL entry point must decorrelate into a LeftSemi and a
+    LeftAnti join respectively (sql_correlated_subquery covers the
+    scalar-agg shape; IN-subqueries cover semi alone; this pins the
+    anti side WITH a join inside the correlated subquery, which
+    Catalyst must push the correlation predicate through).
+
+    Plan: both subqueries decorrelate to joins on c_custkey — semi
+    against filtered orders, anti against the orders⋈lineitem returned
+    set (itself reduced before the anti).  No per-row re-execution of
+    the subquery anywhere, which is exactly what EXISTS means to an
+    optimizer and why this belongs in the regression surface."""
+    from firebase_realtime_database_backup_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT'
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM orders o JOIN lineitem l
+                  ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_custkey = c.c_custkey
+                  AND l.l_returnflag = 'R'
+              )
+        """
+    )
+
+
+@REG.query(
+    "quality_null_completeness",
+    oracle="""
+    SELECT 'event_id' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE event_id IS NULL) AS BIGINT) AS n_null,
+           CAST(COUNT(*) FILTER (WHERE event_id IS NULL) AS DOUBLE)
+             / COUNT(*) AS null_rate
+    FROM events
+    UNION ALL
+    SELECT 'ts', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE ts IS NULL) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE ts IS NULL) AS DOUBLE) / COUNT(*)
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE user_id IS NULL) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE user_id IS NULL) AS DOUBLE) / COUNT(*)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE event_type IS NULL) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE event_type IS NULL) AS DOUBLE)
+             / COUNT(*)
+    FROM events
+    UNION ALL
+    SELECT 'value', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE value IS NULL) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE value IS NULL) AS DOUBLE) / COUNT(*)
+    FROM events
+    UNION ALL
+    SELECT 'props', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE props IS NULL) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE props IS NULL) AS DOUBLE) / COUNT(*)
+    FROM events
+    """,
+)
+def quality_null_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness (NULL-rate) profile of every events column — the
+    data-contract check that runs on EVERY ingest batch: a feed whose
+    props null_rate jumps from 2% to 40% broke upstream, and catching
+    it here costs one scan.  Complements quality_column_profile
+    (numeric min/max/distinct on lineitem) with the null-accounting
+    dimension the datasheet needs.
+
+    Plan: ONE aggregation pass computes all six null counts as
+    conditional counts in the same partial agg (the oracle's stacked
+    UNION is the spec, not the plan), then a 6-element explode turns
+    the single row into the per-column report — one scan, one 1-row
+    shuffle, regardless of column count or data size."""
+    events = read_table(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    agg = events.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"null_{c}")
+            for c in cols
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"null_{c}").alias("n_null"),
+            )
+            for c in cols
+        ]
+    )
+    return agg.select(
+        F.explode(pairs).alias("e"), F.col("n_rows")
+    ).select(
+        F.col("e.column_name").alias("column_name"),
+        "n_rows",
+        F.col("e.n_null").alias("n_null"),
+        (F.col("e.n_null").cast("double") / F.col("n_rows")).alias(
+            "null_rate"
+        ),
+    )
+
+
+@REG.query("agg_approx_quantile_audit")  # rows-only: the approx side is
+# engine-specific by construction (Spark's Greenwald-Khanna sketch has
+# no DuckDB twin) — the pytest bound in tests/test_plans.py is the gate
+def agg_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit behind every 'approx_percentile is the swap at scale'
+    claim this engine makes (quality_outlier_iqr, quality_winsorize,
+    sim_norm_anomaly, text_adaptive_length_filter all document it):
+    per group, the exact p50/p95 next to approx_percentile's answer at
+    the default accuracy (10000) and the relative error — so the swap
+    ships with a measured error budget instead of a promise.
+    Greenwald-Khanna guarantees RANK error ≤ 1/accuracy; the VALUE
+    error this reports is what a fence/gate consumer actually feels,
+    and tests/test_plans.py pins it under 1% (it is ~0 on these
+    distributions).
+
+    Plan: both sides are single-pass aggregations over the same scan —
+    the exact percentile carries per-group sorted state (the cost the
+    swap removes); approx carries a fixed-size sketch.  Mergeable
+    sketch state is the whole point at 100 TB: map-side partials
+    merge without holding values."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+    )
+    out = cents.groupBy("l_returnflag").agg(
+        F.percentile("c", 0.5).alias("p50_exact"),
+        F.percentile_approx("c", 0.5, 10000).alias("p50_approx"),
+        F.percentile("c", 0.95).alias("p95_exact"),
+        F.percentile_approx("c", 0.95, 10000).alias("p95_approx"),
+    )
+    rel = lambda a, b: F.abs(F.col(a) - F.col(b)) / F.abs(F.col(a))  # noqa: E731
+    return out.select(
+        "l_returnflag",
+        "p50_exact",
+        F.col("p50_approx").cast("double").alias("p50_approx"),
+        rel("p50_exact", "p50_approx").alias("p50_rel_err"),
+        "p95_exact",
+        F.col("p95_approx").cast("double").alias("p95_approx"),
+        rel("p95_exact", "p95_approx").alias("p95_rel_err"),
+    )

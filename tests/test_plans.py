@@ -1265,3 +1265,14 @@ def test_knn_vote_arrow_matches_teaching(spark, queries):
         for r in queries["sim_knn_label_vote_arrow"](spark, SF).collect()
     )
     assert a == b and a
+
+
+def test_approx_quantile_audit_error_bound(spark, queries):
+    """The approx-percentile audit must show sub-1% value error at the
+    default accuracy on every group — the measured budget behind every
+    'approx_percentile is the swap at scale' docstring claim."""
+    rows = queries["agg_approx_quantile_audit"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.p50_rel_err < 0.01, (r.l_returnflag, r.p50_rel_err)
+        assert r.p95_rel_err < 0.01, (r.l_returnflag, r.p95_rel_err)

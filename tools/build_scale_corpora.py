@@ -142,6 +142,17 @@ def main() -> None:
             f"SELECT COUNT(*) FROM read_parquet('{args.out}/{table}.parquet')"
         ).fetchone()[0]
         print(f"{table}: {n} rows in {time.time() - t0:.1f}s")
+    # Dimensions stay 1x — copied verbatim so the scale dir is a
+    # COMPLETE corpus (register_views and the SQL-entry queries need
+    # every catalog table present).
+    for dim in ("region", "nation", "customer", "supplier", "part"):
+        dst = os.path.join(args.out, f"{dim}.parquet")
+        if not os.path.exists(dst):
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{args.src}/{dim}.parquet'))"
+                f" TO '{dst}' (FORMAT PARQUET)"
+            )
+            print(f"{dim}: copied 1x")
 
 
 if __name__ == "__main__":
