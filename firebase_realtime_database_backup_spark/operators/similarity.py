@@ -1870,8 +1870,12 @@ def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_label",
             "c_label",
             "c_id",
-            (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
-             ).alias("cosine"),
+            # try_divide: a zero-norm vector NULLs its cosine instead of
+            # raising under ANSI — DuckDB x/0.0 is NULL too, and both
+            # engines rank NULLs last under DESC (the _cosine precedent)
+            F.try_divide(
+                _dot(F.col("qe"), F.col("ce")), F.col("qn") * F.col("cn")
+            ).alias("cosine"),
         )
     )
     topk = scored.withColumn(
