@@ -306,7 +306,13 @@ def main() -> None:
     # not visible through it.  BENCH_DETAIL.json therefore keeps the
     # first-run time per rerun query under "cold" so both paths stay
     # observable round-over-round.
-    RERUN_UNDER_SEC = 4.0
+    # Raised 4 -> 6 in round 5: dedup_containment's cold shot (shared
+    # band-index build riding a slower host) drifted past 4 s, flipping
+    # its recorded number from 0.86 s warm to 4.2 s cold across rounds —
+    # exactly the cliff the cutoff exists to prevent.  6 s clears every
+    # cache-building family member with margin; the >=6 s queries are
+    # the iterative teaching anchors where single-shot is intended.
+    RERUN_UNDER_SEC = 6.0
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
