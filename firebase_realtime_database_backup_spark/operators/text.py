@@ -959,7 +959,7 @@ def text_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tagged AS (
       SELECT doc_id, source, lang,
              {knuth_bucket_sql('doc_id', 100)} AS h,
-             CAST(SUBSTR(source, 4) AS INT) % 3 AS tier
+             TRY_CAST(SUBSTR(source, 4) AS INT) % 3 AS tier
       FROM documents
     )
     SELECT doc_id, source, lang
@@ -979,7 +979,7 @@ def mix_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     training."""
     docs = read_table(spark, sf_dir, "documents")
     h = knuth_bucket(F.col("doc_id"), 100)
-    tier = F.substring("source", 4, 10).cast("int") % 3
+    tier = F.substring("source", 4, 10).try_cast("int") % 3
     rate = (
         F.when(tier == 0, 90).when(tier == 1, 50).otherwise(20)
     )
@@ -2849,7 +2849,7 @@ MIX_EPOCH_BUDGET_X = 2
     oracle=f"""
     WITH toks AS (
       SELECT source,
-             CAST(SUBSTR(source, 4) AS INT) % 3 AS tier,
+             TRY_CAST(SUBSTR(source, 4) AS INT) % 3 AS tier,
              CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS tokens
       FROM documents GROUP BY source
     ),
@@ -2893,7 +2893,7 @@ def mix_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens column comes from the persisted token_stats relation
     instead of re-splitting text; the plan shape is unchanged."""
     docs = spread(read_table(spark, sf_dir, "documents"))
-    tier = F.substring("source", 4, 10).cast("int") % 3
+    tier = F.substring("source", 4, 10).try_cast("int") % 3
     toks = docs.groupBy("source").agg(
         F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tokens"),
         F.max(

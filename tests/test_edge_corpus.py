@@ -340,24 +340,67 @@ R4_EDGE_QUERIES = (
 )
 
 
-def test_r4_surface_on_edge_shapes(spark, r4_edge_dir):
-    """Every round-4 query must hash-match its oracle on the boundary
-    corpus (single-day calendar, one-version/no-version SCD2 entities,
-    single-bucket median, empty BPE merge table)."""
+#: Round-5 additions, run on the same boundary shapes: the all-equal
+#: lineitem quantities hit agg_skew_kurtosis_exact's zero-variance
+#: guard; the single-'N'-flag lineitem empties BOTH KS populations; the
+#: single-day calendar collapses the cohort/CUSUM/bot/gap ops; the
+#: EMPTY customer/embeddings stubs drive the SQL-entry and
+#: similarity-eval queries to their zero-row paths.
+R5_EDGE_QUERIES = (
+    "agg_bitmap_distinct",
+    "agg_weighted_median",
+    "agg_skew_kurtosis_exact",
+    "quality_ks_test",
+    "quality_outlier_iqr",
+    "events_funnel_conversion_time",
+    "events_changepoint_cusum",
+    "events_cohort_ltv",
+    "events_bot_rate_gate",
+    "window_order_gaps",
+    "graph_degree_distribution",
+    "quality_dup_rate_by_source",
+    "quality_null_completeness",
+    "quality_label_balance",
+    "mix_epoch_repeat_plan",
+    "text_ngram_novelty",
+    "text_char_entropy_scaled",
+    "dedup_minhash_audit_sampled",
+    "sql_exists_not_exists",
+    "sim_knn_label_vote",
+)
+
+
+def _run_oracle_gate(spark, names, sf_dir):
     import __spark_entry__ as e
 
     queries, oracles = e.queries(), e.oracle_sql()
-    con = verify.duckdb_connection(r4_edge_dir)
+    con = verify.duckdb_connection(sf_dir)
     failures = []
-    for name in R4_EDGE_QUERIES:
+    for name in names:
         try:
             r = verify.compare_query(
-                spark, con, name, queries[name], oracles[name], r4_edge_dir
+                spark, con, name, queries[name], oracles[name], sf_dir
             )
             if not r.ok:
                 failures.append((name, r.details[:1]))
         except Exception as exc:  # noqa: BLE001 — collecting all failures
             failures.append((name, str(exc).splitlines()[:1]))
+    return failures
+
+
+def test_r4_surface_on_edge_shapes(spark, r4_edge_dir):
+    """Every round-4 query must hash-match its oracle on the boundary
+    corpus (single-day calendar, one-version/no-version SCD2 entities,
+    single-bucket median, empty BPE merge table)."""
+    failures = _run_oracle_gate(spark, R4_EDGE_QUERIES, r4_edge_dir)
+    assert not failures, failures
+
+
+def test_r5_surface_on_edge_shapes(spark, r4_edge_dir):
+    """Every round-5 query must hash-match its oracle on the same
+    boundary corpus — incl. the zero-variance, empty-population, and
+    empty-table paths the standard testdata never exercises."""
+    failures = _run_oracle_gate(spark, R5_EDGE_QUERIES, r4_edge_dir)
     assert not failures, failures
 
 
