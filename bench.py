@@ -247,6 +247,7 @@ HEADLINE = [
     "sql_exists_not_exists",
     "quality_null_completeness",
     "agg_approx_quantile_audit",
+    "stream_bot_alerts",
 ]
 
 

@@ -56,6 +56,32 @@ def tumbling_counts(events: DataFrame, width: str = "10 minutes") -> DataFrame:
     )
 
 
+def burst_alerts(events: DataFrame) -> DataFrame:
+    """(user_id, minute_start_ms, n_events): per-user minutes whose
+    event count reaches the bot threshold — the STREAMING form of
+    events_bot_rate_gate.  The batch gate reduces minutes to a per-user
+    max; a stream can't chain two aggregations, and doesn't want to:
+    the operational shape is an ALERT per offending (user, minute),
+    which is one windowed count + a filter — watermark-evictable state,
+    append-mode-safe, and the alert fires while the burst is happening
+    instead of at end of day."""
+    from firebase_realtime_database_backup_spark.operators.relational import (
+        BOT_RATE_MAX_PER_MIN,
+    )
+
+    w = F.window("ts", "1 minute")
+    return (
+        events.groupBy("user_id", w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") >= BOT_RATE_MAX_PER_MIN)
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("minute_start_ms"),
+            "n_events",
+        )
+    )
+
+
 def sliding_counts(
     events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
 ) -> DataFrame:
@@ -463,3 +489,25 @@ def events_session_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaps.groupBy(expr.alias("gap_bucket")).agg(
         F.count(F.lit(1)).alias("n_gaps")
     )
+
+
+@REG.query(
+    "stream_bot_alerts",
+    oracle="""
+    SELECT user_id,
+           EPOCH_MS(TIME_BUCKET(INTERVAL 1 MINUTE, ts)) AS minute_start_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+)
+def stream_bot_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch mode of the streaming burst alert (burst_alerts): one
+    alert row per (user, minute) at or over the bot rate threshold —
+    the streaming-operational complement of events_bot_rate_gate's
+    per-user summary.  Stream-vs-batch parity is pinned in
+    tests/test_streaming.py; in production the stream carries
+    withWatermark so the per-minute state evicts (the
+    stream_watermark_audit sizing question applies directly)."""
+    return burst_alerts(read_table(spark, sf_dir, "events"))

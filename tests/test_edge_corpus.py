@@ -367,6 +367,7 @@ R5_EDGE_QUERIES = (
     "dedup_minhash_audit_sampled",
     "sql_exists_not_exists",
     "sim_knn_label_vote",
+    "stream_bot_alerts",
 )
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from firebase_realtime_database_backup_spark.catalog import read_table
 from firebase_realtime_database_backup_spark.streaming.windows import (
+    burst_alerts,
     daily_active_users,
     dedup_events,
     run_stream_to_memory,
@@ -43,8 +44,9 @@ def _sorted_rows(df):
 
 @pytest.mark.parametrize(
     "transform",
-    [tumbling_counts, sliding_counts, session_counts, daily_active_users],
-    ids=["tumbling", "sliding", "session", "daily_active"],
+    [tumbling_counts, sliding_counts, session_counts, daily_active_users,
+     burst_alerts],
+    ids=["tumbling", "sliding", "session", "daily_active", "burst_alerts"],
 )
 def test_stream_batch_parity(spark, events_dir, transform):
     batch = transform(spark.read.parquet(events_dir))
