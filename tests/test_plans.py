@@ -1276,3 +1276,46 @@ def test_approx_quantile_audit_error_bound(spark, queries):
     for r in rows:
         assert r.p50_rel_err < 0.01, (r.l_returnflag, r.p50_rel_err)
         assert r.p95_rel_err < 0.01, (r.l_returnflag, r.p95_rel_err)
+
+
+def test_round5_plan_shapes(spark, queries):
+    """Pin the plan-shape claims the round-5 docstrings make: the exact
+    bitmap distinct must not Expand, the funnel-lag and bot ops must
+    not join, the order-gap window and aggregate must share ONE
+    customer exchange, and the weighted median / KS test must reduce to
+    the distinct-value grain before any window."""
+    def plan(name):
+        return (
+            queries[name](spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    p = plan("agg_bitmap_distinct")
+    assert "Expand" not in p
+    assert p.count("Exchange hashpartitioning") == 2  # word grain, group grain
+
+    p = plan("events_funnel_conversion_time")
+    assert "Join" not in p  # one conditional-min pass, never a self-join
+
+    p = plan("events_bot_rate_gate")
+    assert "Join" not in p and "Window" not in p
+
+    p = plan("window_order_gaps")
+    # ONE o_custkey exchange serves both the lag window and the agg
+    assert p.count("Exchange hashpartitioning") == 1
+
+    for name in ("agg_weighted_median", "quality_ks_test"):
+        p = plan(name)
+        # value-grain reduction first: the DEEPEST partial agg (the
+        # cents-grain reduce — last in top-down plan text) must sit
+        # below the reduced-grain window, i.e. the window never sees
+        # raw fact rows
+        assert "partial_" in p and "Window" in p
+        assert p.rindex("partial_") > p.index("Window")
+
+    p = plan("stream_bot_alerts")
+    # exactly one aggregation pair (partial + final) — the streaming
+    # form must stay single-aggregation or append mode breaks
+    assert p.count("HashAggregate") == 2
