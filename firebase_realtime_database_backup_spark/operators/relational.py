@@ -6271,9 +6271,16 @@ def quality_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
     )
-    fences = cents.groupBy("l_returnflag").agg(
-        F.percentile("c", 0.25).alias("q1"),
-        F.percentile("c", 0.75).alias("q3"),
+    # both quantiles from ONE percentile accumulator (array form) —
+    # halves the per-group sorted state vs two separate aggregates
+    fences = (
+        cents.groupBy("l_returnflag")
+        .agg(F.percentile("c", F.array(F.lit(0.25), F.lit(0.75))).alias("qs"))
+        .select(
+            "l_returnflag",
+            F.element_at("qs", 1).alias("q1"),
+            F.element_at("qs", 2).alias("q3"),
+        )
     )
     iqr = F.col("q3") - F.col("q1")
     is_out = (F.col("c") < F.col("q1") - 1.5 * iqr) | (
