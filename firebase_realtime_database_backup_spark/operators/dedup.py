@@ -519,7 +519,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def min_label_components(pairs: DataFrame, max_iter: int = 8) -> DataFrame:
+def min_label_components(pairs: DataFrame, max_iter: int = 48) -> DataFrame:
     """Connected components of an undirected pair list `(doc_a, doc_b)`
     via iterative min-label propagation: every node repeatedly adopts
     the smallest label among itself and its neighbors (two shuffles per
@@ -574,6 +574,16 @@ def min_label_components(pairs: DataFrame, max_iter: int = 8) -> DataFrame:
         )
         if labels.filter(F.col("changed")).limit(1).count() == 0:
             break
+    else:
+        # NEVER return silently-unconverged labels: a component of
+        # diameter > max_iter (a long near-dup chain) would otherwise
+        # split into several clusters, each with its own keep=true row
+        # — duplicates surviving the dedup policy with no signal.
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_iter} "
+            "iterations; the pair graph has a component of larger "
+            "diameter — raise max_iter"
+        )
     return labels.select(
         "doc_id", F.col("label").alias("cluster_id")
     )

@@ -5631,7 +5631,14 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = (
         li.select(
             "l_returnflag",
-            (F.col("l_suppkey") / 32).cast("bigint").alias("word"),
+            # integer FLOOR division, never (x / 32).cast: the double
+            # route loses low bits past 2^53 and truncates toward zero
+            # for negative ids (colliding word 0 with word -1, i.e. the
+            # oracle's `// 32`); subtracting pmod first makes the value
+            # exactly divisible, so integer div == floor for any int64
+            F.expr(
+                "(l_suppkey - pmod(l_suppkey, 32)) div 32"
+            ).alias("word"),
             F.expr(
                 "shiftleft(1L, cast(pmod(l_suppkey, 32) as int))"
             ).alias("mask"),
@@ -6014,16 +6021,23 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge join runs on |items| rows, then |distinct degrees| rows —
     the two-level collapse every distribution query here uses."""
     edges = events_item_cooccurrence(spark, sf_dir)
+    # cache the item-grain relation: hist and the total both consume it,
+    # and without the cache each consumer re-plans the whole capped
+    # co-occurrence self-join above it (the dominant cost — 59 s cold
+    # at 100×) instead of paying it once.  |items| rows — tiny.
     degrees = (
         edges.select(F.col("item_a").alias("item"))
         .unionByName(edges.select(F.col("item_b").alias("item")))
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .cache()
     )
     hist = degrees.groupBy("degree").agg(
         F.count(F.lit(1)).alias("n_items")
     )
-    total = degrees.agg(F.count(F.lit(1)).alias("n_total"))
+    # total items = sum over the histogram — derived from hist, so the
+    # broadcast probe never touches the edge subtree at all
+    total = hist.agg(F.sum("n_items").cast("bigint").alias("n_total"))
     return hist.crossJoin(F.broadcast(total)).select(
         "degree",
         "n_items",
@@ -6054,14 +6068,13 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(MAX(tot_r) AS BIGINT) AS n_r,
            CAST(MAX(tot_a) AS BIGINT) AS n_a,
-           CAST(MAX(ABS(cum_r * tot_a - cum_a * tot_r)) AS BIGINT)
-             AS d_scaled,
-           CAST(MAX(ABS(cum_r * tot_a - cum_a * tot_r)) AS DOUBLE)
-             / (MAX(tot_r) * MAX(tot_a)) AS d_stat,
-           CAST(MAX(ABS(cum_r * tot_a - cum_a * tot_r)) AS DOUBLE)
-             / (MAX(tot_r) * MAX(tot_a))
+           MAX(ABS(CAST(cum_r AS DOUBLE) / tot_r
+                   - CAST(cum_a AS DOUBLE) / tot_a)) AS d_stat,
+           MAX(ABS(CAST(cum_r AS DOUBLE) / tot_r
+                   - CAST(cum_a AS DOUBLE) / tot_a))
              > 1.358 * SQRT(CAST(MAX(tot_r) + MAX(tot_a) AS DOUBLE)
-                            / (MAX(tot_r) * MAX(tot_a))) AS rejected_05
+                            / (CAST(MAX(tot_r) AS DOUBLE) * MAX(tot_a)))
+             AS rejected_05
     FROM cum
     """,
 )
@@ -6074,11 +6087,16 @@ def quality_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributions — the right gate for 'did this batch's price/length/
     score distribution shift?' in data-quality monitoring.
 
-    Exactness: the supremum runs entirely in INTEGERS — the CDF gap at
-    value c is |cum₁·n₂ − cum₂·n₁| (cross-multiplied, exact), maxed as
-    a BIGINT and divided by n₁·n₂ exactly once; the threshold is one
-    SQRT of an exact ratio.  No float accumulates across rows, so both
-    engines agree bit-for-bit.
+    Exactness: the per-value CDF gap is two divisions of exact integer
+    cumulative counts — the identical fixed-order IEEE expression on
+    both engines, so the MAX picks the same row and the same double
+    everywhere (no float ACCUMULATES across rows; each row's diff is a
+    pure function of its exact integers).  Deliberately NOT the
+    cross-multiplied |cum₁·n₂ − cum₂·n₁| integer form: that product
+    silently overflows int64 once each population passes ~3e9 rows —
+    Spark wraps, DuckDB raises — exactly the 100 TB cliff class
+    functions/hashing.py documents.  The double form is overflow-free
+    at any scale.
 
     Plan: the fact table collapses map-side to the distinct-value
     grain (the agg_weighted_median shape) with both populations
@@ -6108,18 +6126,22 @@ def quality_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_r").over(w_all).cast("bigint").alias("tot_r"),
         F.sum("n_a").over(w_all).cast("bigint").alias("tot_a"),
     )
-    gap = F.abs(F.col("cum_r") * F.col("tot_a") - F.col("cum_a") * F.col("tot_r"))
+    gap = F.abs(
+        F.col("cum_r").cast("double") / F.col("tot_r")
+        - F.col("cum_a").cast("double") / F.col("tot_a")
+    )
     n_r, n_a = F.max("tot_r"), F.max("tot_a")
-    d_stat = F.max(gap).cast("double") / (n_r * n_a)
+    d_stat = F.max(gap)
     return cum.agg(
         n_r.alias("n_r"),
         n_a.alias("n_a"),
-        F.max(gap).cast("bigint").alias("d_scaled"),
         d_stat.alias("d_stat"),
         (
             d_stat
             > 1.358
-            * F.sqrt((n_r + n_a).cast("double") / (n_r * n_a))
+            * F.sqrt(
+                (n_r + n_a).cast("double") / (n_r.cast("double") * n_a)
+            )
         ).alias("rejected_05"),
     )
 

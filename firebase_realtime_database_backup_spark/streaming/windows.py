@@ -26,7 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from firebase_realtime_database_backup_spark.catalog import read_table
-from firebase_realtime_database_backup_spark.operators.relational import oround
+from firebase_realtime_database_backup_spark.operators.relational import (
+    BOT_RATE_MAX_PER_MIN,
+    oround,
+)
 from firebase_realtime_database_backup_spark.registry import Registry
 
 REG = Registry()
@@ -65,10 +68,6 @@ def burst_alerts(events: DataFrame) -> DataFrame:
     which is one windowed count + a filter — watermark-evictable state,
     append-mode-safe, and the alert fires while the burst is happening
     instead of at end of day."""
-    from firebase_realtime_database_backup_spark.operators.relational import (
-        BOT_RATE_MAX_PER_MIN,
-    )
-
     w = F.window("ts", "1 minute")
     return (
         events.groupBy("user_id", w.alias("w"))
@@ -493,13 +492,13 @@ def events_session_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.query(
     "stream_bot_alerts",
-    oracle="""
+    oracle=f"""
     SELECT user_id,
            EPOCH_MS(TIME_BUCKET(INTERVAL 1 MINUTE, ts)) AS minute_start_ms,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events
     GROUP BY 1, 2
-    HAVING COUNT(*) >= 3
+    HAVING COUNT(*) >= {BOT_RATE_MAX_PER_MIN}
     """,
 )
 def stream_bot_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
