@@ -248,6 +248,9 @@ HEADLINE = [
     "quality_null_completeness",
     "agg_approx_quantile_audit",
     "stream_bot_alerts",
+    "window_max_drawdown",
+    "agg_entropy_by_group",
+    "quality_monotonic_id_audit",
 ]
 
 

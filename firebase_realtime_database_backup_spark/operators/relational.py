@@ -6571,3 +6571,188 @@ def agg_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p95_approx").cast("double").alias("p95_approx"),
         rel("p95_exact", "p95_approx").alias("p95_rel_err"),
     )
+
+
+@REG.query(
+    "window_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(ROUND(SUM(value) * 100) AS BIGINT) AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    cum AS (
+      SELECT event_type, day, cents,
+             CAST(SUM(cents) OVER (
+               PARTITION BY event_type ORDER BY day) AS BIGINT) AS cum_cents
+      FROM daily
+    ),
+    dd AS (
+      SELECT event_type, day, cum_cents,
+             CAST(MAX(cum_cents) OVER (
+               PARTITION BY event_type ORDER BY day) AS BIGINT) AS peak_cents,
+             CAST(MAX(cum_cents) OVER (
+               PARTITION BY event_type ORDER BY day) - cum_cents
+               AS BIGINT) AS drawdown_cents
+      FROM cum
+    )
+    SELECT event_type,
+           CAST(MAX(peak_cents) AS BIGINT) AS peak_cents,
+           CAST(MAX(drawdown_cents) AS BIGINT) AS max_drawdown_cents,
+           CAST(MAX(drawdown_cents) AS DOUBLE) / 100.0 AS max_drawdown
+    FROM dd GROUP BY event_type
+    """,
+)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum DRAWDOWN of the cumulative daily revenue per event type:
+    the largest peak-to-trough drop of the running total — the classic
+    running-max window statistic (finance's risk number, equally the
+    'worst losing streak' of any cumulative KPI).  Complements
+    events_changepoint_cusum: CUSUM finds level SHIFTS, drawdown
+    quantifies the worst sustained DECLINE, and both read off the same
+    daily-grain relation.
+
+    Exactness: daily totals quantize to integer cents BEFORE any
+    window, the running sum and running max are integer window folds,
+    and the one double appears at display.  Negative event values make
+    drawdowns non-trivial on the test corpus (refund days pull the
+    cumulative down).
+
+    Plan: one events shuffle to (type, day); two stacked windows (sum,
+    then max of the sum) and the final agg all share the single
+    type-keyed exchange over ≤ |days| rows per type."""
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value") * 100).cast("bigint").alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    cum = daily.withColumn(
+        "cum_cents", F.sum("cents").over(w).cast("bigint")
+    )
+    dd = cum.withColumn(
+        "peak_cents", F.max("cum_cents").over(w).cast("bigint")
+    ).withColumn(
+        "drawdown_cents",
+        (F.col("peak_cents") - F.col("cum_cents")).cast("bigint"),
+    )
+    return dd.groupBy("event_type").agg(
+        F.max("peak_cents").alias("peak_cents"),
+        F.max("drawdown_cents").alias("max_drawdown_cents"),
+        (F.max("drawdown_cents").cast("double") / 100.0).alias(
+            "max_drawdown"
+        ),
+    )
+
+
+@REG.query(
+    "agg_entropy_by_group",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS k
+      FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (
+      SELECT user_id, CAST(SUM(k) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM counts GROUP BY user_id
+    ),
+    terms AS (
+      SELECT c.user_id, t.n, t.n_types,
+             c.k * (LENGTH(BIN(t.n // c.k)) - 1) AS term
+      FROM counts c JOIN tot t USING (user_id)
+    )
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(MAX(n_types) AS BIGINT) AS n_types,
+           CAST(SUM(term) AS BIGINT) AS entropy_bits_num,
+           CAST(SUM(term) AS DOUBLE) / MAX(n) AS behavior_entropy_bits
+    FROM terms GROUP BY user_id
+    """,
+)
+def agg_entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity entropy per user: whole-bit Shannon entropy
+    of each user's event-type mix — near-zero means a single-action
+    account (a scraper clicking one endpoint, a monitor pinging one
+    event), high means organic mixed behavior.  The categorical
+    companion to events_bot_rate_gate's rate signal, and the same
+    feature a fraud/quality model consumes as 'action diversity'.
+
+    Exactness: the text_char_entropy discipline applied to categories —
+    per-term k·(bitlength(n div k)−1) is pure integer arithmetic (no
+    libm ln anywhere), summed exactly, one final division.
+
+    Plan: one (user, type) count shuffle (map-side combinable); the
+    per-user total and type count ride a user-keyed window over that
+    reduced relation (≤ |type universe| rows per user), and the final
+    per-user reduce shares the window's exchange — the
+    text_char_entropy_scaled shape at the categorical grain."""
+    events = read_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    w = Window.partitionBy("user_id")
+    terms = counts.select(
+        "user_id",
+        F.sum("k").over(w).cast("bigint").alias("n"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_types"),
+        "k",
+    ).withColumn(
+        "term",
+        F.col("k")
+        * (
+            F.length(
+                F.bin(F.floor(F.col("n") / F.col("k")).cast("bigint"))
+            ).cast("bigint")
+            - 1
+        ),
+    )
+    num = F.sum("term").cast("bigint")
+    return terms.groupBy("user_id").agg(
+        F.max("n").alias("n_events"),
+        F.max("n_types").alias("n_types"),
+        num.alias("entropy_bits_num"),
+        (num.cast("double") / F.max("n")).alias("behavior_entropy_bits"),
+    )
+
+
+@REG.query(
+    "quality_monotonic_id_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_dup_ids,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_id,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_id,
+           CAST(MAX(o_orderkey) - MIN(o_orderkey) + 1
+                - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_gaps,
+           COUNT(*) = COUNT(DISTINCT o_orderkey) AS ids_unique
+    FROM orders
+    """,
+)
+def quality_monotonic_id_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key continuity audit: duplicate-id count, id range,
+    and the number of GAPS in the key space (range size minus distinct
+    count) — the per-batch ingest sanity gate that catches a re-sent
+    batch (dup ids), a truncated extract (gap burst), or an upstream
+    id-generator reset (min_id collapse) in one scan.  The id-grain
+    cousin of quality_referential_integrity (which checks keys AGAINST
+    a parent; this checks the key space itself).
+
+    Plan: a single aggregation — COUNT/MIN/MAX are plain partial aggs
+    and the one COUNT(DISTINCT id) is the standard two-level expansion
+    on the id grain; no joins, no windows.  At 100 TB partition-level
+    min/max stats can pre-answer the range half from metadata; the
+    distinct count is the only data-touching term (or swap
+    approx_count_distinct when an exact dup gate isn't required —
+    the agg_approx_quantile_audit tradeoff, measured there)."""
+    orders = read_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(k).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.count_distinct(k)).alias("n_dup_ids"),
+        F.min(k).alias("min_id"),
+        F.max(k).alias("max_id"),
+        (F.max(k) - F.min(k) + 1 - F.count_distinct(k)).alias("n_gaps"),
+        (F.count(F.lit(1)) == F.count_distinct(k)).alias("ids_unique"),
+    )

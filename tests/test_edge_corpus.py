@@ -368,6 +368,9 @@ R5_EDGE_QUERIES = (
     "sql_exists_not_exists",
     "sim_knn_label_vote",
     "stream_bot_alerts",
+    "window_max_drawdown",
+    "agg_entropy_by_group",
+    "quality_monotonic_id_audit",
 )
 
 
