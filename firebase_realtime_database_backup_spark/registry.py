@@ -66,133 +66,169 @@ class Registry:
         return self
 
 
-# Names the driver's capped attestation window has already PASSed
-# (hash_match true in CORRECTNESS_r01/r02/r03.json).
-# Used to ROTATE the window: never-attested oracle-backed queries are
-# registered first so each round's ~50-query cap proves new names
-# instead of re-proving these.  Append each round's new passes.
-DRIVER_PASSED = frozenset({
-    "agg_count_distinct", "agg_cube", "agg_grouping_sets",
-    "agg_percentiles", "agg_pivot", "agg_rollup",
-    "dedup_containment", "dedup_content_hash", "dedup_cross_corpus",
-    "dedup_decontaminate", "dedup_embedding_cosine",
-    "dedup_embedding_cosine_scaled", "dedup_exact", "dedup_fuzzy_names",
-    "dedup_keep_best_quality", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "dedup_simhash_hamming",
-    "events_cohort_retention", "events_funnel", "events_resample_gapfill",
-    "events_sessionize", "filter_pushdown_range", "flagship_revenue",
-    "join_asof", "join_broadcast_dim", "join_full_outer",
-    "join_inner_equi", "join_left_anti", "join_left_outer",
-    "join_left_semi", "join_range_binned", "join_range_residual",
-    "join_right_outer", "join_salted_skew", "join_theta_bnl",
-    "mix_weighted_sources", "pipeline_prepare_corpus", "pricing_summary",
-    "sample_deterministic", "set_except", "set_except_all",
-    "set_intersect", "set_union_all", "set_union_distinct", "sort_topk",
-    "sql_correlated_subquery", "sql_scalar_subquery",
-    "text_anonymize_keys", "text_chunk_fixed", "text_chunk_overlap",
-    "text_fingerprint", "text_gopher_rules", "text_lang_id",
-    "text_lang_rebalance", "text_normalize", "text_pii_redact",
-    "text_quality_score", "text_rarity_score", "text_repeated_passages",
-    "text_repetition_ratio", "text_scrub_passages",
-    "text_source_blocklist", "text_tfidf", "text_token_stats",
-    "text_top_terms", "text_vocab_unk",
-    "tpch_q10_returned_topk", "tpch_q11_value_share",
-    "tpch_q13_order_distribution", "tpch_q14_promo",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_variety",
-    "tpch_q17_small_qty_revenue", "tpch_q18_big_orders",
-    "tpch_q19_disjunctive", "tpch_q20_excess_shippers",
-    "tpch_q21_sole_returned", "tpch_q22_idle_customers",
-    "tpch_q2_min_cost_supplier", "tpch_q3_topk_revenue",
-    "tpch_q4_order_priority", "tpch_q5_local_volume",
-    "tpch_q6_forecast", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q9_profit",
-    "window_lag_lead", "window_nth_first_last", "window_percent_dist",
-    "window_range_frame", "window_ranking", "window_running_frame",
-    # round 3 (CORRECTNESS_r03.json — 50/50 PASS):
-    "agg_histogram_equiwidth", "agg_unpivot",
-    "conditional_case_nullif",
-    "events_item_cooccurrence", "events_markov_transitions",
-    "events_rfm_segments",
-    "flagship_revenue_bucketed",
-    "ingest_jsonl_quarantine", "ingest_schema_inference",
-    "ingest_schema_inference_sampled",
-    "json_extract_props", "json_from_json_struct",
-    "mix_temperature_sampled",
-    "multimodal_frame_energy", "multimodal_frame_explode",
-    "multimodal_media_features", "multimodal_phash_dedup",
-    "multimodal_resize_pool", "multimodal_scene_cuts",
-    "multimodal_silence_trim",
-    "quality_audit_constraints", "quality_winsorize",
-    "scalar_array_funcs", "scalar_bitwise_funcs", "scalar_date_funcs",
-    "scalar_hof_funcs", "scalar_map_funcs", "scalar_math_funcs",
-    "scalar_string_funcs",
-    "scd2_validity_windows",
-    "sim_ann_lsh", "sim_ann_multitable", "sim_cosine_topk",
-    "sim_dim_stats", "sim_ivf_topk", "sim_label_centroids",
-    "sim_lsh_buckets", "sim_topk_incremental", "sim_vector_quantize",
-    "sink_merge_upsert",
-    "text_code_detect", "text_inverted_index", "text_pack_sequences",
-    "tpch_q12_priority_lines",
-    "tree_normalize_events", "tree_path_ops", "tree_subtree_sizes",
-    "udf_grouped_topn", "udf_pandas_scalar",
-    "url_project_id_parse",
-    # round 4 (CORRECTNESS_r04.json — 50/50 PASS):
-    "agg_countmin_sketch", "agg_heavy_hitters", "agg_mode_per_group",
-    "agg_regression_exact", "agg_string_agg",
-    "dedup_cross_corpus_cosine", "dedup_minhash_estimate_audit",
-    "events_anomaly_mad", "events_attribution_linear",
-    "events_funnel_windowed", "events_moving_median",
-    "events_rfm_scaled", "events_sliding_distinct",
-    "events_top_sequences",
-    "ingest_schema_evolution",
-    "join_asof_forward", "join_asof_nearest", "join_asof_tolerance",
-    "join_bloom_prefilter", "join_shuffle_hash_hint",
-    "layout_zorder", "mix_token_budget_select",
-    "multimodal_phash_hamming",
-    "quality_benford", "quality_column_profile", "quality_drift_chi2",
-    "quality_referential_integrity", "quality_skew_report",
-    "sample_stratified_topk",
-    "sim_centroid_drift", "sim_contrastive_triplets",
-    "sim_dim_truncation_recall", "sim_norm_anomaly",
-    "sink_snapshot_diff",
-    "stream_daily_active", "stream_stateful_user_totals",
-    "stream_stream_join", "stream_window_session",
-    "stream_window_sliding", "stream_window_tumbling",
-    "text_adaptive_length_filter", "text_bigram_collocations",
-    "text_bigram_surprisal", "text_bpe_encode", "text_bpe_merges",
-    "text_char_entropy", "text_span_dedup", "text_span_scrub",
-    "text_surprisal_score",
-    "window_streaks",
-})
+# Round in which the driver's capped attestation window last PASSed each
+# query (hash_match in CORRECTNESS_r{N}.json).  Two jobs:
+#
+# 1. Membership = DRIVER_PASSED: oracle-backed queries NOT here are
+#    never-attested and float to the front of the window (tier 1).
+# 2. The round stamp drives the post-coverage ROLLING REGRESSION GATE:
+#    with every oracle-backed query attested at least once (235/235
+#    after round 5), each round's ~50-slot window re-attests (a) queries
+#    whose implementation changed this round (ROUND_TOUCHED below),
+#    then (b) the LEAST-recently-attested names — so the full corpus
+#    re-proves itself against the DuckDB oracle every ~5 rounds instead
+#    of the window re-running an arbitrary fixed 50.
+#
+# Maintain per round: bump entries that re-attest, add new passes, and
+# record implementation changes in ROUND_TOUCHED.
+DRIVER_ATTESTED_ROUND: dict[str, int] = {
+    # round 1 (CORRECTNESS_r01.json):
+    "agg_count_distinct": 1, "agg_cube": 1, "agg_grouping_sets": 1,
+    "agg_percentiles": 1, "agg_pivot": 1, "agg_rollup": 1,
+    "events_cohort_retention": 1, "events_funnel": 1,
+    "events_resample_gapfill": 1, "events_sessionize": 1,
+    "filter_pushdown_range": 1, "flagship_revenue": 1, "join_asof":
+    1, "join_broadcast_dim": 1, "join_full_outer": 1,
+    "join_inner_equi": 1, "join_left_anti": 1, "join_left_outer": 1,
+    "join_left_semi": 1, "join_range_binned": 1,
+    "join_range_residual": 1, "join_right_outer": 1,
+    "join_salted_skew": 1, "join_theta_bnl": 1, "pricing_summary":
+    1, "sample_deterministic": 1, "set_except": 1, "set_except_all":
+    1, "set_intersect": 1, "set_union_all": 1, "set_union_distinct":
+    1, "sort_topk": 1, "sql_correlated_subquery": 1,
+    "sql_scalar_subquery": 1, "tpch_q10_returned_topk": 1,
+    "tpch_q14_promo": 1, "tpch_q18_big_orders": 1,
+    "tpch_q3_topk_revenue": 1, "tpch_q4_order_priority": 1,
+    "tpch_q5_local_volume": 1, "window_lag_lead": 1,
+    "window_nth_first_last": 1, "window_percent_dist": 1,
+    "window_range_frame": 1, "window_ranking": 1,
+    "window_running_frame": 1,
+    # round 2 (CORRECTNESS_r02.json):
+    "dedup_containment": 2, "dedup_content_hash": 2,
+    "dedup_cross_corpus": 2, "dedup_decontaminate": 2,
+    "dedup_embedding_cosine": 2, "dedup_embedding_cosine_scaled": 2,
+    "dedup_exact": 2, "dedup_fuzzy_names": 2,
+    "dedup_keep_best_quality": 2, "dedup_minhash_lsh": 2,
+    "dedup_ngram_jaccard": 2, "dedup_simhash": 2,
+    "dedup_simhash_hamming": 2, "mix_weighted_sources": 2,
+    "pipeline_prepare_corpus": 2, "text_anonymize_keys": 2,
+    "text_chunk_fixed": 2, "text_chunk_overlap": 2,
+    "text_fingerprint": 2, "text_gopher_rules": 2, "text_lang_id":
+    2, "text_lang_rebalance": 2, "text_normalize": 2,
+    "text_pii_redact": 2, "text_quality_score": 2,
+    "text_rarity_score": 2, "text_repeated_passages": 2,
+    "text_repetition_ratio": 2, "text_scrub_passages": 2,
+    "text_source_blocklist": 2, "text_tfidf": 2, "text_token_stats":
+    2, "text_top_terms": 2, "text_vocab_unk": 2,
+    "tpch_q19_disjunctive": 2, "tpch_q20_excess_shippers": 2,
+    "tpch_q21_sole_returned": 2, "tpch_q22_idle_customers": 2,
+    "tpch_q2_min_cost_supplier": 2,
+    # round 3 (CORRECTNESS_r03.json):
+    "agg_histogram_equiwidth": 3, "agg_unpivot": 3,
+    "conditional_case_nullif": 3, "events_item_cooccurrence": 3,
+    "events_markov_transitions": 3, "events_rfm_segments": 3,
+    "flagship_revenue_bucketed": 3, "ingest_jsonl_quarantine": 3,
+    "ingest_schema_inference": 3, "ingest_schema_inference_sampled":
+    3, "json_extract_props": 3, "json_from_json_struct": 3,
+    "mix_temperature_sampled": 3, "multimodal_frame_energy": 3,
+    "multimodal_frame_explode": 3, "multimodal_media_features": 3,
+    "multimodal_phash_dedup": 3, "multimodal_resize_pool": 3,
+    "multimodal_scene_cuts": 3, "multimodal_silence_trim": 3,
+    "quality_audit_constraints": 3, "quality_winsorize": 3,
+    "scalar_array_funcs": 3, "scalar_bitwise_funcs": 3,
+    "scalar_date_funcs": 3, "scalar_hof_funcs": 3,
+    "scalar_map_funcs": 3, "scalar_math_funcs": 3,
+    "scalar_string_funcs": 3, "scd2_validity_windows": 3,
+    "sim_ann_lsh": 3, "sim_ann_multitable": 3, "sim_cosine_topk": 3,
+    "sim_dim_stats": 3, "sim_ivf_topk": 3, "sim_label_centroids": 3,
+    "sim_lsh_buckets": 3, "sim_topk_incremental": 3,
+    "sim_vector_quantize": 3, "sink_merge_upsert": 3,
+    "text_code_detect": 3, "text_inverted_index": 3,
+    "text_pack_sequences": 3, "tpch_q12_priority_lines": 3,
+    "tree_normalize_events": 3, "tree_path_ops": 3,
+    "tree_subtree_sizes": 3, "udf_grouped_topn": 3,
+    "udf_pandas_scalar": 3, "url_project_id_parse": 3,
+    # round 4 (CORRECTNESS_r04.json):
+    "agg_countmin_sketch": 4, "agg_heavy_hitters": 4,
+    "agg_mode_per_group": 4, "agg_regression_exact": 4,
+    "agg_string_agg": 4, "dedup_cross_corpus_cosine": 4,
+    "dedup_minhash_estimate_audit": 4, "events_anomaly_mad": 4,
+    "events_attribution_linear": 4, "events_funnel_windowed": 4,
+    "events_moving_median": 4, "events_rfm_scaled": 4,
+    "events_sliding_distinct": 4, "events_top_sequences": 4,
+    "ingest_schema_evolution": 4, "join_asof_forward": 4,
+    "join_asof_nearest": 4, "join_asof_tolerance": 4,
+    "join_bloom_prefilter": 4, "join_shuffle_hash_hint": 4,
+    "layout_zorder": 4, "mix_token_budget_select": 4,
+    "multimodal_phash_hamming": 4, "quality_benford": 4,
+    "quality_column_profile": 4, "quality_drift_chi2": 4,
+    "quality_referential_integrity": 4, "quality_skew_report": 4,
+    "sample_stratified_topk": 4, "sim_centroid_drift": 4,
+    "sim_contrastive_triplets": 4, "sim_dim_truncation_recall": 4,
+    "sim_norm_anomaly": 4, "sink_snapshot_diff": 4,
+    "stream_daily_active": 4, "stream_stateful_user_totals": 4,
+    "stream_stream_join": 4, "stream_window_session": 4,
+    "stream_window_sliding": 4, "stream_window_tumbling": 4,
+    "text_adaptive_length_filter": 4, "text_bigram_collocations": 4,
+    "text_bigram_surprisal": 4, "text_bpe_encode": 4,
+    "text_bpe_merges": 4, "text_char_entropy": 4, "text_span_dedup":
+    4, "text_span_scrub": 4, "text_surprisal_score": 4,
+    "window_streaks": 4,
+    # round 5 (CORRECTNESS_r05.json):
+    "agg_bitmap_distinct": 5, "agg_entropy_by_group": 5,
+    "agg_median_twolevel": 5, "agg_skew_kurtosis_exact": 5,
+    "agg_weighted_median": 5, "dedup_minhash_audit_sampled": 5,
+    "events_activity_concentration": 5, "events_adoption_curve": 5,
+    "events_audience_overlap": 5, "events_bot_rate_gate": 5,
+    "events_changepoint_cusum": 5, "events_cohort_ltv": 5,
+    "events_dau_wau_stickiness": 5, "events_ewma_daily": 5,
+    "events_forecast_backtest": 5, "events_funnel_conversion_time":
+    5, "events_seasonality_profile": 5,
+    "events_session_gap_histogram": 5, "events_trending_topk": 5,
+    "graph_degree_distribution": 5, "graph_triangle_count": 5,
+    "join_interval_overlap": 5, "join_scd2_pointintime": 5,
+    "layout_compact_small_files": 5, "mix_epoch_repeat_plan": 5,
+    "quality_corpus_datasheet": 5, "quality_dup_rate_by_source": 5,
+    "quality_ks_test": 5, "quality_label_balance": 5,
+    "quality_monotonic_id_audit": 5, "quality_null_completeness": 5,
+    "quality_outlier_iqr": 5, "sim_knn_label_vote": 5,
+    "sql_exists_not_exists": 5, "stream_bot_alerts": 5,
+    "stream_watermark_audit": 5, "text_char_entropy_scaled": 5,
+    "text_ngram_novelty": 5, "tpch_q11_value_share": 5,
+    "tpch_q13_order_distribution": 5, "tpch_q15_top_supplier": 5,
+    "tpch_q16_supplier_variety": 5, "tpch_q17_small_qty_revenue": 5,
+    "tpch_q6_forecast": 5, "tpch_q7_volume_shipping": 5,
+    "tpch_q8_market_share": 5, "tpch_q9_profit": 5,
+    "window_max_drawdown": 5, "window_open_intervals": 5,
+    "window_order_gaps": 5,
+}
+
+DRIVER_PASSED = frozenset(DRIVER_ATTESTED_ROUND)
 
 
-# The 17 oracle-backed queries that existed before round 5 but were
-# never inside a driver attestation window (the round-4 verdict's
-# "What's missing" list — all judged green in the judge's local
-# driver-faithful loop, never driver-attested).  These float to the
-# VERY front of the window: attesting them completes driver-proven
-# coverage of the whole r1-r4 surface (211/211), while round-5
-# additions fill the remaining window slots in tier 1.
-ATTEST_BACKLOG = frozenset({
-    "agg_median_twolevel", "events_activity_concentration",
-    "events_adoption_curve", "events_audience_overlap",
-    "events_dau_wau_stickiness", "events_ewma_daily",
-    "events_forecast_backtest", "events_seasonality_profile",
-    "events_session_gap_histogram", "events_trending_topk",
-    "graph_triangle_count", "join_interval_overlap",
-    "join_scd2_pointintime", "layout_compact_small_files",
-    "quality_corpus_datasheet", "stream_watermark_audit",
-    "window_open_intervals",
-})
+# Queries whose *implementation* (or oracle) changed in a round AFTER
+# their last attestation — these jump to the front of the next driver
+# window (regression risk beats staleness).  Cleared per name once the
+# window re-attests it (i.e. when its DRIVER_ATTESTED_ROUND catches up).
+ROUND_TOUCHED: dict[str, int] = {
+}
+
+
+# Oracle-backed queries that have NEVER been inside a driver window.
+# Empty since round 5 (CORRECTNESS_r05 closed the last 17); kept as a
+# constant because the lints in tests/test_oracle.py pin the window
+# head to it whenever it is non-empty.  If a future round adds more
+# oracle-backed queries than fit the window, repoint this at the
+# overflow.
+ATTEST_BACKLOG = frozenset()
 
 
 # Registration order is driver-visible: the correctness loop walks
-# ``queries()`` in insertion order and may cap how many it attests per
-# round (rounds 1 and 2 each stopped at the first 50).
-# ``build_registry`` therefore orders: (1) the never-attested backlog
-# (ATTEST_BACKLOG minus any future passes); (2) other oracle-backed
-# queries the driver has never passed (round-4 additions); then
-# (3) oracle-backed queries already in DRIVER_PASSED; then (4)
+# ``queries()`` in insertion order and caps how many it attests per
+# round (~50).  ``build_registry`` orders: (0) the never-attested
+# backlog; (1) other never-attested oracle-backed queries (new this
+# round); (2) already-attested queries — implementation-touched first,
+# then least-recently-attested (the rolling regression gate); (3)
 # rows-only queries, which only get the weaker row-count check.
 QUERY_MODULES = (
     "firebase_realtime_database_backup_spark.operators.tpch",
@@ -230,17 +266,27 @@ def build_registry(warn=None) -> "Registry":
     reg = Registry()
     reg.prod_twins.update(merged.prod_twins)
 
-    def tier(name: str) -> int:
+    def order_key(item):
+        name, _ = item
+        idx = insertion.get(name, 0)
         if name not in merged.oracles:
-            return 3
-        if name in DRIVER_PASSED:
-            return 2
-        return 0 if name in ATTEST_BACKLOG else 1
+            return (3, 0, 0, idx)            # rows-only: last, stable
+        if name not in DRIVER_PASSED:
+            if name in ATTEST_BACKLOG:
+                return (0, 0, 0, idx)        # never-attested backlog
+            return (1, 0, 0, idx)            # other never-attested
+        # Rolling regression gate over the attested corpus:
+        # round-touched queries first (newest touch first), then
+        # least-recently-attested.
+        touched = ROUND_TOUCHED.get(name, 0)
+        attested = DRIVER_ATTESTED_ROUND[name]
+        if touched > attested:
+            return (2, 0, -touched, idx)
+        return (2, 1, attested, idx)
 
-    for t in (0, 1, 2, 3):
-        for name, fn in merged.queries.items():
-            if tier(name) == t:
-                reg.queries[name] = fn
-                if name in merged.oracles:
-                    reg.oracles[name] = merged.oracles[name]
+    insertion = {name: i for i, name in enumerate(merged.queries)}
+    for name, fn in sorted(merged.queries.items(), key=order_key):
+        reg.queries[name] = fn
+        if name in merged.oracles:
+            reg.oracles[name] = merged.oracles[name]
     return reg

@@ -102,6 +102,61 @@ def test_attest_backlog_leads_window(spark):
     )
 
 
+def test_window_is_rolling_regression_gate(spark):
+    """Post-coverage window ordering (round 6+): with every
+    oracle-backed query attested, the ~50-slot driver window must be a
+    ROLLING REGRESSION GATE — never-attested names first, then queries
+    whose implementation changed after their last attestation
+    (ROUND_TOUCHED), then the least-recently-attested corpus in
+    ascending attested-round order.  Simulates the driver's walk and
+    asserts the order key is monotone."""
+    import __spark_entry__ as entrymod
+
+    from firebase_realtime_database_backup_spark.registry import (
+        ATTEST_BACKLOG,
+        DRIVER_ATTESTED_ROUND,
+        DRIVER_PASSED,
+        ROUND_TOUCHED,
+    )
+
+    oracle_backed = [n for n in entrymod.queries() if n in entrymod.oracle_sql()]
+
+    def key(name):
+        if name not in DRIVER_PASSED:
+            return (0,) if name in ATTEST_BACKLOG else (1,)
+        touched = ROUND_TOUCHED.get(name, 0)
+        attested = DRIVER_ATTESTED_ROUND[name]
+        if touched > attested:
+            return (2, 0, -touched)
+        return (2, 1, attested)
+
+    keys = [key(n) for n in oracle_backed]
+    assert keys == sorted(keys), (
+        "driver window is not ordered as the rolling regression gate; "
+        f"first out-of-order name: "
+        f"{oracle_backed[[i for i in range(1, len(keys)) if keys[i] < keys[i - 1]][0]]}"
+    )
+    # Every touched-after-attestation name must appear before every
+    # untouched attested name.
+    touched = [n for n in oracle_backed
+               if n in DRIVER_PASSED
+               and ROUND_TOUCHED.get(n, 0) > DRIVER_ATTESTED_ROUND[n]]
+    if touched:
+        attested_positions = [oracle_backed.index(n) for n in oracle_backed
+                              if n in DRIVER_PASSED and n not in touched]
+        assert max(oracle_backed.index(n) for n in touched) < min(attested_positions)
+
+
+def test_round_touched_names_exist(spark):
+    """ROUND_TOUCHED is only useful if its names are real queries."""
+    import __spark_entry__ as entrymod
+
+    from firebase_realtime_database_backup_spark.registry import ROUND_TOUCHED
+
+    unknown = set(ROUND_TOUCHED) - set(entrymod.queries())
+    assert not unknown, f"ROUND_TOUCHED names not in registry: {sorted(unknown)}"
+
+
 def test_prod_twins_are_registered_queries(spark):
     """Every prod-twin pointer must name a registered query (the
     teaching→production audit trail is only useful if the twin runs)."""
