@@ -837,6 +837,8 @@ def dedup_embedding_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def assign(batches):
         for pdf in batches:
+            if pdf.empty:
+                continue  # np.stack([]) raises on zero-row Arrow batches
             X = np.stack(pdf["emb"].values).astype(np.float64)
             sign = (X @ P.T) >= 0.0
             yield pd.DataFrame(
@@ -1061,6 +1063,8 @@ def dedup_cross_corpus_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFra
 
     def assign(batches):
         for pdf in batches:
+            if pdf.empty:
+                continue  # np.stack([]) raises on zero-row Arrow batches
             X = np.stack(pdf["emb"].values).astype(np.float64)
             sign = (X @ P.T) >= 0.0  # one BLAS call per Arrow batch
             yield pd.DataFrame(
@@ -1418,6 +1422,32 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 _XXHASH_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
+#: session-scoped SAMPLED shingle relation for the audit's doc-grain
+#: Knuth sample, keyed like _XXHASH_SHINGLE_CACHE — re-invoking
+#: dedup_minhash_audit_sampled in a long-lived session must reuse one
+#: cached relation instead of accumulating a new cached DataFrame per
+#: call (each .cache() on a fresh plan pins fresh partitions forever).
+_SAMPLED_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _sampled_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firebase_realtime_database_backup_spark.functions.hashing import (
+        knuth_bucket,
+    )
+    from firebase_realtime_database_backup_spark.operators.text import (
+        doc_shingle_ids,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SAMPLED_SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    sampled = knuth_bucket(F.col("doc_id"), AUDIT_DOC_SAMPLE_MOD) == 0
+    out = doc_shingle_ids(spark, sf_dir).filter(sampled).cache()
+    _SAMPLED_SHINGLE_CACHE[key] = out
+    return out
+
+
 def _xxhash_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from firebase_realtime_database_backup_spark.operators.text import doc_shingles
 
@@ -1754,6 +1784,8 @@ def _arrow_assign(cids, C_mat):
 
     def assign_batches(batches):
         for pdf in batches:
+            if pdf.empty:
+                continue  # np.stack([]) raises on zero-row Arrow batches
             X = np.stack(pdf["emb"].values).astype(np.float64)
             d2 = (
                 (X**2).sum(axis=1)[:, None]
@@ -1795,7 +1827,8 @@ def _lloyd_iterations(emb: DataFrame, cids, C):
     return C
 
 
-@REG.query("dedup_semantic_kmeans_scaled")  # rows-only (same replay gate)
+@REG.query("dedup_semantic_kmeans_scaled",  # rows-only (same replay gate)
+           prod_twin="dedup_semantic_kmeans_hier")
 def dedup_semantic_kmeans_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_semantic_kmeans with BOTH scale fixes the measured 52x-at-
     20x cliff demands (BASELINE.md):
@@ -2191,7 +2224,7 @@ def dedup_minhash_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sampled = knuth_bucket(F.col("doc_id"), AUDIT_DOC_SAMPLE_MOD) == 0
-    dshingle = doc_shingle_ids(spark, sf_dir).filter(sampled).cache()
+    dshingle = _sampled_shingle_ids(spark, sf_dir)
     bands = _band_index(spark, sf_dir, "dict").filter(sampled)
     cands = _candidate_pairs(bands, bands, "doc_a", "doc_b", ordered=True)
     overlap = _pair_overlap(cands, dshingle, "doc_a", "doc_b")

@@ -112,6 +112,8 @@ def phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         W = 1 << np.arange(32, dtype=np.int64)
         for pdf in batches:
+            if pdf.empty:
+                continue  # np.stack([]) raises on zero-row Arrow batches
             ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             bufs = pdf["payload"].tolist()
             n = len(bufs)
@@ -195,6 +197,8 @@ def _media_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: byte-level 'feature extraction' per payload —
     size, leading byte, strided frame sample count + checksum."""
     for pdf in batches:
+        if pdf.empty:
+            continue  # np.stack([]) raises on zero-row Arrow batches
         payloads = pdf["payload"]
         n_bytes = payloads.str.len().astype("int64")
         first_byte = payloads.map(lambda b: b[0] if len(b) else -1).astype("int32")
@@ -258,6 +262,8 @@ def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     import numpy as np
 
     for pdf in batches:
+        if pdf.empty:
+            continue  # np.stack([]) raises on zero-row Arrow batches
         rasters = [
             np.resize(np.frombuffer(b, dtype=np.uint8), 64).astype("int32")
             if len(b)
@@ -318,6 +324,8 @@ def multimodal_frame_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if pdf.empty:
+                continue  # np.stack([]) raises on zero-row Arrow batches
             ids, nos, sums, lens = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 buf = np.frombuffer(payload, dtype=np.uint8)
@@ -366,6 +374,8 @@ def multimodal_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if pdf.empty:
+                continue  # np.stack([]) raises on zero-row Arrow batches
             ids, nos, es, ps = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 buf = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
@@ -431,6 +441,8 @@ def multimodal_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
+            if pdf.empty:
+                continue  # np.stack([]) raises on zero-row Arrow batches
             ids, cells, vals = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 buf = np.frombuffer(payload, dtype=np.uint8)

@@ -6700,9 +6700,11 @@ def agg_entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term",
         F.col("k")
         * (
-            F.length(
-                F.bin(F.floor(F.col("n") / F.col("k")).cast("bigint"))
-            ).cast("bigint")
+            # Integer division (`div`), NOT floor(double /): the double
+            # route loses low bits past 2^53 and can diverge from the
+            # oracle's exact `n // k` (same discipline as
+            # agg_bitmap_distinct's word derivation).
+            F.length(F.bin(F.expr("n div k"))).cast("bigint")
             - 1
         ),
     )

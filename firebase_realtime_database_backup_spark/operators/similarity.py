@@ -879,6 +879,8 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def encode(batches):
         for pdf in batches:
+            if pdf.empty:
+                continue  # np.stack([]) raises on zero-row Arrow batches
             X = _np_l2_normalize(np.stack(pdf["emb"].values).astype(np.float64))
             codes = _np_encode_subspaces(X, codebooks)
             out = {"vec_id": pdf["vec_id"].values}
@@ -888,6 +890,8 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def adc_shortlist(batches):
         for pdf in batches:
+            if pdf.empty:
+                continue  # np.stack([]) raises on zero-row Arrow batches
             ids = pdf["vec_id"].values
             codes = np.stack([pdf[f"c{m}"].values for m in range(PQ_M)], axis=1)
             # approx[q, row] = sum_m adc[q, m, codes[row, m]]
@@ -993,6 +997,8 @@ def ivfpq_cell_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
+            if pdf.empty:
+                continue  # np.stack([]) raises on zero-row Arrow batches
             Xn = _np_l2_normalize(np.stack(pdf["emb"].values).astype(np.float64))
             cell, _ = _np_assign_cells(Xn, cents)
             yield pd.DataFrame({"vec_id": pdf["vec_id"].values, "cell": cell})
@@ -1081,6 +1087,8 @@ def _ivfpq_encode(emb: DataFrame, cents, codebooks) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
+            if pdf.empty:
+                continue  # np.stack([]) raises on zero-row Arrow batches
             Xn = _np_l2_normalize(np.stack(pdf["emb"].values).astype(np.float64))
             cell, _ = _np_assign_cells(Xn, cents)
             codes = _np_encode_subspaces(Xn - cents[cell], codebooks)
@@ -1147,6 +1155,8 @@ def _ivfpq_search(
 
     def adc_shortlist(batches):
         for pdf in batches:
+            if pdf.empty:
+                continue  # np.stack([]) raises on zero-row Arrow batches
             ids = pdf["vec_id"].values
             cell = pdf["cell"].values
             codes_m = np.stack(
@@ -1955,6 +1965,9 @@ def sim_knn_label_vote_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def score(batches):
         for pdf in batches:
+            if pdf.empty:
+                # np.stack([]) raises on a zero-row Arrow batch.
+                continue
             X = np.stack(
                 [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
             )

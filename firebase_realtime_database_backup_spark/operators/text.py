@@ -404,10 +404,21 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.aggregate(
         F.transform(
             F.col("cnts"),
+            # Exact integer n // k without double division (lambda vars
+            # can't appear in F.expr, so subtract the remainder and
+            # divide in decimal — the quotient is an exact integer, so
+            # the decimal division and bigint cast are lossless).
             lambda k: k
             * (
                 F.length(
-                    F.bin(F.floor(F.col("n") / k).cast("bigint"))
+                    F.bin(
+                        (
+                            (F.col("n") - F.col("n") % k).cast(
+                                "decimal(38,0)"
+                            )
+                            / k
+                        ).cast("bigint")
+                    )
                 ).cast("bigint")
                 - 1
             ),
@@ -487,11 +498,10 @@ def text_char_entropy_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("k"))
     )
     n = F.sum("k").over(Window.partitionBy("doc_id"))
+    # `div` (exact integer division), not floor(double /): doubles lose
+    # low bits past 2^53, diverging from the oracle's `n // k`.
     term = F.col("k") * (
-        F.length(F.bin(F.floor(F.col("n") / F.col("k")).cast("bigint"))).cast(
-            "bigint"
-        )
-        - 1
+        F.length(F.bin(F.expr("n div k"))).cast("bigint") - 1
     )
     terms = hist.withColumn("n", n.cast("bigint")).withColumn("term", term)
     num = F.sum("term").cast("bigint")
@@ -1914,7 +1924,11 @@ def ensure_bpe_table(spark: SparkSession, sf_dir: str) -> str:
     if hit is not None:
         return hit
     final_vocab, merges = _bpe_loop(spark, sf_dir, BPE_MERGES)
-    tag = hashlib.sha1(key[1].encode()).hexdigest()[:12]
+    # The scratch path is keyed by (applicationId, corpus) exactly like
+    # the memo: two concurrent sessions training the same corpus would
+    # otherwise write.mode("overwrite") the SAME directory and one
+    # session's read-back could tear against the other's overwrite.
+    tag = hashlib.sha1("\x00".join(key).encode()).hexdigest()[:12]
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         os.pardir,

@@ -211,6 +211,14 @@ DRIVER_PASSED = frozenset(DRIVER_ATTESTED_ROUND)
 # window (regression risk beats staleness).  Cleared per name once the
 # window re-attests it (i.e. when its DRIVER_ATTESTED_ROUND catches up).
 ROUND_TOUCHED: dict[str, int] = {
+    # round 6: integer-division entropy fix (ADVICE r5), BPE scratch
+    # path now session-keyed, sampled-audit shingle relation memoized.
+    "agg_entropy_by_group": 6,
+    "text_char_entropy": 6,
+    "text_char_entropy_scaled": 6,
+    "text_bpe_merges": 6,
+    "text_bpe_encode": 6,
+    "dedup_minhash_audit_sampled": 6,
 }
 
 
