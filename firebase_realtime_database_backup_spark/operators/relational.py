@@ -2501,7 +2501,99 @@ def events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the user partition) BEFORE the self-join, making the blowup bounded
     by cap^2 per user regardless of skew.  The self-join shuffles both
     sides on user_id once (same key → one exchange per side), and the
-    final (item_a, item_b) count is partial-aggregated map-side."""
+    final (item_a, item_b) count is partial-aggregated map-side.
+
+    Served from ensure_item_edges: the edge build (the dominant stage —
+    42 s cold at 100×) is paid once per (session, corpus) and shared by
+    every graph consumer (PageRank, triangles, degree distribution)."""
+    return ensure_item_edges(spark, sf_dir)
+
+
+#: session-scoped item co-occurrence edge lists, keyed by
+#: (applicationId, sf_dir) — same amortization discipline as
+#: ensure_bucketed_facts / ensure_bpe_table / the shared band index.
+_ITEM_EDGES_CACHE: dict = {}
+
+
+def ensure_item_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the capped item co-occurrence edge list ONCE per (session,
+    corpus), cache it, and hand the same DataFrame to every consumer.
+
+    The co-click graph is shared substructure: events_item_cooccurrence
+    returns it verbatim and graph_pagerank / graph_triangle_count /
+    graph_degree_distribution all start from it.  Before this memo each
+    consumer re-planned the whole capped per-user self-join from cold —
+    42 s at 100× PER CONSUMER, and PageRank (the bench's slowest query)
+    paid it before iterating.  Keyed by applicationId (not id(spark)):
+    a recycled object address after a session restart must not
+    resurrect DataFrames bound to the dead session.
+
+    Columns: (item_a, item_b, n_users) with item_a < item_b and
+    n_users >= 2 — the canonical undirected form; direction-needing
+    consumers symmetrize map-side (explode of a 2-struct array)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _ITEM_EDGES_CACHE.get(key)
+    if cached is not None:
+        return cached
+    out = _item_cooccurrence_plan(spark, sf_dir).cache()
+    _ITEM_EDGES_CACHE[key] = out
+    return out
+
+
+#: session-scoped (sym_edges, out_deg, nodes) triple for the directed
+#: view of the co-click graph, derived from ensure_item_edges.
+_SYM_EDGES_CACHE: dict = {}
+
+
+def _ensure_sym_edges(spark: SparkSession, sf_dir: str):
+    """Symmetrized (src, dst) edges + out-degrees + node set, cached
+    once per (session, corpus) on top of ensure_item_edges.
+
+    Symmetrize by exploding each pair into both directions MAP-SIDE (a
+    union of pairs with its own mirror computes the co-occurrence
+    self-join twice when the cache materializes — measured ~2x the cold
+    build cost of the dominant stage).  rank/degree sides are |items|
+    rows — catalog-sized, orders of magnitude under the edge list — so
+    PageRank broadcasts both and each iteration's only exchange is the
+    dst-key gather.  (On a web-scale graph where ranks outgrow
+    broadcast, drop the hints and co-partition edges and ranks on the
+    item key instead.)  Without the broadcast hints each iteration paid
+    3 shuffle stages of scheduling overhead: measured 19.4 s vs 11 s
+    broadcast at sf0.1; the remaining floor is the per-iteration
+    broadcast-collect + gather jobs, inherent to driver-looped
+    iteration on a tiny graph.  Memoized so repeated PageRank runs in a
+    session don't pin a fresh cached symmetrization each call."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SYM_EDGES_CACHE.get(key)
+    if cached is not None:
+        return cached
+    pairs = ensure_item_edges(spark, sf_dir).select("item_a", "item_b")
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("item_b").alias("src"), F.col("item_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .cache()
+    )
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
+    # every node appears as src (edges are symmetric), so the degree
+    # table's key set IS the node set — no second distinct pass
+    nodes = out_deg.select(F.col("src").alias("item")).cache()
+    triple = (edges, out_deg, nodes)
+    _SYM_EDGES_CACHE[key] = triple
+    return triple
+
+
+def _item_cooccurrence_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     items = (
         ev.select(
@@ -3640,40 +3732,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only check: an 8-step unrolled recursive CTE exists in
     principle, but cross-engine float-sum ordering makes hash equality
     meaningless — parity is pytest-asserted against numpy instead."""
-    pairs = events_item_cooccurrence(spark, sf_dir).select("item_a", "item_b")
-    # symmetrize by exploding each pair into both directions MAP-SIDE
-    # (a union of pairs with its own mirror computes the co-occurrence
-    # self-join twice when the cache materializes — measured ~2x the
-    # cold build cost of this operator's dominant stage)
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
-                    ),
-                    F.struct(
-                        F.col("item_b").alias("src"), F.col("item_a").alias("dst")
-                    ),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-        .cache()
-    )
-    # rank/degree sides are |items| rows — catalog-sized, orders of
-    # magnitude under the edge list — so both joins broadcast and each
-    # iteration's only exchange is the dst-key gather.  (On a web-scale
-    # graph where ranks outgrow broadcast, drop the hints and
-    # co-partition edges and ranks on the item key instead.)  Without
-    # the hints each iteration paid 3 shuffle stages of scheduling
-    # overhead: measured 19.4 s vs 11 s broadcast at sf0.1; the
-    # remaining floor is the per-iteration broadcast-collect + gather
-    # jobs, inherent to driver-looped iteration on a tiny graph.
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
-    # every node appears as src (edges are symmetric), so the degree
-    # table's key set IS the node set — no second distinct pass
-    nodes = out_deg.select(F.col("src").alias("item")).cache()
+    edges, out_deg, nodes = _ensure_sym_edges(spark, sf_dir)
     # nodes/edges caches materialize during the initial eager checkpoint;
     # sum(rank) == |nodes| stays a loop invariant (asserted in tests).
     # Checkpoint every 4 iterations, not every one: each eager

@@ -219,6 +219,11 @@ ROUND_TOUCHED: dict[str, int] = {
     "text_bpe_merges": 6,
     "text_bpe_encode": 6,
     "dedup_minhash_audit_sampled": 6,
+    # round 6: co-occurrence edge list now session-memoized
+    # (ensure_item_edges) and shared by every graph consumer.
+    "events_item_cooccurrence": 6,
+    "graph_triangle_count": 6,
+    "graph_degree_distribution": 6,
 }
 
 

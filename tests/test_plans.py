@@ -1319,3 +1319,32 @@ def test_round5_plan_shapes(spark, queries):
     # exactly one aggregation pair (partial + final) — the streaming
     # form must stay single-aggregation or append mode breaks
     assert p.count("HashAggregate") == 2
+
+
+def test_item_edges_built_once_and_reused(spark):
+    """The co-occurrence edge list is shared substructure: once any
+    consumer materializes it, every graph consumer's plan must read the
+    InMemoryRelation instead of re-planning the capped per-user
+    self-join from the events parquet (42 s cold at 100× — previously
+    paid once PER consumer; PageRank, the bench's slowest query, paid
+    it before iterating)."""
+    from firebase_realtime_database_backup_spark.operators.relational import (
+        ensure_item_edges,
+        events_item_cooccurrence,
+        graph_degree_distribution,
+        graph_triangle_count,
+    )
+
+    edges = ensure_item_edges(spark, SF)
+    assert ensure_item_edges(spark, SF) is edges  # memo hit
+    assert events_item_cooccurrence(spark, SF) is edges  # query = memo
+    edges.count()  # materialize the cache
+    for q in (graph_degree_distribution, graph_triangle_count):
+        plan = q(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        # (the InMemoryTableScan node PRINTS its cached child plan, so
+        # "events.parquet" still appears in the string — the scan node
+        # itself is the proof the consumer reads the cache)
+        assert "InMemoryTableScan" in plan, (
+            f"{q.__name__} re-plans the edge build instead of reading "
+            "the cached edge list"
+        )
