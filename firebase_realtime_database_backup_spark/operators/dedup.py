@@ -589,16 +589,59 @@ def min_label_components(pairs: DataFrame, max_iter: int = 48) -> DataFrame:
     )
 
 
-@REG.query("dedup_clusters")  # rows-only: iterative fixpoint, not one SQL query
+@REG.query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {SHINGLE_SQL_CTE},
+    {MINHASH_BANDS_SQL_CTE},
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cands c
+      JOIN dshingle x ON x.doc_id = c.doc_a
+      JOIN dshingle y ON y.doc_id = c.doc_b AND y.sid = x.sid
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    cpairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN doc_sizes sa ON sa.doc_id = i.doc_a
+      JOIN doc_sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common)
+            >= {JACCARD_THRESHOLD}
+    ),
+    cedges AS (
+      SELECT doc_a, doc_b FROM cpairs
+      UNION
+      SELECT doc_b, doc_a FROM cpairs
+    ),
+    reach(doc_id, lbl) AS (
+      SELECT doc_a, doc_a FROM cedges
+      UNION
+      SELECT e.doc_b, r.lbl FROM reach r JOIN cedges e ON e.doc_a = r.doc_id
+    )
+    SELECT doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY doc_id
+    """,
+)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS from near-dup pairs: connected components via
     iterative min-label propagation (see min_label_components) — the
     step that turns pairwise near-dup evidence into keep/drop
     decisions (keep = cluster min).
 
-    Rows-only check: the fixpoint loop is not a single SQL query
-    (DuckDB's recursive CTEs forbid aggregation in the recursive arm);
-    correctness is pytest-asserted against a brute-force union-find in
+    Oracle: min-label propagation is a MONOTONE fixpoint, so the
+    DuckDB twin is a recursive CTE computing transitive closure of
+    (node, seed-label) pairs with MIN folded AFTER the recursion
+    (aggregation is forbidden in the recursive arm; the closure's
+    UNION-dedup bounds rows at Σ component_size², fine at oracle SF —
+    the Spark side stays the linear-state label loop).  Engine parity
+    is structural, not float-dependent: labels are bigint doc_ids.
+    Also pytest-asserted against a brute-force union-find in
     tests/test_dedup_clusters.py."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     return min_label_components(pairs).orderBy("doc_id")

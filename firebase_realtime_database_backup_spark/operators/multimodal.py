@@ -602,7 +602,59 @@ def multimodal_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REG.query("multimodal_phash_cluster")  # rows-only: iterative fixpoint
+@REG.query(
+    "multimodal_phash_cluster",
+    oracle=f"""
+    WITH RECURSIVE {PHASH_SQL_CTE},
+    hnodes AS (
+      SELECT phash_hi, phash_lo, MIN(doc_id) AS node_id, COUNT(*) AS m
+      FROM hashes GROUP BY phash_hi, phash_lo
+    ),
+    hbanded AS (
+      SELECT node_id, phash_hi, phash_lo, b,
+             CASE WHEN b < 2
+                  THEN (phash_lo // POWER(2, b * 16)::BIGINT) % 65536
+                  ELSE (phash_hi // POWER(2, (b - 2) * 16)::BIGINT) % 65536
+             END AS band_val
+      FROM hnodes, (SELECT UNNEST(RANGE(0, 4)) AS b)
+    ),
+    hpairs AS (
+      SELECT DISTINCT a.node_id AS doc_a, c.node_id AS doc_b
+      FROM hbanded a JOIN hbanded c
+        ON a.b = c.b AND a.band_val = c.band_val AND a.node_id < c.node_id
+      WHERE BIT_COUNT(XOR(a.phash_lo, c.phash_lo))
+            + BIT_COUNT(XOR(a.phash_hi, c.phash_hi)) <= {PHASH_HAMMING_MAX}
+    ),
+    hedges AS (
+      SELECT doc_a, doc_b FROM hpairs
+      UNION
+      SELECT doc_b, doc_a FROM hpairs
+    ),
+    reach(node_id, lbl) AS (
+      SELECT doc_a, doc_a FROM hedges
+      UNION
+      SELECT e.doc_b, r.lbl FROM reach r JOIN hedges e ON e.doc_a = r.node_id
+    ),
+    comp AS (SELECT node_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node_id),
+    labeled AS (
+      SELECT n.phash_hi, n.phash_lo,
+             COALESCE(c.cluster_id, n.node_id) AS cluster_id
+      FROM hnodes n LEFT JOIN comp c ON c.node_id = n.node_id
+      WHERE n.m >= 2 OR c.cluster_id IS NOT NULL
+    ),
+    cdocs AS (
+      SELECT h.doc_id, l.cluster_id
+      FROM hashes h JOIN labeled l USING (phash_hi, phash_lo)
+    ),
+    csizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size FROM cdocs GROUP BY cluster_id
+    )
+    SELECT d.doc_id, CAST(d.cluster_id AS BIGINT) AS cluster_id,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           d.doc_id = d.cluster_id AS keep
+    FROM cdocs d JOIN csizes s USING (cluster_id)
+    """,
+)
 def multimodal_phash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Hamming pair emitter's PRODUCTION route: near-dup CLUSTERS
     instead of pairs.  multimodal_phash_hamming's output is quadratic
@@ -633,7 +685,11 @@ def multimodal_phash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     a near-neighbor hash), keep marks the cluster-min row, so a
     single anti-join applies the dedup policy.
 
-    Rows-only check (fixpoint loop is not one SQL query)."""
+    Oracle: the min-label fixpoint is monotone, so the DuckDB twin is
+    a recursive transitive-closure CTE over the hash-grain node graph
+    with MIN folded after the recursion (same trick as dedup_clusters)
+    — hash-grain collapse keeps the closure tiny.  All-integer labels,
+    no float ordering anywhere."""
     from firebase_realtime_database_backup_spark.operators.dedup import (
         min_label_components,
     )

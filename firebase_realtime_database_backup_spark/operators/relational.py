@@ -3706,65 +3706,6 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: PageRank iteration count — fixed (not convergence-tested) so runtime
-#: is predictable and the numpy parity test can replay the exact loop.
-PAGERANK_ITERS = 8
-PAGERANK_DAMPING = 0.85
-
-
-@REG.query("graph_pagerank")  # rows-only: iterative, not one SQL query
-def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the item co-click graph (edges = items co-clicked
-    by >= 2 users, from events_item_cooccurrence): which items are
-    central in the browse graph — the other classic iterative-algorithm
-    shape next to dedup_clusters' label propagation.
-
-    Canonical Spark iteration: the driver runs a fixed 8-iteration loop
-    (graph is near-cliquey, spectral gap is large, 8 is plenty); each
-    iteration is contribution-scatter (edge join on src) + gather
-    (groupBy dst sum) — two shuffles on the same item key, so the
-    exchange partitioning is reused.  localCheckpoint per iteration
-    truncates lineage exactly as in dedup_clusters.  Ranks are
-    normalized so sum(rank) == n_nodes is a loop invariant (damping
-    redistributes uniformly); tests/test_dedup_clusters.py asserts both
-    the invariant and numpy replay parity at sf0.001.
-
-    Rows-only check: an 8-step unrolled recursive CTE exists in
-    principle, but cross-engine float-sum ordering makes hash equality
-    meaningless — parity is pytest-asserted against numpy instead."""
-    edges, out_deg, nodes = _ensure_sym_edges(spark, sf_dir)
-    # nodes/edges caches materialize during the initial eager checkpoint;
-    # sum(rank) == |nodes| stays a loop invariant (asserted in tests).
-    # Checkpoint every 4 iterations, not every one: each eager
-    # checkpoint is a full job, and 4 un-materialized iterations of
-    # broadcast-join lineage stay well inside optimizer limits —
-    # measured 7.6 s (every iter) vs 4.5 s (every 4) vs 5.6 s (never:
-    # plan-depth optimizer cost overtakes) at sf0.1, identical results.
-    ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint(eager=True)
-    for i in range(PAGERANK_ITERS):
-        contribs = (
-            edges.join(F.broadcast(ranks), edges["src"] == ranks["item"])
-            .join(F.broadcast(out_deg), "src")
-            .select("dst", (F.col("rank") / F.col("deg")).alias("contrib"))
-            .groupBy("dst")
-            .agg(F.sum("contrib").alias("in_sum"))
-        )
-        ranks = nodes.join(
-            F.broadcast(contribs), nodes["item"] == contribs["dst"], "left"
-        ).select(
-            "item",
-            (
-                F.lit(1.0 - PAGERANK_DAMPING)
-                + F.lit(PAGERANK_DAMPING) * F.coalesce("in_sum", F.lit(0.0))
-            ).alias("rank"),
-        )
-        if (i + 1) % 4 == 0:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks.select("item", F.round("rank", 6).alias("rank")).orderBy(
-        F.col("rank").desc(), "item"
-    )
-
-
 #: Shared item-graph edge list (the events_item_cooccurrence output
 #: shape) as a DuckDB CTE body — graph oracles compose it.
 _ITEM_EDGES_SQL = f"""
@@ -3802,6 +3743,133 @@ _ITEM_EDGES_SQL = f"""
       GROUP BY a.item, b.item
       HAVING COUNT(*) >= 2
 """
+
+
+#: PageRank iteration count — fixed (not convergence-tested) so runtime
+#: is predictable and the parity tests can replay the exact loop.
+PAGERANK_ITERS = 8
+PAGERANK_DAMPING = 0.85
+#: Fixed-point scale: ranks are bigints in units of 1e-12 — integer
+#: arithmetic is order-independent, so the DuckDB oracle's unrolled
+#: CTE chain is bit-identical to the Spark loop (float sums are not).
+PAGERANK_SCALE = 10**12
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """The graph_pagerank loop unrolled into stacked CTEs (the
+    text_bpe_merges trick): r0 seeds every node at PAGERANK_SCALE, and
+    each rK is one scatter (rank // deg per edge) + gather (HUGEINT
+    SUM) + damping step ((15e12 + 85*in_sum) // 100) over r{K-1} —
+    exact integer arithmetic end to end, so engine parity is
+    structural."""
+    parts = [
+        f"WITH e AS ({_ITEM_EDGES_SQL}),",
+        # symmetrize: canonical pairs are distinct with src < dst, so
+        # UNION ALL of the mirror introduces no duplicate edges
+        "se AS (SELECT src, dst FROM e"
+        " UNION ALL SELECT dst AS src, src AS dst FROM e),",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM se GROUP BY src),",
+        f"r0 AS (SELECT src AS item,"
+        f" CAST({PAGERANK_SCALE} AS HUGEINT) AS rank FROM deg),",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"r{k} AS ("
+            f" SELECT n.src AS item,"
+            f" ({15 * PAGERANK_SCALE} + 85 * COALESCE(s.in_sum, 0)) // 100"
+            f" AS rank"
+            f" FROM deg n LEFT JOIN ("
+            f"   SELECT se.dst, SUM(r.rank // d.deg) AS in_sum"
+            f"   FROM se JOIN r{k - 1} r ON r.item = se.src"
+            f"   JOIN deg d ON d.src = se.src"
+            f"   GROUP BY se.dst"
+            f" ) s ON s.dst = n.src),"
+        )
+    final = (
+        f"SELECT item, CAST(rank AS BIGINT) AS rank_fp,"
+        f" CAST(rank // {PAGERANK_SCALE // 10**6} AS BIGINT) / 1000000.0"
+        f" AS rank FROM r{iters}"
+    )
+    return "\n".join(parts).rstrip(",") + "\n" + final
+
+
+@REG.query("graph_pagerank", oracle=_pagerank_oracle(PAGERANK_ITERS))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the item co-click graph (edges = items co-clicked
+    by >= 2 users, from events_item_cooccurrence): which items are
+    central in the browse graph — the other classic iterative-algorithm
+    shape next to dedup_clusters' label propagation.
+
+    Canonical Spark iteration: the driver runs a fixed 8-iteration loop
+    (graph is near-cliquey, spectral gap is large, 8 is plenty); each
+    iteration is contribution-scatter (edge join on src) + gather
+    (groupBy dst sum) — two shuffles on the same item key, so the
+    exchange partitioning is reused.  localCheckpoint per iteration
+    truncates lineage exactly as in dedup_clusters.
+
+    FIXED-POINT semantics (round 6): ranks are integers in units of
+    1e-12 (PAGERANK_SCALE); scatter is exact integer rank // deg,
+    damping is (15e12 + 85*in_sum) // 100.  Integer sums commute
+    exactly, so the result is independent of shuffle/aggregation order
+    — which makes the DuckDB oracle (the loop unrolled into stacked
+    CTEs, the text_bpe_merges trick) hash-exact instead of the old
+    float form's "parity within 1e-5, rows-only".  The truncation
+    drops < deg + 100 rank-units (1e-10) per node per iteration —
+    display output is the micro-rank (1e-6 grain), far above the
+    truncation floor.  An exact integer replay is asserted in
+    tests/test_dedup_clusters.py.  sum(rank) == n*SCALE now holds only
+    to truncation (each div discards remainders)."""
+    edges, out_deg, nodes = _ensure_sym_edges(spark, sf_dir)
+    # nodes/edges caches materialize during the initial eager checkpoint;
+    # sum(rank) == |nodes| stays a loop invariant (asserted in tests).
+    # Checkpoint every 4 iterations, not every one: each eager
+    # checkpoint is a full job, and 4 un-materialized iterations of
+    # broadcast-join lineage stay well inside optimizer limits —
+    # measured 7.6 s (every iter) vs 4.5 s (every 4) vs 5.6 s (never:
+    # plan-depth optimizer cost overtakes) at sf0.1, identical results.
+    dec = "decimal(38,0)"
+    ranks = nodes.withColumn(
+        "rank", F.lit(PAGERANK_SCALE).cast(dec)
+    ).localCheckpoint(eager=True)
+    for i in range(PAGERANK_ITERS):
+        contribs = (
+            edges.join(F.broadcast(ranks), edges["src"] == ranks["item"])
+            .join(F.broadcast(out_deg), "src")
+            .select(
+                "dst",
+                # exact integer rank // deg: subtract the remainder so
+                # the decimal division is lossless (same fixed-point
+                # truncation as the oracle's HUGEINT //)
+                (
+                    (F.col("rank") - F.col("rank") % F.col("deg"))
+                    / F.col("deg")
+                )
+                .cast(dec)
+                .alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_sum"))
+        )
+        x = F.lit(15 * PAGERANK_SCALE).cast(dec) + F.lit(85) * F.coalesce(
+            F.col("in_sum"), F.lit(0).cast(dec)
+        )
+        ranks = nodes.join(
+            F.broadcast(contribs), nodes["item"] == contribs["dst"], "left"
+        ).select(
+            "item",
+            ((x - x % 100) / 100).cast(dec).alias("rank"),
+        )
+        if (i + 1) % 4 == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    rank_fp = F.col("rank").cast("bigint")
+    rank_micro = F.expr(
+        f"CAST(CAST(rank AS BIGINT) DIV {PAGERANK_SCALE // 10**6} AS BIGINT)"
+    )
+    return ranks.select(
+        "item",
+        rank_fp.alias("rank_fp"),
+        (rank_micro / F.lit(1000000.0)).alias("rank"),
+    ).orderBy(F.col("rank_fp").desc(), "item")
 
 
 @REG.query(

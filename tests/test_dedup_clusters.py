@@ -38,14 +38,17 @@ def test_clusters_match_union_find(spark):
     assert len(got) > 0
 
 
-def test_pagerank_matches_numpy_replay(spark):
-    """graph_pagerank must equal a numpy replay of the same fixed-point
-    loop on the collected edge list, and preserve sum(rank) == n."""
-    import numpy as np
-
+def test_pagerank_matches_exact_integer_replay(spark):
+    """graph_pagerank is fixed-point (bigint rank in 1e-12 units, exact
+    integer scatter/damping), so a pure-Python arbitrary-precision
+    replay of the same loop must match rank_fp EXACTLY — no float
+    tolerance anywhere.  Also pins the float display column to the
+    micro-rank derivation and checks sum(rank_fp) sits within the
+    truncation envelope of n*SCALE (each division discards < deg + 100
+    rank-units per node per iteration)."""
     from firebase_realtime_database_backup_spark.operators.relational import (
-        PAGERANK_DAMPING,
         PAGERANK_ITERS,
+        PAGERANK_SCALE,
         events_item_cooccurrence,
         graph_pagerank,
     )
@@ -56,22 +59,29 @@ def test_pagerank_matches_numpy_replay(spark):
         for r in events_item_cooccurrence(spark, sf).collect()
     ]
     assert pairs, "co-occurrence graph is empty at sf0.01"
-    nodes = sorted({x for p in pairs for x in p})
-    idx = {n: i for i, n in enumerate(nodes)}
-    n = len(nodes)
-    adj = np.zeros((n, n))
+    nbrs: dict = {}
     for a, b in pairs:
-        adj[idx[a], idx[b]] = 1.0
-        adj[idx[b], idx[a]] = 1.0
-    deg = adj.sum(axis=1)
-    rank = np.ones(n)
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    rank = {v: PAGERANK_SCALE for v in nbrs}
     for _ in range(PAGERANK_ITERS):
-        rank = (1 - PAGERANK_DAMPING) + PAGERANK_DAMPING * (adj.T @ (rank / deg))
-    got = {r.item: r.rank for r in graph_pagerank(spark, sf).collect()}
-    assert set(got) == set(nodes)
-    assert abs(sum(got.values()) - n) < 1e-3
-    for node in nodes:
-        assert abs(got[node] - rank[idx[node]]) < 1e-5, node
+        in_sum = {v: 0 for v in nbrs}
+        for v, ns in nbrs.items():
+            contrib = rank[v] // len(ns)
+            for u in ns:
+                in_sum[u] += contrib
+        rank = {
+            v: (15 * PAGERANK_SCALE + 85 * in_sum[v]) // 100 for v in nbrs
+        }
+    rows = graph_pagerank(spark, sf).collect()
+    got = {r.item: r.rank_fp for r in rows}
+    assert got == rank
+    for r in rows:
+        assert r.rank == (r.rank_fp // 10**6) / 1e6
+    n = len(nbrs)
+    total = sum(got.values())
+    max_deg_loss = sum(len(ns) + 100 for ns in nbrs.values())
+    assert 0 <= n * PAGERANK_SCALE - total <= PAGERANK_ITERS * max_deg_loss
 
 
 import pytest
