@@ -172,3 +172,155 @@ def test_ks_statistic_matches_bruteforce(spark, tmp_path_factory, rows):
     )
     assert got.n_r == len(r) and got.n_a == len(a)
     assert math.isclose(got.d_stat, d_want, rel_tol=1e-12, abs_tol=1e-12), rows
+
+
+def _write_events(spark, tmpdir, rows, schema):
+    d = os.path.join(tmpdir, "corpus")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+@_PROP_SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # day offset
+            st.integers(min_value=-100_000, max_value=100_000),  # cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_max_drawdown_matches_peak_trough_scan(spark, tmp_path_factory, rows):
+    """window_max_drawdown vs a pure-Python peak-trough scan — incl.
+    negative days, all-negative series (peak = first day), and
+    single-day series (drawdown 0)."""
+    import datetime
+
+    from firebase_realtime_database_backup_spark.operators.relational import (
+        window_max_drawdown,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    d = _write_events(
+        spark,
+        str(tmp_path_factory.mktemp("dd")),
+        [
+            ("T", base + datetime.timedelta(days=off, hours=1), c / 100.0)
+            for off, c in rows
+        ],
+        "event_type string, ts timestamp, value double",
+    )
+    got = window_max_drawdown(spark, d).collect()[0]
+    daily: dict = {}
+    for off, c in rows:
+        daily[off] = daily.get(off, 0) + c
+    cum = peak = None
+    max_peak = max_dd = None
+    for day in sorted(daily):
+        cum = daily[day] if cum is None else cum + daily[day]
+        peak = cum if peak is None else max(peak, cum)
+        max_peak = peak if max_peak is None else max(max_peak, peak)
+        dd = peak - cum
+        max_dd = dd if max_dd is None else max(max_dd, dd)
+    assert got.peak_cents == max_peak, rows
+    assert got.max_drawdown_cents == max_dd, rows
+    assert got.max_drawdown == max_dd / 100.0
+
+
+@_PROP_SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),  # day offset
+            st.integers(min_value=-50_000, max_value=50_000),  # cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cusum_matches_list_fold(spark, tmp_path_factory, rows):
+    """events_changepoint_cusum vs a pure-Python integer fold — the
+    n-scaled deviations, integer running CUSUM, integer-median MAD and
+    the 3-sigma flag must all match exactly (median of an even count
+    is the one exact halving, replicated via statistics.median)."""
+    import datetime
+    import statistics
+
+    from firebase_realtime_database_backup_spark.operators.relational import (
+        events_changepoint_cusum,
+    )
+
+    base = datetime.datetime(2024, 3, 1)
+    d = _write_events(
+        spark,
+        str(tmp_path_factory.mktemp("cs")),
+        [
+            ("T", base + datetime.timedelta(days=off, hours=2), c / 100.0)
+            for off, c in rows
+        ],
+        "event_type string, ts timestamp, value double",
+    )
+    got = {
+        r.day: (r.cusum_n, r.mad_n, r.flagged)
+        for r in events_changepoint_cusum(spark, d).collect()
+    }
+    daily: dict = {}
+    for off, c in rows:
+        daily[off] = daily.get(off, 0) + c
+    n = len(daily)
+    total = sum(daily.values())
+    devs = {day: n * cents - total for day, cents in daily.items()}
+    mad = statistics.median(sorted(abs(v) for v in devs.values()))
+    cusum = 0
+    for day in sorted(daily):
+        cusum += devs[day]
+        want_day = (base + datetime.timedelta(days=day)).date()
+        g_cusum, g_mad, g_flag = got[want_day]
+        assert g_cusum == cusum, rows
+        assert g_mad == mad, rows
+        assert g_flag == (abs(cusum) > 3 * mad), rows
+    assert len(got) == n
+
+
+@_PROP_SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),  # user_id
+            st.integers(min_value=0, max_value=5),  # event type index
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_entropy_matches_whole_bit_reference(spark, tmp_path_factory, rows):
+    """agg_entropy_by_group vs a pure-Python whole-bit entropy fold:
+    term = k * bit_length(n // k) - k per type, summed — exercises
+    single-type users (entropy 0) and heavily-tied distributions."""
+    from firebase_realtime_database_backup_spark.operators.relational import (
+        agg_entropy_by_group,
+    )
+
+    d = _write_events(
+        spark,
+        str(tmp_path_factory.mktemp("en")),
+        [(u, f"t{t}") for u, t in rows],
+        "user_id long, event_type string",
+    )
+    got = {
+        r.user_id: (r.n_events, r.n_types, r.entropy_bits_num,
+                    r.behavior_entropy_bits)
+        for r in agg_entropy_by_group(spark, d).collect()
+    }
+    per_user: dict = {}
+    for u, t in rows:
+        per_user.setdefault(u, {}).setdefault(t, 0)
+        per_user[u][t] += 1
+    for u, counts in per_user.items():
+        n = sum(counts.values())
+        num = sum(k * ((n // k).bit_length() - 1) for k in counts.values())
+        assert got[u] == (n, len(counts), num, num / n), (u, rows)
+    assert set(got) == set(per_user)
