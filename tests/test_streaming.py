@@ -440,3 +440,123 @@ def test_dedup_state_survives_restart(spark, tmp_path):
     assert got == list(range(100)), (
         f"expected each id exactly once across restart, got {len(got)} rows"
     )
+
+
+def test_stream_bot_alerts_to_aimd_writeback_e2e(spark, tmp_path):
+    """The full streaming->restore composition the reference semantics
+    imply but no test had composed: a LIVE Structured Streaming run of
+    the burst bot alert (readStream + withWatermark, append mode) whose
+    foreachBatch sink converts finalized alerts to tree rows and
+    replays them through the AIMD writeback path (sinks/writeback.py,
+    the src/RestoreProcessor.php:70-106 twin) against the HTTP stub —
+    asserting (a) alert rows physically reach the fake Firebase via
+    merge-PATCH, and (b) windowed state EVICTS as the watermark
+    advances (the stream_watermark_audit sizing applied to itself)."""
+    import datetime as dt
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from firebase_realtime_database_backup_spark.sinks.writeback import (
+        writeback,
+    )
+    from firebase_realtime_database_backup_spark.sources.firebase import (
+        FakeFirebase,
+    )
+    from firebase_realtime_database_backup_spark.sources.http_client import (
+        HttpFirebase,
+    )
+
+    fake = FakeFirebase({})
+
+    class PatchHandler(BaseHTTPRequestHandler):
+        def do_PATCH(self):  # noqa: N802 (http.server API)
+            import urllib.parse
+
+            parsed = urllib.parse.urlparse(self.path)
+            path = urllib.parse.unquote(parsed.path[: -len(".json")]) or "/"
+            n = int(self.headers["Content-Length"])
+            fake.update(path, _json.loads(self.rfile.read(n)))
+            body = b"{}"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), PatchHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    d = str(tmp_path / "bot_events")
+    os.makedirs(d)
+    schema = "user_id bigint, ts timestamp"
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    t = lambda h, m, s=0: dt.datetime(2024, 1, 1, h, m, s)  # noqa: E731
+
+    def alert_sink(batch_df, batch_id):
+        # finalized alerts -> canonical tree rows -> AIMD merge-PATCH
+        # writeback (driver_side: foreachBatch runs on the driver and
+        # the HTTP client targets the in-process stub)
+        tree = batch_df.select(
+            F.concat(F.lit("/alerts/u"), F.col("user_id")).alias("path"),
+            F.col("minute_start_ms").cast("string").alias("key"),
+            F.to_json(F.struct("n_events")).alias("value_json"),
+            F.lit(2).alias("depth"),
+        )
+        writeback(tree, lambda: HttpFirebase(url), driver_side=True)
+
+    # batch 1: user 7 bursts (4 events >= threshold 3) at 10:00; a
+    # quiet user keeps the group count honest
+    write_file(
+        [(7, t(10, 0, 5)), (7, t(10, 0, 10)), (7, t(10, 0, 15)),
+         (7, t(10, 0, 20)), (1, t(10, 0, 30))]
+    )
+    stream = spark.readStream.schema(schema).parquet(d)
+    q = (
+        burst_alerts(with_watermark(stream, "10 minutes"))
+        .writeStream.outputMode("append")
+        .foreachBatch(alert_sink)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: user 8 bursts at 10:30 -> watermark 10:20 closes and
+        # EMITS the 10:00 alert
+        write_file([(8, t(10, 30, 0)), (8, t(10, 30, 2)), (8, t(10, 30, 4))])
+        q.processAllAvailable()
+        # batch 3: lone late-hour event -> watermark 11:20 closes 10:30
+        write_file([(2, t(11, 30, 0))])
+        q.processAllAvailable()
+        state_rows = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in (_json.loads(j.json) for j in q.recentProgress)
+            if p.get("stateOperators")
+        ]
+    finally:
+        q.stop()
+        srv.shutdown()
+
+    ms = lambda h, m: int(dt.datetime(  # noqa: E731
+        2024, 1, 1, h, m, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert fake.tree == {
+        "alerts": {
+            "u7": {str(ms(10, 0)): {"n_events": 4}},
+            "u8": {str(ms(10, 30)): {"n_events": 3}},
+        }
+    }
+    # the fake recorded real merge-PATCH calls (the AIMD write path ran)
+    assert fake.update_calls
+    # state evicted: by the final batch only the still-open windows
+    # (the 11:30 minute) may remain — never all 4 observed
+    # (user, minute) groups
+    assert state_rows, "no stateOperators progress recorded"
+    assert state_rows[-1] < 4, state_rows
