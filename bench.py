@@ -251,6 +251,14 @@ HEADLINE = [
     "window_max_drawdown",
     "agg_entropy_by_group",
     "quality_monotonic_id_audit",
+    # round 6
+    "window_interval_merge",
+    "agg_histogram_equidepth",
+    "window_rolling_regression",
+    "events_trend_slope_theilsen",
+    "quality_split_leakage_audit",
+    "agg_bitmap_distinct_merge",
+    "dedup_clusters",
 ]
 
 

@@ -6885,3 +6885,531 @@ def quality_monotonic_id_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max(k) - F.min(k) + 1 - F.count_distinct(k)).alias("n_gaps"),
         (F.count(F.lit(1)) == F.count_distinct(k)).alias("ids_unique"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6 additions
+# ---------------------------------------------------------------------------
+
+
+@REG.query(
+    "window_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS d0,
+             CAST(o_orderdate AS DATE) - DATE '1992-01-01' + 7 AS d1
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+    ),
+    flagged AS (
+      SELECT o_custkey, o_orderkey, d0, d1,
+             CASE WHEN d0 <= MAX(d1) OVER (
+                    PARTITION BY o_custkey ORDER BY d0, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 0 ELSE 1 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT o_custkey, d0, d1,
+             SUM(new_island) OVER (
+                PARTITION BY o_custkey ORDER BY d0, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+      FROM flagged
+    ),
+    per_island AS (
+      SELECT o_custkey, island_id,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             MAX(d1) - MIN(d0) + 1 AS island_days
+      FROM islands GROUP BY o_custkey, island_id
+    )
+    SELECT o_custkey,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(island_days) AS BIGINT) AS covered_days,
+           CAST(MAX(island_days) AS BIGINT) AS max_island_days
+    FROM per_island GROUP BY o_custkey
+    """,
+)
+def window_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval union: merge each customer's
+    overlapping 7-day urgent-order windows (1996) into maximal disjoint
+    ISLANDS and report per customer how many islands, how many covered
+    days, and the longest streak — the third member of the interval
+    family (join_interval_overlap asks which intervals overlap EACH
+    OTHER, window_open_intervals how many cover each POINT; this asks
+    what the union looks like).  The same shape computes machine-uptime
+    coverage, subscription-tenure islands, and contiguous-session
+    merging.
+
+    Plan: ONE exchange — both windows (the preceding-rows running MAX
+    that flags island starts, and the running SUM that numbers them)
+    share the (o_custkey | d0, o_orderkey) partition+sort, and the two
+    follow-up aggregations reduce on prefixes of the same key, so
+    Catalyst plans a single hash-partitioning followed by in-partition
+    work.  Per-customer state is the customer's own interval count —
+    no global window, no pair join (the naive island finder self-joins
+    intervals per customer: quadratic in the whale customer's orders;
+    the running-max flag is linear).  Exactness: day indices, island
+    ids, and span lengths are all integers; the MAX-over-empty-frame
+    NULL on each customer's first interval maps to "new island" in
+    both engines.  At 100 TB the only scale knob is interval count per
+    key — the window state is O(1) per row, the shape whales cannot
+    break."""
+    iv = (
+        read_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & F.to_date("o_orderdate").between("1996-01-01", "1996-12-31")
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(F.to_date("o_orderdate"), F.lit(_OVERLAP_EPOCH))
+            .alias("d0"),
+        )
+        .withColumn("d1", F.col("d0") + 7)
+    )
+    w_prev = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d0", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d0", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = iv.withColumn(
+        "new_island",
+        F.when(F.col("d0") <= F.max("d1").over(w_prev), 0).otherwise(1),
+    ).withColumn("island_id", F.sum("new_island").over(w_run))
+    per_island = islands.groupBy("o_custkey", "island_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.max("d1") - F.min("d0") + 1).alias("island_days"),
+    )
+    return per_island.groupBy("o_custkey").agg(
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum("island_days").cast("bigint").alias("covered_days"),
+        F.max("island_days").cast("bigint").alias("max_island_days"),
+    )
+
+
+#: Equi-depth histogram bucket count (fixed spec constant, shared by the
+#: Spark plan and the oracle).
+EQUIDEPTH_BUCKETS = 8
+
+
+@REG.query(
+    "agg_histogram_equidepth",
+    oracle=f"""
+    WITH byval AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY c
+    ),
+    cum AS (
+      SELECT c, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY c) AS BIGINT) AS cw,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS tot
+      FROM byval
+    )
+    SELECT CAST((cw * {EQUIDEPTH_BUCKETS} + tot - 1) // tot AS BIGINT)
+             AS bucket,
+           CAST(MIN(c) AS BIGINT) AS lo_cents,
+           CAST(MAX(c) AS BIGINT) AS hi_cents,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_values
+    FROM cum GROUP BY bucket
+    """,
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT equi-depth (equal-frequency) histogram of lineitem prices —
+    the complement of agg_histogram_equiwidth (fixed-width bins, counts
+    vary) and the primitive behind quantile-bucketed features, optimizer
+    column statistics, and balanced range-partitioning boundaries: each
+    of the K buckets holds ~N/K rows and the boundaries land wherever
+    the data is dense.
+
+    The agg_median_twolevel / agg_weighted_median discipline
+    generalized to ALL K cuts at once: the fact table collapses
+    map-side to the (price-cents -> count) grain (~25k distinct values
+    regardless of row count), and a distinct value's bucket is pure
+    integer arithmetic on its cumulative count — ceil(cw*K/tot), i.e.
+    `(cw*K + tot - 1) div tot`, NOT float division (cw*K stays exact
+    where double would lose low bits past 2^53).  The cumulative
+    window is DELIBERATELY unpartitioned but runs on the reduced
+    distinct-value grain only (the plan-linted two-level pattern);
+    ties are wholly assigned to one bucket, so a heavy value can
+    swallow a cut point — equi-depth over discrete data is
+    approximate-by-spec in exactly that way, and n_rows per bucket
+    reports the imbalance honestly.  At extreme value domains the
+    agg_median_twolevel bucket split composes in front unchanged."""
+    li = read_table(spark, sf_dir, "lineitem")
+    byval = li.groupBy(
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("c")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = byval.select(
+        "c",
+        "cnt",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("cw"),
+        F.sum("cnt").over(w_all).cast("bigint").alias("tot"),
+    )
+    k = EQUIDEPTH_BUCKETS
+    return (
+        cum.withColumn("bucket", F.expr(f"(cw * {k} + tot - 1) div tot"))
+        .groupBy("bucket")
+        .agg(
+            F.min("c").alias("lo_cents"),
+            F.max("c").alias("hi_cents"),
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        )
+    )
+
+
+#: Rolling-regression window length in days (range frame, calendar-gap
+#: aware) — 4 weeks, the trend horizon the EWMA/seasonality family uses.
+ROLLREG_WINDOW_DAYS = 28
+_EVENTS_EPOCH = "2024-01-01"  # fixed day at/before the events calendar
+
+
+@REG.query(
+    "window_rolling_regression",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '{_EVENTS_EPOCH}' AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, x
+    ),
+    mom AS (
+      SELECT event_type, x,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(x) OVER w AS BIGINT) AS sx,
+             CAST(SUM(y) OVER w AS BIGINT) AS sy,
+             CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+             CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY x
+                   RANGE BETWEEN {ROLLREG_WINDOW_DAYS - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT event_type, x AS day_idx, n AS n_obs,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+    FROM mom WHERE n * sxx - sx * sx > 0
+    """,
+)
+def window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 28-day OLS trend slope of daily event volume per type —
+    the windowed regression every monitoring stack draws ("is this
+    metric trending up over the last 4 weeks?"), computed EXACTLY with
+    zero extra passes: the five OLS moments (n, Σx, Σy, Σx², Σxy) are
+    plain integer SUMs over ONE shared range frame, and the slope is a
+    single division of exact integers — run-reproducible where a
+    float-accumulating regression UDAF is not (the agg_regression_exact
+    discipline made rolling).
+
+    The frame is RANGE (calendar days), not ROWS, so gaps in the daily
+    series shorten the window honestly instead of silently stretching
+    it over months of missing days.  Plan: events partial-aggregate
+    map-side to the (type, day) grain — the ONLY data-sized shuffle —
+    and all five moments ride one window over that reduced relation
+    (<=374 rows per type here; bounded by the calendar at any corpus
+    size, the events_ewma_daily shape).  Integer headroom: day indices
+    are epoch-relative (<=10^4), so n*sxx <= 28^2*10^8 ~ 8e10 and the
+    slope numerator stays far under 2^53 until daily counts pass ~1e9;
+    past that, cast the two products to DECIMAL(38,0) — same plan (the
+    agg_skew_kurtosis_exact swap)."""
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit(_EVENTS_EPOCH))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rangeBetween(-(ROLLREG_WINDOW_DAYS - 1), 0)
+    )
+    mom = daily.select(
+        "event_type",
+        "x",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return mom.filter(den > 0).select(
+        "event_type",
+        F.col("x").alias("day_idx"),
+        F.col("n").alias("n_obs"),
+        (num.cast("double") / den.cast("double")).alias("slope"),
+    )
+
+
+@REG.query(
+    "events_trend_slope_theilsen",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '{_EVENTS_EPOCH}' AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, x
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.x < b.x
+    ),
+    ranked AS (
+      SELECT event_type, slope,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+      FROM slopes
+    ),
+    days AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY event_type
+    )
+    SELECT r.event_type, d.n_days,
+           CAST(r.n_pairs AS BIGINT) AS n_pairs,
+           r.slope AS theilsen_slope
+    FROM ranked r JOIN days d ON r.event_type = d.event_type
+    WHERE r.rn = (r.n_pairs + 1) // 2
+    """,
+)
+def events_trend_slope_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend slope per event type: the (lower) MEDIAN
+    of all pairwise day-to-day slopes of the daily-count series — the
+    estimator that shrugs off the outlier days (a crawler burst, an
+    outage zero) that pull the OLS slope (window_rolling_regression)
+    arbitrarily far, with a 29% breakdown point instead of 0%.
+
+    The pairwise relation looks quadratic but lives at the DAY grain:
+    events reduce map-side to (type, day, count) first (the only
+    data-sized shuffle), so the self-join produces |days|²/2 pairs per
+    type — ~70k for a year, INDEPENDENT of event volume; at
+    multi-year horizons the standard subsample (random day pairs) or
+    per-month segmentation composes in front.  Exactness: each slope
+    is one division of exact integers (bit-identical cross-engine);
+    the median is selected by RANK over the sorted slope multiset, so
+    the reported VALUE is deterministic even where ties make row
+    identity arbitrary — no percentile interpolation, no float
+    averaging.  The slope window partitions by type (no global
+    sort)."""
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit(_EVENTS_EPOCH))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    a = daily.select(
+        "event_type", F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        "event_type", F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    slopes = a.join(b, "event_type").filter(F.col("xa") < F.col("xb")).select(
+        "event_type",
+        (
+            (F.col("yb") - F.col("ya")).cast("double")
+            / (F.col("xb") - F.col("xa")).cast("double")
+        ).alias("slope"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("slope")
+    w_all = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_pairs"),
+    ).filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+    days = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    return ranked.join(F.broadcast(days), "event_type").select(
+        "event_type",
+        "n_days",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("slope").alias("theilsen_slope"),
+    )
+
+
+#: Train/val/test split: 10 hash buckets, 8/1/1.
+SPLIT_BUCKETS = 10
+SPLIT_TRAIN_LT = 8  # buckets [0,8) -> train, 8 -> val, 9 -> test
+
+
+@REG.query(
+    "quality_split_leakage_audit",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             CASE WHEN {knuth_bucket_sql('user_id', SPLIT_BUCKETS)}
+                       < {SPLIT_TRAIN_LT} THEN 'train'
+                  WHEN {knuth_bucket_sql('user_id', SPLIT_BUCKETS)}
+                       = {SPLIT_TRAIN_LT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM events
+    ),
+    per_split AS (
+      SELECT split,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM ev GROUP BY split
+    ),
+    leak AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS leaked_users FROM (
+        SELECT user_id FROM ev GROUP BY user_id
+        HAVING COUNT(DISTINCT split) > 1
+      )
+    ),
+    tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM per_split)
+    SELECT s.split, s.n_users, s.n_events,
+           CAST(s.n_events AS DOUBLE) / t.total AS event_share,
+           l.leaked_users
+    FROM per_split s, leak l, tot t
+    """,
+)
+def quality_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE train/val/test split with a leakage audit — the
+    training-pipeline gate that keeps a user's events from straddling
+    splits (per-event random splits leak user identity across the
+    boundary, inflating eval scores; the fix is hashing the GROUP key).
+    The split is the engine's deterministic Knuth hash on user_id
+    (8/1/1), so it is reproducible across runs, engines, and corpus
+    growth — a user keeps their split forever, the property incremental
+    training data requires.
+
+    The audit does NOT trust the construction: leaked_users is computed
+    from the data (users observed in >1 split — structurally zero here,
+    but the same query catches a hand-patched split table, a re-keyed
+    ingest, or a hash-constant drift the moment it breaks).  Plan: one
+    (user, split)-grain partial-agg shuffle feeds both the per-split
+    user counts and the leakage check; the share division joins two
+    broadcast 1-row aggregates.  At 100 TB every stage is map-side
+    combinable and the leak relation reduces to zero rows before it
+    moves."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(
+            knuth_bucket(F.col("user_id"), SPLIT_BUCKETS) < SPLIT_TRAIN_LT,
+            "train",
+        )
+        .when(
+            knuth_bucket(F.col("user_id"), SPLIT_BUCKETS) == SPLIT_TRAIN_LT,
+            "val",
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    per_split = ev.groupBy("split").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    leak = (
+        ev.groupBy("user_id")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("leaked_users"))
+    )
+    total = per_split.agg(
+        F.sum("n_events").cast("bigint").alias("total")
+    )
+    return (
+        per_split.crossJoin(F.broadcast(leak))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "split",
+            "n_users",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("total")).alias(
+                "event_share"
+            ),
+            "leaked_users",
+        )
+    )
+
+
+@REG.query(
+    "agg_bitmap_distinct_merge",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_distinct_supp,
+           CAST(COUNT(DISTINCT DATE_TRUNC('month', l_shipdate)) AS BIGINT)
+             AS n_months,
+           CAST(COUNT(DISTINCT l_suppkey // 32) AS BIGINT) AS n_words
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitmap_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact count-distinct: agg_bitmap_distinct's word
+    masks built per (group, MONTH) — the state a real pipeline persists
+    per ingest partition — then merged across months with a second
+    BIT_OR to recover the EXACT all-time distinct, no rescan of history.
+    This is the claim agg_bitmap_distinct's docstring makes ("persist
+    the per-word masks and OR them across days"), executed: the same
+    mergeable-sketch update/merge/finalize lifecycle as agg_hll_sketch
+    and agg_hll_union_rollup, with zero error instead of ~2%.
+
+    Why the oracle is COUNT(DISTINCT) over the raw table: the merge is
+    only correct if OR-ing per-month masks loses and invents nothing —
+    stating the SPEC rather than mirroring the bitmap means a bit
+    dropped (or double-set) at EITHER level breaks the hash.  Plan:
+    both levels are map-side-combinable BIT_ORs; the stage-1 shuffle
+    carries one long per occupied (group, month, id/32) cell — in
+    production that relation IS the stored state, so a new day costs
+    one partition's update plus an O(state) merge, never a rescan.
+    The n_months column audits the merge actually spanned the
+    calendar; n_words audits the merged bitmap footprint."""
+    li = read_table(spark, sf_dir, "lineitem")
+    monthly = (
+        li.select(
+            "l_returnflag",
+            F.trunc("l_shipdate", "month").alias("m"),
+            # same overflow-safe integer word/bit derivation as
+            # agg_bitmap_distinct (see there for the 2^53 rationale)
+            F.expr("(l_suppkey - pmod(l_suppkey, 32)) div 32").alias("word"),
+            F.expr(
+                "shiftleft(1L, cast(pmod(l_suppkey, 32) as int))"
+            ).alias("mask"),
+        )
+        .groupBy("l_returnflag", "m", "word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    merged = monthly.groupBy("l_returnflag", "word").agg(
+        F.bit_or("bits").alias("bits")
+    )
+    counts = merged.groupBy("l_returnflag").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_distinct_supp"),
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+    )
+    months = monthly.groupBy("l_returnflag").agg(
+        F.count_distinct("m").alias("n_months")
+    )
+    return counts.join(F.broadcast(months), "l_returnflag").select(
+        "l_returnflag", "n_distinct_supp", "n_months", "n_words"
+    )

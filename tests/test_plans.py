@@ -155,6 +155,99 @@ def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
                 spark.conf.set(k, v)
 
 
+def test_interval_overlap_hot_bin_splits_under_aqe(spark, tmp_path, queries):
+    """BASELINE.md documents the binned interval join's burst-day
+    regime: 'a hot bin splits under AQE skew-join'.  Make that claim a
+    tested fact on the OPERATOR itself (not a synthetic join): a corpus
+    where one day concentrates ~80% of the urgent intervals is a hot
+    bin on the r side; with the skew thresholds scaled to test-data
+    bytes (and broadcast off, as at 100 TB where neither side fits),
+    OptimizeSkewedJoin must mark the sort-merge join isSkew=true and
+    split the hot bin's partition across tasks.
+
+    The corpus is written as MULTIPLE parquet files on purpose: AQE
+    splits a skewed reduce partition along its MAP-side chunks, so a
+    single-file scan (one map task) leaves the hot bin unsplittable no
+    matter how skewed it is — the same single-input-split failure mode
+    catalog.spread() exists for, now pinned from the skew side."""
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path / "burst_corpus")
+    burst = spark.range(60_000).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") % 997).alias("o_custkey"),
+        F.lit("O").alias("o_orderstatus"),
+        F.lit(100.0).alias("o_totalprice"),
+        F.lit("1996-06-03 00:00:00").cast("timestamp").alias("o_orderdate"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+    )
+    spread_urgent = spark.range(30_000).select(
+        (F.col("id") + 100_000).alias("o_orderkey"),
+        (F.col("id") % 997).alias("o_custkey"),
+        F.lit("O").alias("o_orderstatus"),
+        F.lit(100.0).alias("o_totalprice"),
+        F.expr(
+            "timestamp'1996-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, cast(id % 360 as int), 0, 0, 0)"
+        ).alias("o_orderdate"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+    )
+    # s side: 400 high-priority orders, ~40% on the burst day, so
+    # hot-bin pairs stay bounded while r-side bytes are skewed
+    high = spark.range(400).select(
+        (F.col("id") + 200_000).alias("o_orderkey"),
+        (F.col("id") % 997).alias("o_custkey"),
+        F.lit("O").alias("o_orderstatus"),
+        F.lit(100.0).alias("o_totalprice"),
+        F.when(
+            F.col("id") % 5 < 2,
+            F.lit("1996-06-03 00:00:00").cast("timestamp"),
+        )
+        .otherwise(
+            F.expr(
+                "timestamp'1996-01-01 00:00:00'"
+                " + make_interval(0, 0, 0, cast(id % 360 as int), 0, 0, 0)"
+            )
+        )
+        .alias("o_orderdate"),
+        F.lit("2-HIGH").alias("o_orderpriority"),
+    )
+    burst.unionByName(spread_urgent).unionByName(high).repartition(
+        8
+    ).write.mode("overwrite").parquet(str(tmp_path / "burst_corpus" / "orders.parquet"))
+
+    keys = (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    old = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "32KB",
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        df = queries["join_interval_overlap"](spark, d)
+        rows = df.collect()  # finalize THIS DataFrame's adaptive plan
+        assert len(rows) > 0
+        final_plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isSkew=true" in final_plan or "skew=true" in final_plan, (
+            final_plan[:2000]
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_tpch_q6_is_pure_scan_filter_agg(spark, queries):
     """Q6 is the canonical pushdown benchmark: all three predicates must
     reach the parquet scan and the plan must contain no join at all."""
@@ -363,6 +456,9 @@ BNL_ONE_ROW_PROBES = {
     "mix_epoch_repeat_plan": 1,
     # 1-row (total, k) row under the per-label balance report
     "quality_label_balance": 1,
+    # 1-row leaked-users row x 1-row events-total row under the 3-row
+    # per-split report (round 6)
+    "quality_split_leakage_audit": 2,
 }
 BNL_ALLOWED = BNL_DESIGNED | set(BNL_ONE_ROW_PROBES)
 
@@ -1319,6 +1415,42 @@ def test_round5_plan_shapes(spark, queries):
     # exactly one aggregation pair (partial + final) — the streaming
     # form must stay single-aggregation or append mode breaks
     assert p.count("HashAggregate") == 2
+
+
+def test_round6_plan_shapes(spark, queries):
+    """Pin the plan-shape claims the round-6 docstrings make: the
+    interval-union windows and both follow-up aggregations share ONE
+    customer exchange; the equi-depth histogram reduces to the
+    distinct-value grain before its (deliberate, reduced-grain) global
+    window; the mergeable bitmap distinct stays Expand-free at both
+    levels; the Theil-Sen pair join is an equi-join on type (never a
+    cartesian); the rolling regression is pure agg+window (no joins)."""
+    def plan(name):
+        return (
+            queries[name](spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    p = plan("window_interval_merge")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+
+    p = plan("agg_histogram_equidepth")
+    assert "partial_" in p and "Window" in p
+    assert p.rindex("partial_") > p.index("Window")  # reduce below window
+
+    p = plan("agg_bitmap_distinct_merge")
+    assert "Expand" not in p
+
+    p = plan("events_trend_slope_theilsen")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    p = plan("window_rolling_regression")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 2  # day grain, type grain
 
 
 def test_item_edges_built_once_and_reused(spark):

@@ -324,3 +324,215 @@ def test_entropy_matches_whole_bit_reference(spark, tmp_path_factory, rows):
         num = sum(k * ((n // k).bit_length() - 1) for k in counts.values())
         assert got[u] == (n, len(counts), num, num / n), (u, rows)
     assert set(got) == set(per_user)
+
+
+@_PROP_SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # custkey
+            st.integers(min_value=0, max_value=80),  # day offset in 1996
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_interval_merge_matches_sweep(spark, tmp_path_factory, rows):
+    """window_interval_merge vs a pure-Python sorted sweep — incl.
+    duplicate start days, fully-nested intervals, and exact-touch
+    boundaries (d0 == previous max d1 must MERGE; d0 == max d1 + 1
+    must start a new island)."""
+    import datetime
+
+    from firebase_realtime_database_backup_spark.operators.relational import (
+        window_interval_merge,
+    )
+
+    base = datetime.datetime(1996, 1, 1)
+    d = os.path.join(str(tmp_path_factory.mktemp("im")), "corpus")
+    spark.createDataFrame(
+        [
+            (cust, i, base + datetime.timedelta(days=off), "1-URGENT")
+            for i, (cust, off) in enumerate(rows)
+        ],
+        "o_custkey long, o_orderkey long, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "orders.parquet")
+    )
+    got = {
+        r.o_custkey: (r.n_orders, r.n_islands, r.covered_days,
+                      r.max_island_days)
+        for r in window_interval_merge(spark, d).collect()
+    }
+    per_cust: dict = {}
+    for cust, off in rows:
+        per_cust.setdefault(cust, []).append((off, off + 7))
+    for cust, ivs in per_cust.items():
+        islands = []
+        for d0, d1 in sorted(ivs):
+            if islands and d0 <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], d1)
+            else:
+                islands.append([d0, d1])
+        spans = [hi - lo + 1 for lo, hi in islands]
+        assert got[cust] == (
+            len(ivs), len(islands), sum(spans), max(spans)
+        ), (cust, rows)
+    assert set(got) == set(per_cust)
+
+
+@_PROP_SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=500),  # cents
+            st.integers(min_value=1, max_value=20),  # multiplicity
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_equidepth_histogram_matches_bruteforce(spark, tmp_path_factory, rows):
+    """agg_histogram_equidepth vs a pure-Python cumulative fold — incl.
+    a single distinct value (one bucket swallows all 8 cuts) and heavy
+    ties straddling cut points."""
+    from firebase_realtime_database_backup_spark.operators.relational import (
+        EQUIDEPTH_BUCKETS,
+        agg_histogram_equidepth,
+    )
+
+    flat = [c for c, m in rows for _ in range(m)]
+    d = _write_lineitem(
+        spark,
+        str(tmp_path_factory.mktemp("ed")),
+        [(c / 100.0,) for c in flat],
+        "l_extendedprice double",
+    )
+    got = {
+        r.bucket: (r.lo_cents, r.hi_cents, r.n_rows, r.n_values)
+        for r in agg_histogram_equidepth(spark, d).collect()
+    }
+    counts: dict = {}
+    for c in flat:
+        counts[c] = counts.get(c, 0) + 1
+    tot = len(flat)
+    want: dict = {}
+    cw = 0
+    for c in sorted(counts):
+        cw += counts[c]
+        b = (cw * EQUIDEPTH_BUCKETS + tot - 1) // tot
+        lo, hi, n, nv = want.get(b, (c, c, 0, 0))
+        want[b] = (min(lo, c), max(hi, c), n + counts[c], nv + 1)
+    assert got == want, rows
+
+
+@_PROP_SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),  # day offset
+            st.integers(min_value=1, max_value=6),  # events that day
+        ),
+        min_size=2,
+        max_size=15,
+    )
+)
+def test_theilsen_matches_pairwise_median(spark, tmp_path_factory, days):
+    """events_trend_slope_theilsen vs a pure-Python pairwise-slope
+    median — the lower-median rank selection over the sorted slope
+    multiset, incl. tied slopes and 2-day series (1 pair)."""
+    import datetime
+
+    from firebase_realtime_database_backup_spark.operators.relational import (
+        events_trend_slope_theilsen,
+    )
+
+    daily: dict = {}
+    for off, k in days:
+        daily[off] = daily.get(off, 0) + k
+    if len(daily) < 2:
+        return  # no pair -> empty result, covered by the edge gate
+    base = datetime.datetime(2024, 1, 1)
+    d = _write_events(
+        spark,
+        str(tmp_path_factory.mktemp("ts")),
+        [
+            ("T", base + datetime.timedelta(days=off, hours=3))
+            for off, k in daily.items()
+            for _ in range(k)
+        ],
+        "event_type string, ts timestamp",
+    )
+    got = events_trend_slope_theilsen(spark, d).collect()[0]
+    pts = sorted(daily.items())
+    slopes = sorted(
+        (y2 - y1) / (x2 - x1)
+        for i, (x1, y1) in enumerate(pts)
+        for x2, y2 in pts[i + 1:]
+    )
+    want = slopes[(len(slopes) + 1) // 2 - 1]
+    assert got.n_days == len(pts)
+    assert got.n_pairs == len(slopes)
+    assert got.theilsen_slope == want, days
+
+
+@_PROP_SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=70),  # day offset
+            st.integers(min_value=1, max_value=9),  # events that day
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_rolling_regression_matches_moment_fold(
+    spark, tmp_path_factory, days
+):
+    """window_rolling_regression vs a pure-Python integer-moment fold
+    over the exact 28-day RANGE frame — incl. gappy calendars where a
+    ROWS frame would silently stretch across months."""
+    import datetime
+
+    from firebase_realtime_database_backup_spark.operators.relational import (
+        ROLLREG_WINDOW_DAYS,
+        window_rolling_regression,
+    )
+
+    daily: dict = {}
+    for off, k in days:
+        daily[off] = daily.get(off, 0) + k
+    base = datetime.datetime(2024, 1, 1)
+    d = _write_events(
+        spark,
+        str(tmp_path_factory.mktemp("rr")),
+        [
+            ("T", base + datetime.timedelta(days=off, hours=4))
+            for off, k in daily.items()
+            for _ in range(k)
+        ],
+        "event_type string, ts timestamp",
+    )
+    got = {
+        r.day_idx: (r.n_obs, r.slope)
+        for r in window_rolling_regression(spark, d).collect()
+    }
+    want: dict = {}
+    pts = sorted(daily.items())
+    for x, _ in pts:
+        win = [
+            (xi, yi)
+            for xi, yi in pts
+            if x - (ROLLREG_WINDOW_DAYS - 1) <= xi <= x
+        ]
+        n = len(win)
+        sx = sum(xi for xi, _ in win)
+        sy = sum(yi for _, yi in win)
+        sxx = sum(xi * xi for xi, _ in win)
+        sxy = sum(xi * yi for xi, yi in win)
+        den = n * sxx - sx * sx
+        if den > 0:
+            want[x] = (n, (n * sxy - sx * sy) / den)
+    assert got == want, days
