@@ -259,6 +259,9 @@ HEADLINE = [
     "quality_split_leakage_audit",
     "agg_bitmap_distinct_merge",
     "dedup_clusters",
+    "stream_dim_join",
+    "events_survival_table",
+    "layout_partitioned_prune",
 ]
 
 

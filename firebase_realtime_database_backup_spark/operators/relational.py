@@ -7413,3 +7413,178 @@ def agg_bitmap_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(F.broadcast(months), "l_returnflag").select(
         "l_returnflag", "n_distinct_supp", "n_months", "n_words"
     )
+
+
+@REG.query(
+    "events_survival_table",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CAST(ts AS DATE)) AS f,
+             MAX(CAST(ts AS DATE)) AS l
+      FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT MAX(CAST(ts AS DATE)) AS corpus_max FROM events),
+    lives AS (
+      SELECT CAST(l - f AS BIGINT) AS life,
+             CAST(l = corpus_max AS INT) AS censored
+      FROM per_user, horizon
+    ),
+    by_life AS (
+      SELECT life,
+             CAST(SUM(1 - censored) AS BIGINT) AS n_ended,
+             CAST(SUM(censored) AS BIGINT) AS n_censored
+      FROM lives GROUP BY life
+    )
+    SELECT life AS age_days,
+           CAST(SUM(n_ended + n_censored) OVER (
+                  ORDER BY life DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_at_risk,
+           n_ended, n_censored,
+           CAST(n_ended AS DOUBLE)
+             / SUM(n_ended + n_censored) OVER (
+                 ORDER BY life DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS hazard
+    FROM by_life
+    """,
+)
+def events_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete survival (churn-hazard) table with right-censoring —
+    the actuarial life table behind every retention model: for each
+    observed lifetime t (days between a user's first and last event),
+    how many users were still AT RISK at age t, how many ENDED there,
+    how many are CENSORED (last seen on the corpus horizon — still
+    alive as far as the data knows, the distinction naive churn curves
+    get wrong), and the exact hazard n_ended/at_risk.  Kaplan-Meier
+    survival is the running product of (1 - hazard) over this table —
+    left to the consumer because an ordered float product is the one
+    step that is NOT cross-engine exact; every column here is integer
+    counts plus one division, so the oracle hash is bit-for-bit.
+
+    Plan: one (user) min/max shuffle — the only data-sized exchange —
+    then everything runs at the lifetime grain (≤ |calendar| rows): a
+    1-row broadcast horizon probe, a reverse cumulative window for the
+    at-risk counts, and the hazard division.  At 100 TB the user
+    reduce is the cost (map-side combinable min/max); the survival
+    arithmetic is metadata-sized at any corpus."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("d").alias("f"), F.max("d").alias("l")
+    )
+    horizon = ev.agg(F.max("d").alias("corpus_max"))
+    lives = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("l", "f").cast("bigint").alias("life"),
+        (F.col("l") == F.col("corpus_max")).cast("int").alias("censored"),
+    )
+    by_life = lives.groupBy("life").agg(
+        F.sum(1 - F.col("censored")).cast("bigint").alias("n_ended"),
+        F.sum("censored").cast("bigint").alias("n_censored"),
+    )
+    # reverse cumulative at-risk over the <=|calendar|-row life grain
+    w = Window.orderBy(F.col("life").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    at_risk = F.sum(F.col("n_ended") + F.col("n_censored")).over(w)
+    return by_life.select(
+        F.col("life").alias("age_days"),
+        at_risk.cast("bigint").alias("n_at_risk"),
+        "n_ended",
+        "n_censored",
+        (F.col("n_ended").cast("double") / at_risk).alias("hazard"),
+    )
+
+
+_PRUNE_FIXTURES: dict = {}
+
+#: Probe day for the partition-pruned read — present at every SF of the
+#: synthetic events calendar (January 2024).
+PRUNE_PROBE_DAY = "2024-01-15"
+
+
+@REG.query(
+    "layout_partitioned_prune",
+    oracle=f"""
+    SELECT '{PRUNE_PROBE_DAY}' AS probe_day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+             AS n_files_scanned,
+           {oround("SUM(value)")} AS total_value
+    FROM events WHERE CAST(ts AS DATE) = DATE '{PRUNE_PROBE_DAY}'
+    """,
+)
+def layout_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-partitioned layout + partition-pruned point read — the
+    layout decision that turns a full-table scan into a one-directory
+    read, proven FROM THE FILES: the fixture writes events partitioned
+    by calendar day (repartition on day first, so each day is exactly
+    one file — the daily-sink layout), the query filters to one day,
+    and n_files_scanned counts DISTINCT ``_metadata.file_path`` off the
+    actual read — 1 if the day exists, 0 if not, never the table's full
+    file count.  The oracle states the SPEC from the raw table (the
+    filtered day count), so a broken pruning that silently scans
+    everything still hash-matches only if it also READS only that day's
+    file.  PartitionFilters reaching the scan is plan-asserted in
+    tests/test_plans.py.
+
+    At 100 TB this is the difference between listing one directory and
+    listing a year: partition pruning happens at PLANNING time (the
+    non-matching directories are never listed into the plan), which no
+    row-group or predicate pushdown can recover once the listing has
+    happened.  Day is the right partition key exactly because every
+    operational query carries a day predicate; the cardinality rule
+    (partitions of ~file-count 1-10k, never per-user) is what keeps the
+    listing itself cheap."""
+    import hashlib
+    import os
+
+    memo_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    out = _PRUNE_FIXTURES.get(memo_key)
+    if out is None:
+        ev = read_table(spark, sf_dir, "events")
+        if ev.isEmpty():
+            return spark.createDataFrame(
+                [(PRUNE_PROBE_DAY, 0, 0, 0, None)],
+                "probe_day string, n_rows bigint, n_users bigint, "
+                "n_files_scanned bigint, total_value double",
+            )
+        tag = hashlib.sha1(memo_key[1].encode()).hexdigest()[:12]
+        out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            os.pardir,
+            ".scratch",
+            f"prune_{os.path.basename(os.path.normpath(sf_dir))}_{tag}",
+        )
+        day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+        # repartition ON day then partitionBy(day): each day's rows sit
+        # wholly in one task -> exactly one file per day directory
+        ev.select("event_id", "ts", "user_id", "value", day).repartition(
+            F.col("day")
+        ).write.mode("overwrite").partitionBy("day").parquet(out)
+        _PRUNE_FIXTURES[memo_key] = out
+
+    pruned = spark.read.parquet(out).filter(
+        F.col("day") == F.lit(PRUNE_PROBE_DAY)
+    )
+    return (
+        pruned.select(
+            "user_id", "value", F.col("_metadata.file_path").alias("fp")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.count_distinct("fp").alias("n_files_scanned"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.lit(PRUNE_PROBE_DAY).alias("probe_day"),
+            "n_rows",
+            "n_users",
+            "n_files_scanned",
+            "total_value",
+        )
+    )

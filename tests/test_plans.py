@@ -459,6 +459,8 @@ BNL_ONE_ROW_PROBES = {
     # 1-row leaked-users row x 1-row events-total row under the 3-row
     # per-split report (round 6)
     "quality_split_leakage_audit": 2,
+    # 1-row corpus-horizon (max day) probe under the per-user lifetimes
+    "events_survival_table": 1,
 }
 BNL_ALLOWED = BNL_DESIGNED | set(BNL_ONE_ROW_PROBES)
 
@@ -1451,6 +1453,21 @@ def test_round6_plan_shapes(spark, queries):
     p = plan("window_rolling_regression")
     assert "Join" not in p
     assert p.count("Exchange hashpartitioning") == 2  # day grain, type grain
+
+
+def test_partitioned_prune_query_prunes_at_planning(spark, queries):
+    """layout_partitioned_prune's read must carry the day predicate as
+    a PartitionFilter on the scan (planning-time directory pruning),
+    and its audit row must report exactly ONE file scanned — reading
+    more files than the probe day's single file means pruning silently
+    broke even if the row counts still match."""
+    df = queries["layout_partitioned_prune"](spark, SF)
+    plan = _plan(spark, df)
+    part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "day" in part_filters, part_filters
+    row = df.collect()[0]
+    assert row.n_files_scanned == 1
+    assert row.n_rows > 0
 
 
 def test_item_edges_built_once_and_reused(spark):

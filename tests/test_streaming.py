@@ -201,6 +201,28 @@ def test_stream_static_join_parity(spark, events_dir):
     assert _sorted_rows(got) == _sorted_rows(batch)
 
 
+def test_stream_dim_join_parity(spark, events_dir):
+    """The REGISTERED stream-static form (stream_dim_join /
+    dim_enriched_counts): windowed per-segment counts over a streaming
+    fact joined to the broadcast customer dimension must equal the
+    batch run — the enrich-then-window topology the oracle checks in
+    batch mode, proven identical under the streaming engine."""
+    from firebase_realtime_database_backup_spark.streaming.windows import (
+        dim_enriched_counts,
+    )
+
+    dim = read_table(spark, "/root/testdata/sf0.001", "customer")
+    batch = dim_enriched_counts(spark.read.parquet(events_dir), dim)
+    q = run_stream_to_memory(
+        dim_enriched_counts(stream_events(spark, events_dir), dim),
+        "parity_dim_enrich",
+    )
+    q.awaitTermination(120)
+    got = spark.table("parity_dim_enrich")
+    assert _sorted_rows(got) == _sorted_rows(batch)
+    assert batch.count() > 0
+
+
 def test_stream_stream_join_parity(spark, events_dir):
     """Stream-stream interval join (click↔view attribution): the same
     click_view_pairs transform run over two watermarked streams must
