@@ -481,6 +481,64 @@ def test_theilsen_matches_pairwise_median(spark, tmp_path_factory, days):
 @given(
     st.lists(
         st.tuples(
+            st.integers(min_value=1, max_value=5),  # user_id
+            st.integers(min_value=0, max_value=15),  # day offset
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_survival_table_matches_life_fold(spark, tmp_path_factory, rows):
+    """events_survival_table vs a pure-Python life-table fold — incl.
+    single-event users (lifetime 0), everyone-censored corpora (all
+    users last seen on the horizon day), and ties between ended and
+    censored lifetimes."""
+    import datetime
+
+    from firebase_realtime_database_backup_spark.operators.relational import (
+        events_survival_table,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    d = _write_events(
+        spark,
+        str(tmp_path_factory.mktemp("sv")),
+        [
+            (u, base + datetime.timedelta(days=off, hours=5))
+            for u, off in rows
+        ],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        r.age_days: (r.n_at_risk, r.n_ended, r.n_censored, r.hazard)
+        for r in events_survival_table(spark, d).collect()
+    }
+    span: dict = {}
+    for u, off in rows:
+        f, l = span.get(u, (off, off))
+        span[u] = (min(f, off), max(l, off))
+    horizon = max(l for _, l in span.values())
+    by_life: dict = {}
+    for f, l in span.values():
+        life = l - f
+        ended, cens = by_life.get(life, (0, 0))
+        if l == horizon:
+            by_life[life] = (ended, cens + 1)
+        else:
+            by_life[life] = (ended + 1, cens)
+    at_risk = 0
+    want: dict = {}
+    for life in sorted(by_life, reverse=True):
+        ended, cens = by_life[life]
+        at_risk += ended + cens
+        want[life] = (at_risk, ended, cens, ended / at_risk)
+    assert got == want, rows
+
+
+@_PROP_SETTINGS
+@given(
+    st.lists(
+        st.tuples(
             st.integers(min_value=0, max_value=70),  # day offset
             st.integers(min_value=1, max_value=9),  # events that day
         ),
