@@ -113,7 +113,7 @@ def phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         W = 1 << np.arange(32, dtype=np.int64)
         for pdf in batches:
             if pdf.empty:
-                continue  # np.stack([]) raises on zero-row Arrow batches
+                continue  # zero-row batch: nothing to emit (uniform guard across all mapInPandas kernels; the np.stack-based kernels in similarity/dedup hard-require it)
             ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             bufs = pdf["payload"].tolist()
             n = len(bufs)
@@ -198,7 +198,7 @@ def _media_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     size, leading byte, strided frame sample count + checksum."""
     for pdf in batches:
         if pdf.empty:
-            continue  # np.stack([]) raises on zero-row Arrow batches
+            continue  # zero-row batch: nothing to emit (uniform guard across all mapInPandas kernels; the np.stack-based kernels in similarity/dedup hard-require it)
         payloads = pdf["payload"]
         n_bytes = payloads.str.len().astype("int64")
         first_byte = payloads.map(lambda b: b[0] if len(b) else -1).astype("int32")
@@ -263,7 +263,7 @@ def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
     for pdf in batches:
         if pdf.empty:
-            continue  # np.stack([]) raises on zero-row Arrow batches
+            continue  # zero-row batch: nothing to emit (uniform guard across all mapInPandas kernels; the np.stack-based kernels in similarity/dedup hard-require it)
         rasters = [
             np.resize(np.frombuffer(b, dtype=np.uint8), 64).astype("int32")
             if len(b)
@@ -325,7 +325,7 @@ def multimodal_frame_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
-                continue  # np.stack([]) raises on zero-row Arrow batches
+                continue  # zero-row batch: nothing to emit (uniform guard across all mapInPandas kernels; the np.stack-based kernels in similarity/dedup hard-require it)
             ids, nos, sums, lens = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 buf = np.frombuffer(payload, dtype=np.uint8)
@@ -375,7 +375,7 @@ def multimodal_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
-                continue  # np.stack([]) raises on zero-row Arrow batches
+                continue  # zero-row batch: nothing to emit (uniform guard across all mapInPandas kernels; the np.stack-based kernels in similarity/dedup hard-require it)
             ids, nos, es, ps = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 buf = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
@@ -442,7 +442,7 @@ def multimodal_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             if pdf.empty:
-                continue  # np.stack([]) raises on zero-row Arrow batches
+                continue  # zero-row batch: nothing to emit (uniform guard across all mapInPandas kernels; the np.stack-based kernels in similarity/dedup hard-require it)
             ids, cells, vals = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 buf = np.frombuffer(payload, dtype=np.uint8)

@@ -5464,7 +5464,11 @@ def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_files_before bigint, n_rows bigint, "
                 "n_files_after bigint, docid_sum bigint",
             )
-        tag = hashlib.sha1(memo_key[1].encode()).hexdigest()[:12]
+        # Session-keyed scratch tag like ensure_bpe_table: hashing only
+        # the corpus path would resolve two concurrent sessions to the
+        # SAME directory, so one session's overwrite could tear the
+        # other's memoized read-back.
+        tag = hashlib.sha1("\x00".join(memo_key).encode()).hexdigest()[:12]
         root = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             os.pardir,
@@ -7552,7 +7556,11 @@ def layout_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "probe_day string, n_rows bigint, n_users bigint, "
                 "n_files_scanned bigint, total_value double",
             )
-        tag = hashlib.sha1(memo_key[1].encode()).hexdigest()[:12]
+        # Session-keyed scratch tag like ensure_bpe_table: hashing only
+        # the corpus path would resolve two concurrent sessions to the
+        # SAME directory, so one session's overwrite could tear the
+        # other's memoized read-back.
+        tag = hashlib.sha1("\x00".join(memo_key).encode()).hexdigest()[:12]
         out = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             os.pardir,

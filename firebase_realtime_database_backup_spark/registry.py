@@ -224,6 +224,19 @@ ROUND_TOUCHED: dict[str, int] = {
     "events_item_cooccurrence": 6,
     "graph_triangle_count": 6,
     "graph_degree_distribution": 6,
+    # round 6: zero-row Arrow-batch guards added inside the multimodal
+    # mapInPandas kernels (phash_hashes, _media_features,
+    # _fake_decode_batch, frame explode/energy, resize_pool) — the
+    # guard paths are new code on attested queries, so they jump the
+    # window (regression risk beats staleness).
+    "multimodal_phash_dedup": 6,
+    "multimodal_phash_hamming": 6,
+    "multimodal_media_features": 6,
+    "multimodal_scene_cuts": 6,
+    "multimodal_silence_trim": 6,
+    "multimodal_frame_explode": 6,
+    "multimodal_frame_energy": 6,
+    "multimodal_resize_pool": 6,
 }
 
 
