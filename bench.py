@@ -262,6 +262,8 @@ HEADLINE = [
     "stream_dim_join",
     "events_survival_table",
     "layout_partitioned_prune",
+    "events_attribution_position",
+    "quality_chi2_independence",
 ]
 
 

@@ -5136,6 +5136,22 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     the purchase id.  O((clicks+purchases) log) with no pair blowup;
     the oracle IS the pair-join definition, which a 100 TB engine must
     never execute."""
+    attributed = attributed_clicks(spark, sf_dir).drop("c_ms")
+    n_per_purchase = Window.partitionBy("purchase_id")
+    return attributed.select(
+        "click_id",
+        "user_id",
+        "purchase_id",
+        (F.lit(1.0) / F.count(F.lit(1)).over(n_per_purchase)).alias("credit"),
+    )
+
+
+def attributed_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(click_id, user_id, purchase_id, c_ms): each click attributed to
+    the user's next purchase within the window — the shared tagged-union
+    forward-asof relation both attribution models (linear, position)
+    credit differently.  See events_attribution_linear for the shape
+    rationale."""
     events = read_table(spark, sf_dir, "events")
     p_t = "struct<pid:bigint,pms:bigint>"
     clicks = events.filter(F.col("event_type") == "click").select(
@@ -5181,14 +5197,116 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("click_id"),
             F.col("k").alias("user_id"),
             F.col("np.pid").alias("purchase_id"),
+            "c_ms",
         )
     )
-    n_per_purchase = Window.partitionBy("purchase_id")
-    return attributed.select(
-        "click_id",
-        "user_id",
-        "purchase_id",
-        (F.lit(1.0) / F.count(F.lit(1)).over(n_per_purchase)).alias("credit"),
+    return attributed
+
+
+#: Position-based attribution weights in basis points: 40/20/40
+#: (first / middle-split / last), the U-shaped model.
+ATTR_POS_EDGE_BP = 4000
+ATTR_POS_MID_BP = 2000
+
+
+@REG.query(
+    "events_attribution_position",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id,
+             CAST(EPOCH_MS(ts) AS BIGINT) AS c_ms
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id,
+             CAST(EPOCH_MS(ts) AS BIGINT) AS p_ms
+      FROM events WHERE event_type = 'purchase'
+    ),
+    attributed AS (
+      SELECT click_id, user_id, purchase_id, c_ms FROM (
+        SELECT c.click_id, c.user_id, p.purchase_id, c.c_ms,
+               ROW_NUMBER() OVER (PARTITION BY c.click_id
+                                  ORDER BY p.p_ms, p.purchase_id) AS rk
+        FROM clicks c JOIN purchases p
+          ON c.user_id = p.user_id
+         AND p.p_ms > c.c_ms
+         AND p.p_ms <= c.c_ms + {ATTR_WINDOW_MS}
+      ) WHERE rk = 1
+    ),
+    ranked AS (
+      SELECT click_id, user_id, purchase_id,
+             ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                ORDER BY c_ms, click_id) AS pos,
+             COUNT(*) OVER (PARTITION BY purchase_id) AS n
+      FROM attributed
+    )
+    SELECT click_id, user_id, purchase_id,
+           CASE WHEN n = 1 THEN 'only' WHEN pos = 1 THEN 'first'
+                WHEN pos = n THEN 'last' ELSE 'middle' END AS position,
+           CAST(CASE WHEN n = 1 THEN 10000
+                     WHEN n = 2 THEN 5000
+                     WHEN pos = 1 THEN {ATTR_POS_EDGE_BP}
+                          + ({ATTR_POS_MID_BP}
+                             - (n - 2) * ({ATTR_POS_MID_BP} // (n - 2)))
+                     WHEN pos = n THEN {ATTR_POS_EDGE_BP}
+                     ELSE {ATTR_POS_MID_BP} // (n - 2) END AS BIGINT)
+             AS credit_bp
+    FROM ranked
+    """,
+)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: the first and
+    last click before a purchase get 40% each, the middle clicks split
+    the remaining 20% — the model marketing stacks default to when
+    linear over-credits long low-intent click trails.  Credits are
+    INTEGER BASIS POINTS with the integer-division remainder assigned
+    to the first touch, so every purchase's credits sum to exactly
+    10000 — the books balance bit-for-bit on both engines, where a
+    float 0.2/(n-2) split leaks ulps per purchase (the
+    events_cohort_ltv cents discipline applied to credit).
+
+    Rides the SAME one-shuffle tagged-union forward-asof relation as
+    events_attribution_linear (attributed_clicks — shared substructure,
+    not a second pair join); position rank and touch count share one
+    purchase_id window partition, so credit assignment adds a single
+    reduced-grain exchange.  The oracle repeats the pair-join
+    DEFINITION, which the engine never executes."""
+    ranked_w = Window.partitionBy("purchase_id").orderBy("c_ms", "click_id")
+    count_w = Window.partitionBy("purchase_id")
+    n = F.col("n")
+    pos = F.col("pos")
+    mid_each = F.expr(f"{ATTR_POS_MID_BP} div (n - 2)")
+    credit = (
+        F.when(n == 1, 10000)
+        .when(n == 2, 5000)
+        .when(
+            pos == 1,
+            F.lit(ATTR_POS_EDGE_BP)
+            + (F.lit(ATTR_POS_MID_BP) - (n - 2) * mid_each),
+        )
+        .when(pos == n, ATTR_POS_EDGE_BP)
+        .otherwise(mid_each)
+    )
+    return (
+        attributed_clicks(spark, sf_dir)
+        .select(
+            "click_id",
+            "user_id",
+            "purchase_id",
+            F.row_number().over(ranked_w).alias("pos"),
+            F.count(F.lit(1)).over(count_w).alias("n"),
+        )
+        .select(
+            "click_id",
+            "user_id",
+            "purchase_id",
+            F.when(n == 1, "only")
+            .when(pos == 1, "first")
+            .when(pos == n, "last")
+            .otherwise("middle")
+            .alias("position"),
+            credit.cast("bigint").alias("credit_bp"),
+        )
     )
 
 
@@ -7595,4 +7713,91 @@ def layout_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_files_scanned",
             "total_value",
         )
+    )
+
+
+@REG.query(
+    "quality_chi2_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    rows_ AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY lang),
+    cols_ AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM obs
+              GROUP BY source),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    grid0 AS (
+      SELECT rows_.lang, cols_.source, rows_.r, cols_.c, tot.n
+      FROM rows_ CROSS JOIN cols_ CROSS JOIN tot
+    ),
+    grid AS (
+      SELECT g.lang, g.source, g.r, g.c, g.n, COALESCE(obs.o, 0) AS o
+      FROM grid0 g
+      LEFT JOIN obs ON obs.lang = g.lang AND obs.source = g.source
+    )
+    SELECT lang, source, o AS n_obs,
+           CAST(r * c AS BIGINT) AS expected_num,
+           CAST(r * c AS DOUBLE) / n AS expected,
+           CAST((n * o - r * c) * (n * o - r * c) AS DOUBLE)
+             / (CAST(r AS DOUBLE) * c * n) AS chi2_contribution
+    FROM grid
+    """,
+)
+def quality_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square INDEPENDENCE grid between two categorical columns
+    (lang × source): are languages distributed the same way across
+    sources, or does some feed skew toward a language?  The governance
+    check quality_drift_chi2 can't express (that one compares a column
+    against a REFERENCE corpus; this tests two columns of ONE corpus
+    against each other) — the contingency-table analysis behind "is
+    this metadata field informative / leaking the other".
+
+    Emitted at the CELL grain, including structurally-zero cells (a
+    (lang, source) pair that never co-occurs contributes r·c/n, which
+    is exactly where dependence shows) — per-cell contributions are
+    each ONE division of exact integers ((n·o − r·c)² / (r·c·n), all
+    bigint products well under 2^63 here), so every output value is
+    bit-identical cross-engine; the final χ² statistic is the SUM of
+    the column, left to the consumer because a float sum's order is
+    the one non-reproducible step (the events_survival_table / KM
+    stance).  Past ~3e9 docs the squared term needs DECIMAL(38,0) —
+    same plan.  Plan: one (lang, source) partial-agg shuffle; the
+    margins are tiny broadcast relations crossed into the |langs| ×
+    |sources| grid (a K-row × K-row broadcast cross — the designed
+    shape, never data-sized)."""
+    obs = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rows_ = obs.groupBy("lang").agg(F.sum("o").cast("bigint").alias("r"))
+    cols_ = obs.groupBy("source").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    grid = (
+        rows_.crossJoin(F.broadcast(cols_))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(obs), ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            "r",
+            "c",
+            "n",
+            F.coalesce("o", F.lit(0)).alias("o"),
+        )
+    )
+    dev = F.col("n") * F.col("o") - F.col("r") * F.col("c")
+    return grid.select(
+        "lang",
+        "source",
+        F.col("o").alias("n_obs"),
+        (F.col("r") * F.col("c")).cast("bigint").alias("expected_num"),
+        ((F.col("r") * F.col("c")).cast("double") / F.col("n")).alias(
+            "expected"
+        ),
+        (
+            (dev * dev).cast("double")
+            / (F.col("r").cast("double") * F.col("c") * F.col("n"))
+        ).alias("chi2_contribution"),
     )

@@ -237,6 +237,9 @@ ROUND_TOUCHED: dict[str, int] = {
     "multimodal_frame_explode": 6,
     "multimodal_frame_energy": 6,
     "multimodal_resize_pool": 6,
+    # round 6: refactored to ride the shared attributed_clicks relation
+    # (same plan; the position model credits the same substructure).
+    "events_attribution_linear": 6,
 }
 
 

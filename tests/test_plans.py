@@ -461,6 +461,10 @@ BNL_ONE_ROW_PROBES = {
     "quality_split_leakage_audit": 2,
     # 1-row corpus-horizon (max day) probe under the per-user lifetimes
     "events_survival_table": 1,
+    # |langs|-row x |sources|-row margin cross building the contingency
+    # grid (fixed K-row relations), then x the 1-row total — the grid
+    # is the designed output grain, never data-sized (round 6)
+    "quality_chi2_independence": 2,
 }
 BNL_ALLOWED = BNL_DESIGNED | set(BNL_ONE_ROW_PROBES)
 
@@ -1453,6 +1457,28 @@ def test_round6_plan_shapes(spark, queries):
     p = plan("window_rolling_regression")
     assert "Join" not in p
     assert p.count("Exchange hashpartitioning") == 2  # day grain, type grain
+
+
+def test_position_attribution_books_balance(spark, queries):
+    """Position-based credit must sum to EXACTLY 10000 bp per purchase
+    (the integer-division remainder goes to the first touch) — the
+    invariant that makes attribution reports reconcile; and the two
+    attribution models must agree on WHICH clicks attribute to which
+    purchase (same shared relation, different credit arithmetic)."""
+    import pyspark.sql.functions as F
+
+    pos = queries["events_attribution_position"](spark, SF)
+    bad = (
+        pos.groupBy("purchase_id")
+        .agg(F.sum("credit_bp").alias("s"))
+        .filter("s != 10000")
+        .count()
+    )
+    assert bad == 0
+    lin = queries["events_attribution_linear"](spark, SF)
+    a = sorted((r.click_id, r.purchase_id) for r in pos.collect())
+    b = sorted((r.click_id, r.purchase_id) for r in lin.collect())
+    assert a == b and a
 
 
 def test_partitioned_prune_query_prunes_at_planning(spark, queries):
