@@ -539,6 +539,54 @@ def test_survival_table_matches_life_fold(spark, tmp_path_factory, rows):
 @given(
     st.lists(
         st.tuples(
+            st.integers(min_value=0, max_value=2),  # lang index
+            st.integers(min_value=0, max_value=3),  # source index
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_chi2_independence_matches_contingency_fold(
+    spark, tmp_path_factory, rows
+):
+    """quality_chi2_independence vs a pure-Python contingency fold —
+    incl. single-cell corpora (every deviation 0) and structurally-zero
+    cells, whose r*c/n contribution the grid must still emit."""
+    from firebase_realtime_database_backup_spark.operators.relational import (
+        quality_chi2_independence,
+    )
+
+    d = os.path.join(str(tmp_path_factory.mktemp("ci")), "corpus")
+    spark.createDataFrame(
+        [(f"l{a}", f"s{b}") for a, b in rows], "lang string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = {
+        (r.lang, r.source): (r.n_obs, r.expected_num, r.chi2_contribution)
+        for r in quality_chi2_independence(spark, d).collect()
+    }
+    obs: dict = {}
+    for a, b in rows:
+        obs[(f"l{a}", f"s{b}")] = obs.get((f"l{a}", f"s{b}"), 0) + 1
+    langs = {k[0] for k in obs}
+    sources = {k[1] for k in obs}
+    n = len(rows)
+    want: dict = {}
+    for lang in langs:
+        r = sum(v for k, v in obs.items() if k[0] == lang)
+        for source in sources:
+            c = sum(v for k, v in obs.items() if k[1] == source)
+            o = obs.get((lang, source), 0)
+            dev = n * o - r * c
+            want[(lang, source)] = (o, r * c, (dev * dev) / (r * c * n))
+    assert got == want, rows
+
+
+@_PROP_SETTINGS
+@given(
+    st.lists(
+        st.tuples(
             st.integers(min_value=0, max_value=70),  # day offset
             st.integers(min_value=1, max_value=9),  # events that day
         ),
