@@ -6989,23 +6989,56 @@ def quality_monotonic_id_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cousin of quality_referential_integrity (which checks keys AGAINST
     a parent; this checks the key space itself).
 
-    Plan: a single aggregation — COUNT/MIN/MAX are plain partial aggs
-    and the one COUNT(DISTINCT id) is the standard two-level expansion
-    on the id grain; no joins, no windows.  At 100 TB partition-level
-    min/max stats can pre-answer the range half from metadata; the
-    distinct count is the only data-touching term (or swap
-    approx_count_distinct when an exact dup gate isn't required —
-    the agg_approx_quantile_audit tradeoff, measured there)."""
+    Plan (rewritten round 6 after a 1000× measurement): the original
+    COUNT(DISTINCT id) form shuffled the full ID GRAIN — measured
+    34.9 s on 150M distinct orderkeys, the audit's only data-sized
+    term — so the exact distinct now rides agg_bitmap_distinct's
+    word-mask route IN THE SAME PASS: stage 1 reduces to the id/32
+    word grain carrying (BIT_OR mask, COUNT, MIN, MAX) — all map-side
+    combinable, a 32× grain cut, no Expand — and stage 2 folds the
+    words to the one audit row (n_distinct = Σ popcount).  Same oracle
+    (the SPEC stays COUNT DISTINCT over raw rows), measured 34.9 →
+    ~4 s at 150M ids.  At 100 TB partition-level min/max stats can
+    still pre-answer the range half from metadata; the word relation
+    is the only shuffled state (persist it and BIT_OR across batches
+    for an incremental audit — the agg_bitmap_distinct_merge
+    lifecycle)."""
     orders = read_table(spark, sf_dir, "orders")
-    k = F.col("o_orderkey")
-    return orders.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count_distinct(k).alias("n_distinct"),
-        (F.count(F.lit(1)) - F.count_distinct(k)).alias("n_dup_ids"),
-        F.min(k).alias("min_id"),
-        F.max(k).alias("max_id"),
-        (F.max(k) - F.min(k) + 1 - F.count_distinct(k)).alias("n_gaps"),
-        (F.count(F.lit(1)) == F.count_distinct(k)).alias("ids_unique"),
+    words = (
+        orders.select(
+            # the agg_bitmap_distinct word/bit derivation (see there
+            # for the 2^53 / negative-id rationale)
+            F.expr(
+                "(o_orderkey - pmod(o_orderkey, 32)) div 32"
+            ).alias("word"),
+            F.expr(
+                "shiftleft(1L, cast(pmod(o_orderkey, 32) as int))"
+            ).alias("mask"),
+            "o_orderkey",
+        )
+        .groupBy("word")
+        .agg(
+            F.bit_or("mask").alias("bits"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("o_orderkey").alias("mn"),
+            F.max("o_orderkey").alias("mx"),
+        )
+    )
+    # COALESCE the two sums so an EMPTY batch audits as zeros (the
+    # oracle's COUNT over no rows), not NULLs — min/max/gaps stay NULL
+    # on empty exactly like the oracle's MIN/MAX.
+    n_rows = F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint")
+    n_distinct = F.coalesce(F.sum(F.bit_count("bits")), F.lit(0)).cast(
+        "bigint"
+    )
+    return words.agg(
+        n_rows.alias("n_rows"),
+        n_distinct.alias("n_distinct"),
+        (n_rows - n_distinct).alias("n_dup_ids"),
+        F.min("mn").alias("min_id"),
+        F.max("mx").alias("max_id"),
+        (F.max("mx") - F.min("mn") + 1 - n_distinct).alias("n_gaps"),
+        (n_rows == n_distinct).alias("ids_unique"),
     )
 
 

@@ -240,6 +240,10 @@ ROUND_TOUCHED: dict[str, int] = {
     # round 6: refactored to ride the shared attributed_clicks relation
     # (same plan; the position model credits the same substructure).
     "events_attribution_linear": 6,
+    # round 6: exact distinct rewritten from the id-grain
+    # COUNT(DISTINCT) to the bitmap word-mask route after the 1000x
+    # measurement (34.9 s -> ~4 s on 150M ids); oracle unchanged.
+    "quality_monotonic_id_audit": 6,
 }
 
 
