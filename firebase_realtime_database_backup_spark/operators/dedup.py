@@ -2345,3 +2345,75 @@ def quality_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.count_distinct(h).cast("double") / F.count(F.lit(1))
         ).alias("dup_rate"),
     )
+
+
+@REG.query(
+    "dedup_editdist_neighborhood",
+    oracle="""
+    WITH names AS (SELECT DISTINCT c_name FROM customer)
+    SELECT a.c_name AS name_a, b.c_name AS name_b,
+           CAST(LEVENSHTEIN(a.c_name, b.c_name) AS INT) AS dist
+    FROM names a JOIN names b ON a.c_name < b.c_name
+    WHERE LEVENSHTEIN(a.c_name, b.c_name) <= 1
+    """,
+)
+def dedup_editdist_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance-1 pair enumeration via the DELETION
+    NEIGHBORHOOD (FastSS): every string emits itself plus each
+    single-character deletion as an index key; two strings within edit
+    distance 1 — one substitution, insertion, or deletion — are
+    GUARANTEED to share a key (substitution at position i: deleting i
+    from both yields the same string; insertion/deletion: the shorter
+    string equals one deletion variant of the longer), so unlike the
+    blocking key in `dedup_fuzzy_names` (recall-lossy by construction:
+    a typo in the block token hides the pair forever) this candidate
+    generator has EXACT recall for k=1.
+
+    Plan: distinct names -> explode to length+1 variants (all JVM-side:
+    `transform(sequence(...))`, no UDF) -> equi self-join on the
+    variant key -> distinct candidate pairs -> verify with the built-in
+    LEVENSHTEIN.  Cost is O(N * L) index rows and a shuffle keyed by
+    variant — group sizes are bounded by how many strings actually
+    collide on a variant, never N — versus the O(N^2) verify a cross
+    join would pay; at 100 TB the variant key is the shuffle key and a
+    hot variant (e.g. a boilerplate prefix) splits under AQE exactly
+    like a hot join key.  Generalizes to k=2 by indexing depth-2
+    deletions (L^2/2 variants per string) — the classic recall/index
+    trade, same axis as adding LSH tables.
+
+    Oracle: DuckDB verifies the FULL quadratic space (cross join +
+    LEVENSHTEIN <= 1), so a hash match here proves the neighborhood
+    generator misses nothing — the recall claim is checked, not
+    asserted.  Output dist is 0/1 only (INT): distinct names make
+    dist=0 impossible, so every row is exactly 1 edit apart."""
+    names = (
+        read_table(spark, sf_dir, "customer").select("c_name").distinct()
+    )
+    # i = 0..L-1: delete char i+1; i = L: the identity variant.
+    variants = F.expr(
+        "transform(sequence(0, length(c_name)), i -> "
+        "concat(substring(c_name, 1, i), substring(c_name, i + 2)))"
+    )
+    a = names.select(
+        F.col("c_name").alias("name_a"),
+        F.explode(variants).alias("variant"),
+    )
+    b = names.select(
+        F.col("c_name").alias("name_b"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(c_name)), i -> "
+                "concat(substring(c_name, 1, i), substring(c_name, i + 2)))"
+            )
+        ).alias("variant"),
+    )
+    cands = (
+        a.join(b, ["variant"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    dist = F.levenshtein("name_a", "name_b").cast("int")
+    return cands.select("name_a", "name_b", dist.alias("dist")).filter(
+        F.col("dist") <= 1
+    )

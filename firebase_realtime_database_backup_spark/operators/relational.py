@@ -7834,3 +7834,124 @@ def quality_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("r").cast("double") * F.col("c") * F.col("n"))
         ).alias("chi2_contribution"),
     )
+
+
+@REG.query(
+    "quality_candidate_keys",
+    oracle="""
+    SELECT 'event_id' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) FILTER (WHERE event_id IS NULL) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT event_id) = COUNT(*) AS INT) AS is_key
+    FROM events
+    UNION ALL
+    SELECT 'ts', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT ts) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE ts IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT ts) = COUNT(*) AS INT)
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE user_id IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) = COUNT(*) AS INT)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT event_type) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE event_type IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT event_type) = COUNT(*) AS INT)
+    FROM events
+    UNION ALL
+    SELECT 'value', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT value) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE value IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT value) = COUNT(*) AS INT)
+    FROM events
+    UNION ALL
+    SELECT 'props', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT props) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE props IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT props) = COUNT(*) AS INT)
+    FROM events
+    """,
+)
+def quality_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery: which columns could serve as a primary
+    key (all values distinct, no NULLs)?  The schema-archaeology pass
+    every warehouse migration starts with — and, run per ingest batch,
+    the uniqueness contract behind quality_monotonic_id_audit: a feed
+    whose event_id stops being a key has started double-delivering.
+
+    Plan: the naive form — one aggregate with k COUNT(DISTINCT col_i)
+    — makes Spark plan an Expand (k copies of EVERY input row through
+    the shuffle, the same multiplier the bitmap-distinct docstring
+    warns about).  Instead the columns are exploded once to the
+    (column_name, value)-grain — still k*N rows, but the partial
+    aggregate DISTINCTS THEM MAP-SIDE before the exchange, so what
+    shuffles is k * (distinct values), not k * rows: for low-cardinality
+    columns (event_type: 5 values) essentially nothing moves.  NULL
+    counts ride a separate single-row conditional-count pass (no
+    distinct, no Expand), and the two 6-row results broadcast-join.
+
+    Values compare on their CANONICAL STRING (Spark's roundtrip-safe
+    CAST col AS STRING) so one explode handles heterogeneous column
+    types; this is distinct-count-preserving for every column here
+    (injective on longs, timestamps, strings, and finite doubles —
+    the -0.0 = 0.0 and NaN = NaN collapses SQL COUNT(DISTINCT double)
+    performs are the one caveat, absent from this corpus and flagged
+    here rather than silently assumed)."""
+    events = read_table(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    totals = events.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"null_{c}")
+            for c in cols
+        ],
+    )
+    per_col_nulls = totals.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(f"null_{c}").alias("n_null"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("e"),
+        "n_rows",
+    ).select("e.column_name", "n_rows", "e.n_null")
+    pairs = events.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.column_name", "p.value")
+    dist = (
+        pairs.filter(F.col("value").isNotNull())
+        .distinct()
+        .groupBy("column_name")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    return (
+        per_col_nulls.join(F.broadcast(dist), ["column_name"])
+        .select(
+            "column_name",
+            "n_rows",
+            "n_distinct",
+            "n_null",
+            (F.col("n_distinct") == F.col("n_rows"))
+            .cast("int")
+            .alias("is_key"),
+        )
+    )

@@ -2024,3 +2024,226 @@ def sim_knn_label_vote_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             (correct.cast("double") / F.count(F.lit(1))).alias("accuracy"),
         )
     )
+
+
+#: Fixed-point scale for the exact gram matrix: FLOOR(component * 1e6).
+#: Components are unit-norm dim-64 floats (|x| < 1), so |q| < 1e6 and a
+#: per-pair product is < 1e12 — an int64 PARTIAL gram is safe to ~9.2e6
+#: rows per Arrow batch (batches are ~10^4 rows: 900x headroom) and the
+#: cross-partition reduce runs in DECIMAL(38,0), overflow-free to ~1e26
+#: rows.  FLOOR (not ROUND) because floor of a double is unambiguous in
+#: both engines; round's half-case convention is not.
+GRAM_SCALE = 1_000_000
+
+
+@REG.query(
+    "sim_gram_matrix",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, t.i,
+             CAST(FLOOR(e[t.i] * {GRAM_SCALE}) AS BIGINT) AS qv
+      FROM v, RANGE(1, {DIM + 1}) t(i)
+    )
+    SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+           CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+)
+def sim_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact gram matrix X^T X over the embedding corpus — the
+    single-pass sufficient statistic behind PCA, whitening, linear
+    probes, and ridge regression on frozen features: d x d numbers
+    summarize N x d data, so the expensive part is ONE corpus scan no
+    matter how large N grows.
+
+    Exactness: components are fixed-point quantized (FLOOR(x * 1e6) as
+    int64) BEFORE any summation, so the reduce is integer arithmetic —
+    commutative, order-free, bit-equal to the oracle's SQL SUM no
+    matter how Spark schedules partitions.  A double-sum gram is
+    order-dependent (the same reason the exact-moments family uses
+    DECIMAL); quantize-then-sum is the standard trick to make it
+    reproducible, at a precision (1e-6 per component) far below any
+    embedding's meaningful resolution.
+
+    Plan: mapInPandas computes each Arrow batch's PARTIAL gram with one
+    int64 BLAS matmul (Q^T @ Q) and emits only the d(d+1)/2 = 2080
+    upper-triangle cells — per batch, the map-side combine in its
+    strongest possible form: 10^4 rows in, 2080 out.  The single
+    exchange then carries (partitions x 2080) rows to a DECIMAL(38,0)
+    sum keyed by (i, j).  Cost at 100 TB: one scan + a shuffle whose
+    size depends on d alone, not N — the same flat profile as
+    agg_bitmap_distinct, measured in BASELINE.md.
+
+    The oracle unrolls the quantized explode (N*d rows) and pays the
+    N*d^2/2 pair join — the spec, not the plan."""
+    import numpy as np
+    import pandas as pd
+
+    emb = read_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram_partials(batches):
+        iu, ju = np.triu_indices(DIM)
+        for pdf in batches:
+            if pdf.empty:  # Arrow may hand an empty tail batch
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(x * GRAM_SCALE).astype(np.int64)
+            g = q.T @ q
+            yield pd.DataFrame(
+                {"i": iu + 1, "j": ju + 1, "dot_part": g[iu, ju]}
+            )
+
+    partial = emb.mapInPandas(
+        gram_partials, "i int, j int, dot_part long"
+    )
+    return (
+        partial.groupBy("i", "j")
+        .agg(
+            F.sum(F.col("dot_part").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("dot")
+        )
+    )
+
+
+MMR_K = 5        # diverse selections to make
+MMR_PANEL = 32   # relevance shortlist the greedy runs over
+MMR_LAMBDA = 0.5 # exact in binary: score = 0.5*rel - 0.5*max_sim
+
+
+def _mmr_cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / (SQRT({_DOT.format(a=a, b=a)})"
+        f" * SQRT({_DOT.format(a=b, b=b)}))"
+    )
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as stacked CTEs (the graph_pagerank /
+    text_bpe_merges trick applied to a greedy selection): sel_t picks
+    the argmax of 0.5*rel - 0.5*MAX(sim to sel_1..sel_{t-1}), ties to
+    the smaller vec_id.  All comparisons are over bit-identical doubles
+    (same fold-order dot product both engines), so the argmax chain is
+    deterministic and the whole selection hash-checkable."""
+    steps = [
+        f"sel1 AS (SELECT vec_id, 0.5 * rel - 0.5 * 0.0 AS score, 1 AS rk"
+        f" FROM panel ORDER BY rel DESC, vec_id LIMIT 1)"
+    ]
+    for t in range(2, MMR_K + 1):
+        picked = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{u}" for u in range(1, t)
+        )
+        steps.append(
+            f"sel{t} AS (SELECT vec_id, score, {t} AS rk FROM ("
+            f" SELECT p.vec_id,"
+            f" 0.5 * p.rel - 0.5 * (SELECT MAX(s) FROM sims"
+            f"   WHERE ai = p.vec_id AND bi IN ({picked})) AS score"
+            f" FROM panel p WHERE p.vec_id NOT IN ({picked})"
+            f") ORDER BY score DESC, vec_id LIMIT 1)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM sel{t}" for t in range(1, MMR_K + 1)
+    )
+    return f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+      WHERE vec_id = 0
+    ),
+    panel AS (
+      SELECT vec_id, ce, rel FROM (
+        SELECT c.vec_id, c.ce, {_mmr_cos_sql("q.qe", "c.ce")} AS rel
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+              FROM embeddings WHERE vec_id <> 0) c, q
+      ) ORDER BY rel DESC, vec_id LIMIT {MMR_PANEL}
+    ),
+    sims AS (
+      SELECT a.vec_id AS ai, b.vec_id AS bi,
+             {_mmr_cos_sql("a.ce", "b.ce")} AS s
+      FROM panel a JOIN panel b ON a.vec_id <> b.vec_id
+    ),
+    {", ".join(steps)}
+    SELECT CAST(rk AS INT) AS rk, vec_id, score FROM ({unions})
+    """
+
+
+@REG.query("sim_mmr_diverse_topk", oracle=_mmr_oracle())
+def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diverse top-k: greedily pick MMR_K
+    items maximizing 0.5*relevance - 0.5*max-similarity-to-already-
+    picked.  THE anti-redundancy selection for training-data curation
+    and retrieval: plain cosine top-k happily returns five near-copies
+    of the best hit; MMR forces each pick to add information.
+
+    Plan: relevance is the distributed part — one broadcast-query map
+    over the corpus (same shape as sim_cosine_topk, no corpus shuffle)
+    with a top-MMR_PANEL cut.  The greedy runs driver-side over the
+    collected panel (<= 32 rows — bounded driver state, the PQ-codebook
+    / BPE-argmax precedent): its O(K * PANEL) float comparisons repeat,
+    in Python, exactly the arithmetic the oracle's unrolled CTEs do in
+    SQL — left-to-right fold dot products, 0.5*rel - 0.5*max(sim),
+    ties to the smaller vec_id — so the emitted (rank, id, score) rows
+    hash-match bit-for-bit.  At scale the same greedy nests per query
+    group inside applyInPandas (panel collect becomes a grouped batch);
+    the corpus-sized work — scoring and the top-P cut — is already
+    distributed and flat.
+
+    No new similarity math: relevance reuses the family's verified
+    bit-identical cosine; only the selection POLICY is new."""
+    import math
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "e",
+            (
+                _dot(F.col("qe"), F.col("e"))
+                / (
+                    F.sqrt(_dot(F.col("qe"), F.col("qe")))
+                    * F.sqrt(_dot(F.col("e"), F.col("e")))
+                )
+            ).alias("rel"),
+        )
+    )
+    panel = scored.orderBy(F.desc("rel"), "vec_id").limit(MMR_PANEL).collect()
+
+    def pydot(a, b):  # left-to-right fold: matches _dot / list_dot_product
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    emb_of = {r.vec_id: r.e for r in panel}
+    rel_of = {r.vec_id: r.rel for r in panel}
+    norm_of = {v: math.sqrt(pydot(e, e)) for v, e in emb_of.items()}
+
+    def sim(a, b):
+        return pydot(emb_of[a], emb_of[b]) / (norm_of[a] * norm_of[b])
+
+    selected: list[tuple[int, int, float]] = []  # (rk, vec_id, score)
+    remaining = sorted(emb_of)
+    for rk in range(1, MMR_K + 1):
+        best = None
+        for v in remaining:
+            max_sim = (
+                max(sim(v, s[1]) for s in selected) if selected else 0.0
+            )
+            score = 0.5 * rel_of[v] - 0.5 * max_sim
+            if best is None or score > best[1] or (
+                score == best[1] and v < best[0]
+            ):
+                best = (v, score)
+        selected.append((rk, best[0], best[1]))
+        remaining.remove(best[0])
+    return spark.createDataFrame(
+        selected, "rk int, vec_id bigint, score double"
+    )

@@ -1523,3 +1523,145 @@ def test_item_edges_built_once_and_reused(spark):
             f"{q.__name__} re-plans the edge build instead of reading "
             "the cached edge list"
         )
+
+
+def test_editdist_neighborhood_complete_for_k1(spark, tmp_path):
+    """The FastSS recall claim, exercised on the edit classes the
+    customer-name oracle CANNOT reach (equal-length names only test
+    substitution): insertion, deletion, and substitution pairs must
+    all surface; a distance-2 pair must not; equal strings collapse
+    via the upstream distinct."""
+    import itertools
+    import pandas as pd
+
+    from firebase_realtime_database_backup_spark.operators.dedup import (
+        dedup_editdist_neighborhood,
+    )
+
+    names = [
+        "alpha", "alpah",        # substitution x2 (transposition = dist 2)
+        "brav", "bravo", "bravoo",  # insertion chain
+        "charlie", "charli",     # deletion
+        "delta", "delta",        # exact dup (distinct collapses)
+        "echo1", "echo2",        # substitution
+        "xx", "yy",              # dist 2: excluded
+        "z", "",                 # single char vs empty: dist 1
+    ]
+    cust = pd.DataFrame(
+        {
+            "c_custkey": range(len(names)),
+            "c_name": names,
+            "c_nationkey": [0] * len(names),
+            "c_acctbal": [0.0] * len(names),
+            "c_mktsegment": ["X"] * len(names),
+        }
+    )
+    d = str(tmp_path / "ed1")
+    spark.createDataFrame(cust).coalesce(1).write.parquet(
+        str(tmp_path / "ed1" / "customer.parquet")
+    )
+    got = {
+        (r.name_a, r.name_b)
+        for r in dedup_editdist_neighborhood(spark, d).collect()
+    }
+
+    def lev(a, b):  # brute-force reference
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(set(names)), 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want, got.symmetric_difference(want)
+
+
+def test_gram_matrix_matches_numpy_and_is_batch_invariant(spark, tmp_path):
+    """The quantize-then-sum exactness claim: the distributed partial
+    gram must equal a single-shot numpy gram over the same quantized
+    integers regardless of how rows split into partitions/batches —
+    run the corpus through 1 and 7 partitions and require identical
+    results both times."""
+    import numpy as np
+    import pandas as pd
+
+    from firebase_realtime_database_backup_spark.operators.similarity import (
+        DIM,
+        GRAM_SCALE,
+        sim_gram_matrix,
+    )
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(97, DIM))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    emb = pd.DataFrame(
+        {
+            "vec_id": range(97),
+            "embedding": [row.astype(np.float32) for row in x],
+            "label": ["a"] * 97,
+        }
+    )
+    # the parquet column is float32: the reference must quantize the
+    # SAME float32-rounded values the operator reads back
+    q = np.floor(
+        x.astype(np.float32).astype(np.float64) * GRAM_SCALE
+    ).astype(np.int64)
+    ref = q.T @ q
+
+    for nparts in (1, 7):
+        d = str(tmp_path / f"gm{nparts}")
+        spark.createDataFrame(emb).repartition(nparts).write.parquet(
+            str(tmp_path / f"gm{nparts}" / "embeddings.parquet")
+        )
+        got = {
+            (r.i, r.j): r.dot for r in sim_gram_matrix(spark, d).collect()
+        }
+        assert len(got) == DIM * (DIM + 1) // 2
+        for (i, j), v in got.items():
+            assert v == int(ref[i - 1, j - 1]), (i, j, nparts)
+
+
+def test_mmr_selection_is_diverse_and_rank1_is_argmax(spark, queries):
+    """Policy check on the real corpus: rank 1 must be the plain
+    relevance argmax, and the MMR set must DIFFER from the plain
+    cosine top-5 (if it never differed, the diversity term would be
+    dead code on this corpus)."""
+    from pyspark.sql import functions as F
+
+    got = queries["sim_mmr_diverse_topk"](spark, SF).collect()
+    assert [r.rk for r in sorted(got, key=lambda r: r.rk)] == [1, 2, 3, 4, 5]
+    topk = queries["sim_cosine_topk"](spark, SF)
+    plain = {
+        r.c_id
+        for r in topk.filter(F.col("q_id") == 0).orderBy("rk").collect()[:5]
+    }
+    mmr = {r.vec_id for r in got}
+    rank1 = next(r.vec_id for r in got if r.rk == 1)
+    assert rank1 in plain  # argmax rel = plain rank-1 for query 0
+    assert mmr != plain, "MMR never diverged from plain top-k"
+
+
+def test_candidate_keys_plan_has_no_expand(spark, queries):
+    """The docstring's central plan claim: multi-column COUNT(DISTINCT)
+    via Expand is exactly what this operator avoids — its explode
+    route must keep the physical plan Expand-free."""
+    p = (
+        queries["quality_candidate_keys"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in p
+    got = {
+        r.column_name: (r.is_key, r.n_null)
+        for r in queries["quality_candidate_keys"](spark, SF).collect()
+    }
+    assert got["event_id"] == (1, 0)      # the synthetic PK
+    assert got["event_type"][0] == 0      # 5-value enum: never a key
