@@ -7955,3 +7955,236 @@ def quality_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_key"),
         )
     )
+
+
+@REG.query(
+    "graph_connected_components",
+    oracle=f"""
+    WITH RECURSIVE items AS (
+      SELECT DISTINCT user_id,
+             TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS item
+      FROM events
+      WHERE TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) IS NOT NULL
+    ),
+    capped AS (
+      SELECT user_id, item FROM (
+        SELECT user_id, item,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY item) AS rk
+        FROM items
+      ) WHERE rk <= {COOC_USER_CAP}
+    ),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b
+      FROM capped a JOIN capped b
+        ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING COUNT(*) >= 2
+    ),
+    cedges AS (
+      SELECT item_a, item_b FROM pairs
+      UNION
+      SELECT item_b, item_a FROM pairs
+    ),
+    reach(item, lbl) AS (
+      SELECT item_a, item_a FROM cedges
+      UNION
+      SELECT e.item_b, r.lbl FROM reach r JOIN cedges e ON e.item_a = r.item
+    )
+    SELECT item, CAST(MIN(lbl) AS BIGINT) AS component_id
+    FROM reach GROUP BY item
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-click item graph — the graph
+    family's partitioning primitive (community pre-segmentation,
+    recommendation block discovery, and the precondition for running
+    anything expensive per-component instead of per-graph).
+
+    Rides ensure_item_edges (the session-shared capped co-occurrence
+    edge list: zero marginal build cost after any other graph consumer
+    has run) and the SAME min-label-propagation loop dedup_clusters
+    uses (min_label_components): per iteration one edge join + one
+    min-agg, driver loops until no label changes, iterations = graph
+    diameter.  That sharing is the point — connected components is one
+    algorithm in this engine, not one per input shape.
+
+    Oracle: min-label propagation is a monotone integer fixpoint, so
+    the DuckDB twin is a recursive CTE computing transitive closure
+    from the same edges (the dedup_clusters trick on a co-click graph
+    two orders denser per node — closure rows bounded by n per
+    component label, fine at oracle scale, and precisely the blowup
+    the distributed loop avoids by carrying ONE label per node)."""
+    from firebase_realtime_database_backup_spark.operators.dedup import (
+        min_label_components,
+    )
+
+    edges = ensure_item_edges(spark, sf_dir).select(
+        F.col("item_a").alias("doc_a"), F.col("item_b").alias("doc_b")
+    )
+    return min_label_components(edges).select(
+        F.col("doc_id").alias("item"),
+        F.col("cluster_id").alias("component_id"),
+    )
+
+
+@REG.query(
+    "events_sample_ratio_mismatch",
+    oracle=f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    assigned AS (
+      SELECT user_id, {knuth_hash_sql('user_id')} % 2 AS arm FROM users
+    ),
+    counts AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM assigned GROUP BY arm
+    ),
+    tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS n_total FROM counts)
+    SELECT c.arm, c.n_users, t.n_total,
+           t.n_total / 2.0 AS expected,
+           (c.n_users - t.n_total / 2.0) * (c.n_users - t.n_total / 2.0)
+             / (t.n_total / 2.0) AS chi2_contribution
+    FROM counts c, tot t
+    """,
+)
+def events_sample_ratio_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) gate: the FIRST check of any A/B
+    readout.  Users are assigned to arms by the engine's deterministic
+    Knuth hash (the same reproducible split mix_token_budget /
+    sample_deterministic use); if the realized arm sizes drift from
+    the designed 50/50 beyond chi-square noise, the experiment is
+    corrupted (assignment bug, bot filter differential, logging loss)
+    and every downstream metric is invalid — the readout must be
+    blocked, which is why this is a gate and not a dashboard.
+
+    Plan: distinct users (one user-grain shuffle — at 100 TB the
+    assignment hash is computed map-side and the distinct is the only
+    data-sized stage), a 2-group count, and a broadcast of the 1-row
+    total.  The chi2 contribution is the identical double expression
+    in both engines over exact integer counts — bit-reproducible.
+    Companion: events_diff_in_means consumes the same assignment."""
+    users = read_table(spark, sf_dir, "events").select("user_id").distinct()
+    counts = (
+        users.select((knuth_hash(F.col("user_id")) % 2).alias("arm"))
+        .groupBy("arm")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    tot = counts.agg(F.sum("n_users").cast("bigint").alias("n_total"))
+    exp = F.col("n_total") / F.lit(2.0)
+    dev = F.col("n_users") - exp
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "n_users",
+        "n_total",
+        exp.alias("expected"),
+        (dev * dev / exp).alias("chi2_contribution"),
+    )
+
+
+@REG.query(
+    "events_diff_in_means",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT event_type,
+             {knuth_hash_sql('user_id')} % 2 AS arm,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_t,
+             CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_c,
+             CAST(SUM(cents) FILTER (WHERE arm = 1) AS BIGINT) AS s_t,
+             CAST(SUM(cents) FILTER (WHERE arm = 0) AS BIGINT) AS s_c,
+             CAST(SUM(cents * cents) FILTER (WHERE arm = 1) AS BIGINT) AS ss_t,
+             CAST(SUM(cents * cents) FILTER (WHERE arm = 0) AS BIGINT) AS ss_c
+      FROM assigned GROUP BY event_type
+    )
+    SELECT event_type, n_t, n_c,
+           CAST(s_t AS DOUBLE) / n_t / 100.0 AS mean_t,
+           CAST(s_c AS DOUBLE) / n_c / 100.0 AS mean_c,
+           CAST(s_t AS DOUBLE) / n_t / 100.0
+             - CAST(s_c AS DOUBLE) / n_c / 100.0 AS diff,
+           (CAST(s_t AS DOUBLE) / n_t / 100.0
+              - CAST(s_c AS DOUBLE) / n_c / 100.0)
+           / SQRT(
+               ((CAST(ss_t AS DOUBLE)
+                   - CAST(s_t AS DOUBLE) * s_t / n_t)
+                + (CAST(ss_c AS DOUBLE)
+                   - CAST(s_c AS DOUBLE) * s_c / n_c))
+               / (n_t + n_c - 2) / 10000.0
+               * (1.0 / n_t + 1.0 / n_c)
+             ) AS t_stat
+    FROM m
+    WHERE n_t >= 2 AND n_c >= 2
+    """,
+)
+def events_diff_in_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample (pooled) t-test per event_type between the two
+    hash-assigned experiment arms — the A/B readout the SRM gate
+    protects.  The full moment pipeline is EXACT integers: value is
+    fixed-point quantized to cents BEFORE any sum (the gram-matrix /
+    exact-moments discipline: quantize-then-sum makes the reduce
+    commutative and bit-reproducible), so n / sum / sum-of-squares per
+    (type, arm) are order-free; only the final per-row scalar algebra
+    (means, pooled variance, t) runs in doubles, as the IDENTICAL
+    expression tree in both engines over identical int64 inputs —
+    deterministic to the last bit, no matter the partitioning.
+
+    Plan: one scan, conditional aggregation per event_type (both arms
+    in the same partial agg — no join, no pivot exchange), 5-row
+    result.  At 100 TB: map-side partials carry six integers per
+    (type, arm); nothing else moves.  The int64 sum-of-squares budget
+    (cents^2 < 2.5e9 per row) holds to ~3.7e9 rows per type-arm;
+    beyond that the internal sums switch to DECIMAL(38,0) — here they
+    already do (belt and braces), cast back to bigint on output."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        (knuth_hash(F.col("user_id")) % 2).alias("arm"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    def arm_agg(a: int, col, name: str):
+        return (
+            F.sum(F.when(F.col("arm") == a, dec(col)))
+            .cast("bigint")
+            .alias(name)
+        )
+
+    m = ev.groupBy("event_type").agg(
+        F.count(F.when(F.col("arm") == 1, 1)).alias("n_t"),
+        F.count(F.when(F.col("arm") == 0, 1)).alias("n_c"),
+        arm_agg(1, F.col("cents"), "s_t"),
+        arm_agg(0, F.col("cents"), "s_c"),
+        arm_agg(1, F.col("cents") * F.col("cents"), "ss_t"),
+        arm_agg(0, F.col("cents") * F.col("cents"), "ss_c"),
+    )
+    mean_t = F.col("s_t").cast("double") / F.col("n_t") / F.lit(100.0)
+    mean_c = F.col("s_c").cast("double") / F.col("n_c") / F.lit(100.0)
+    diff = mean_t - mean_c
+    ssd_t = F.col("ss_t").cast("double") - (
+        F.col("s_t").cast("double") * F.col("s_t") / F.col("n_t")
+    )
+    ssd_c = F.col("ss_c").cast("double") - (
+        F.col("s_c").cast("double") * F.col("s_c") / F.col("n_c")
+    )
+    pooled = (
+        (ssd_t + ssd_c)
+        / (F.col("n_t") + F.col("n_c") - F.lit(2))
+        / F.lit(10000.0)
+    )
+    t_stat = diff / F.sqrt(
+        pooled * (F.lit(1.0) / F.col("n_t") + F.lit(1.0) / F.col("n_c"))
+    )
+    return (
+        m.filter((F.col("n_t") >= 2) & (F.col("n_c") >= 2))
+        .select(
+            "event_type",
+            "n_t",
+            "n_c",
+            mean_t.alias("mean_t"),
+            mean_c.alias("mean_c"),
+            diff.alias("diff"),
+            t_stat.alias("t_stat"),
+        )
+    )

@@ -2247,3 +2247,70 @@ def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         selected, "rk int, vec_id bigint, score double"
     )
+
+
+@REG.query("sim_pca_variance_explained")  # rows-only: the d x d eigensolve
+# is driver-side LAPACK with no SQL twin; the sufficient statistics it
+# consumes (sim_gram_matrix + the quantized column sums) are themselves
+# oracle-backed, and tests/test_plans.py pins this output against an
+# independent numpy covariance+eigh replay of the same parquet.
+def sim_pca_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA spectrum of the embedding corpus: eigenvalues of the exact
+    covariance matrix, with per-component and cumulative variance
+    ratios — the curve behind every 'truncate to d'=16?' decision
+    (sim_dim_truncation_recall measures recall AFTER a cut; this says
+    where to cut).
+
+    The 100 TB shape: the corpus contributes ONLY two sufficient
+    statistics — the d x d quantized gram (sim_gram_matrix: one scan,
+    d^2-grain shuffle, exact integers) and the d quantized column sums
+    (same fixed-point scale, DECIMAL-reduced) — then the covariance
+    assembly (G - s s^T / n) / (n - 1) and the O(d^3) symmetric
+    eigensolve run on the driver over 64 x 64 numbers.  No iteration
+    over data, no second pass, nothing resembling distributed linear
+    algebra is needed below d ~ 10^4.
+
+    Quantization makes both statistics bit-reproducible (the gram's
+    docstring carries the budget); the eigensolve is deterministic
+    given identical inputs, so the whole output is stable run-to-run —
+    just not SQL-expressible, hence rows-only."""
+    import numpy as np
+
+    gram = {
+        (r.i, r.j): r.dot
+        for r in sim_gram_matrix(spark, sf_dir).collect()  # 2080 rows
+    }
+    emb = read_table(spark, sf_dir, "embeddings")
+    qcomp = F.expr(
+        f"transform(cast(embedding as array<double>), "
+        f"x -> cast(floor(x * {GRAM_SCALE}) as bigint))"
+    )
+    sums = (
+        emb.select(F.posexplode(qcomp).alias("i0", "qv"))
+        .groupBy("i0")
+        .agg(
+            F.sum(F.col("qv").cast("decimal(38,0)")).cast("bigint").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )  # d rows — bounded driver state
+    n = sums[0].n
+    s = np.zeros(DIM, dtype=np.int64)
+    for r in sums:
+        s[r.i0] = r.s
+    g = np.zeros((DIM, DIM), dtype=np.float64)
+    for (i, j), v in gram.items():
+        g[i - 1, j - 1] = v
+        g[j - 1, i - 1] = v
+    sf64 = s.astype(np.float64)
+    cov = (g - np.outer(sf64, sf64) / n) / (n - 1) / (GRAM_SCALE**2)
+    ev = np.linalg.eigvalsh(cov)[::-1]  # descending
+    total = float(ev.sum())
+    cum = np.cumsum(ev)
+    rows = [
+        (k + 1, float(ev[k]), float(ev[k] / total), float(cum[k] / total))
+        for k in range(DIM)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, var_ratio double, cum_ratio double"
+    )

@@ -1665,3 +1665,133 @@ def test_candidate_keys_plan_has_no_expand(spark, queries):
     }
     assert got["event_id"] == (1, 0)      # the synthetic PK
     assert got["event_type"][0] == 0      # 5-value enum: never a key
+
+
+def test_connected_components_match_union_find(spark, queries):
+    """Replay the min-label loop's answer with an independent
+    union-find over the same session-shared edge list: identical
+    membership partition AND identical min-label ids."""
+    from firebase_realtime_database_backup_spark.operators.relational import (
+        ensure_item_edges,
+    )
+
+    edges = [
+        (r.item_a, r.item_b) for r in ensure_item_edges(spark, SF).collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want: dict = {}
+    for node in parent:
+        root = find(node)
+        want.setdefault(root, set()).add(node)
+    expected = {min(m): m for m in want.values()}
+
+    got_rows = queries["graph_connected_components"](spark, SF).collect()
+    got: dict = {}
+    for r in got_rows:
+        got.setdefault(r.component_id, set()).add(r.item)
+    assert got == expected
+
+
+def test_diff_in_means_hand_computed_and_single_agg(spark, tmp_path, queries):
+    """Exact-moments pin on a constructed corpus: the pooled t must
+    equal a pure-Python fold over the SAME quantized cents; and the
+    plan must be one scan + one aggregation (no join, no Expand)."""
+    import math
+
+    import pandas as pd
+
+    from firebase_realtime_database_backup_spark.functions.hashing import (
+        KNUTH,
+        M31,
+    )
+    from firebase_realtime_database_backup_spark.operators.relational import (
+        events_diff_in_means,
+    )
+
+    vals = [1.07, 2.0, 3.13, 4.99, 5.5, 6.01, 7.77, 8.2, 9.01, 10.49]
+    ev = pd.DataFrame(
+        {
+            "event_id": range(10),
+            "ts": pd.to_datetime(["2024-01-01"] * 10),
+            "user_id": range(10),
+            "event_type": ["m"] * 10,
+            "value": vals,
+            "props": ["{}"] * 10,
+        }
+    )
+    d = str(tmp_path / "dim1")
+    spark.createDataFrame(ev).coalesce(1).write.parquet(
+        str(tmp_path / "dim1" / "events.parquet")
+    )
+    got = events_diff_in_means(spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+
+    arms = [((u % M31) * KNUTH) % M31 % 2 for u in range(10)]
+    cents = [math.floor(v * 100) for v in vals]
+    t = [c for c, a in zip(cents, arms) if a == 1]
+    c = [c for c, a in zip(cents, arms) if a == 0]
+    mean_t = sum(t) / len(t) / 100.0
+    mean_c = sum(c) / len(c) / 100.0
+    ssd_t = float(sum(x * x for x in t)) - float(sum(t)) * sum(t) / len(t)
+    ssd_c = float(sum(x * x for x in c)) - float(sum(c)) * sum(c) / len(c)
+    pooled = (ssd_t + ssd_c) / (len(t) + len(c) - 2) / 10000.0
+    want_t = (mean_t - mean_c) / math.sqrt(
+        pooled * (1.0 / len(t) + 1.0 / len(c))
+    )
+    assert (r.n_t, r.n_c) == (len(t), len(c))
+    assert r.mean_t == mean_t and r.mean_c == mean_c
+    assert r.t_stat == want_t
+
+    p = (
+        queries["events_diff_in_means"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in p and "Expand" not in p
+    assert p.count("Exchange") == 1
+
+
+def test_pca_matches_numpy_replay(spark, queries):
+    """Independent replay: covariance + eigh straight from the parquet
+    (same float32 -> float64 -> fixed-point pipeline) must reproduce
+    the registered query's spectrum exactly — same ints in, same
+    LAPACK, same bits out."""
+    import numpy as np
+    import pandas as pd
+
+    from firebase_realtime_database_backup_spark.operators.similarity import (
+        DIM,
+        GRAM_SCALE,
+    )
+
+    x = np.stack(
+        pd.read_parquet(f"{SF}/embeddings.parquet")["embedding"].to_numpy()
+    ).astype(np.float64)
+    q = np.floor(x * GRAM_SCALE).astype(np.int64)
+    n = q.shape[0]
+    g = (q.T @ q).astype(np.float64)
+    s = q.sum(axis=0).astype(np.float64)
+    cov = (g - np.outer(s, s) / n) / (n - 1) / (GRAM_SCALE**2)
+    want = np.linalg.eigvalsh(cov)[::-1]
+
+    got = sorted(
+        queries["sim_pca_variance_explained"](spark, SF).collect(),
+        key=lambda r: r.component,
+    )
+    assert len(got) == DIM
+    for k, r in enumerate(got):
+        assert r.eigenvalue == want[k], (k, r.eigenvalue, want[k])
+    assert abs(got[-1].cum_ratio - 1.0) < 1e-12
