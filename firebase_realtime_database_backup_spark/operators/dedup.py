@@ -2369,50 +2369,76 @@ def dedup_editdist_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     a typo in the block token hides the pair forever) this candidate
     generator has EXACT recall for k=1.
 
-    Plan: distinct names -> explode to length+1 variants (all JVM-side:
-    `transform(sequence(...))`, no UDF) -> equi self-join on the
-    variant key -> distinct candidate pairs -> verify with the built-in
-    LEVENSHTEIN.  Cost is O(N * L) index rows and a shuffle keyed by
-    variant — group sizes are bounded by how many strings actually
-    collide on a variant, never N — versus the O(N^2) verify a cross
-    join would pay; at 100 TB the variant key is the shuffle key and a
-    hot variant (e.g. a boilerplate prefix) splits under AQE exactly
-    like a hot join key.  Generalizes to k=2 by indexing depth-2
-    deletions (L^2/2 variants per string) — the classic recall/index
-    trade, same axis as adding LSH tables.
+    Plan — the POSITION-TAGGED refinement, which matters at scale: the
+    naive index joins bare variants, but for k=1 two equal-length
+    strings are one substitution apart iff deleting the SAME position
+    from both yields the same string, so the substitution join keys on
+    (variant, pos) — exactly ONE candidate row per true pair and hot
+    variant groups split by the position tag (measured on the
+    saturated sequential-id name corpus: the bare-variant join emitted
+    ~20x the true pairs and cost 126 s at 300k names; this form is
+    linear, BASELINE.md round-6).  Insert/delete pairs are a second,
+    asymmetric join — deletion variants of A against FULL names of B —
+    whose right side is just the name list.  Everything is JVM-side
+    (`transform(sequence(...))` + posexplode, no UDF); both joins are
+    equi-joins whose keys shuffle-balance, and a residual hot key
+    splits under AQE like any join key.  Generalizes to k=2 by
+    indexing depth-2 deletions (L^2/2 variants per string) — the
+    classic recall/index trade, same axis as adding LSH tables.
 
     Oracle: DuckDB verifies the FULL quadratic space (cross join +
-    LEVENSHTEIN <= 1), so a hash match here proves the neighborhood
+    LEVENSHTEIN <= 1), so a hash match here proves the candidate
     generator misses nothing — the recall claim is checked, not
     asserted.  Output dist is 0/1 only (INT): distinct names make
-    dist=0 impossible, so every row is exactly 1 edit apart."""
+    dist=0 impossible, so every row is exactly 1 edit apart; the
+    final LEVENSHTEIN runs only on true-pair-sized input (candidates
+    are distance-1 by construction — it is the belt-and-braces
+    verify, not a filter doing real work)."""
     names = (
         read_table(spark, sf_dir, "customer").select("c_name").distinct()
     )
-    # i = 0..L-1: delete char i+1; i = L: the identity variant.
-    variants = F.expr(
-        "transform(sequence(0, length(c_name)), i -> "
-        "concat(substring(c_name, 1, i), substring(c_name, i + 2)))"
+    # (pos, variant) for pos = 0..L-1: delete char pos+1 (JVM-side).
+    # Only non-empty names emit variants: the empty string's deletion
+    # set is empty, and sequence(1, 0) would otherwise run DESCENDING
+    # and fabricate two spurious "" variants.
+    nonempty = names.filter(F.length("c_name") > 0)
+    deletions = F.expr(
+        "transform(sequence(1, length(c_name)), i -> "
+        "concat(substring(c_name, 1, i - 1), substring(c_name, i + 1)))"
     )
-    a = names.select(
+    va = nonempty.select(
         F.col("c_name").alias("name_a"),
-        F.explode(variants).alias("variant"),
+        F.posexplode(deletions).alias("pos", "variant"),
     )
-    b = names.select(
+    vb = nonempty.select(
         F.col("c_name").alias("name_b"),
-        F.explode(
+        F.posexplode(
             F.expr(
-                "transform(sequence(0, length(c_name)), i -> "
-                "concat(substring(c_name, 1, i), substring(c_name, i + 2)))"
+                "transform(sequence(1, length(c_name)), i -> "
+                "concat(substring(c_name, 1, i - 1), substring(c_name, i + 1)))"
             )
-        ).alias("variant"),
+        ).alias("pos", "variant"),
     )
-    cands = (
-        a.join(b, ["variant"])
+    subs = (
+        va.join(vb, ["variant", "pos"])
         .filter(F.col("name_a") < F.col("name_b"))
         .select("name_a", "name_b")
-        .distinct()
     )
+    # indels: B equals a deletion variant of A (possibly at several
+    # positions inside a run of equal chars — hence the distinct)
+    indels = (
+        va.select("name_a", "variant")
+        .join(
+            names.select(F.col("c_name").alias("name_b")),
+            F.col("variant") == F.col("name_b"),
+        )
+        .select(
+            F.least("name_a", "name_b").alias("name_a"),
+            F.greatest("name_a", "name_b").alias("name_b"),
+        )
+        .filter(F.col("name_a") < F.col("name_b"))
+    )
+    cands = subs.unionByName(indels).distinct()
     dist = F.levenshtein("name_a", "name_b").cast("int")
     return cands.select("name_a", "name_b", dist.alias("dist")).filter(
         F.col("dist") <= 1

@@ -7883,78 +7883,44 @@ def quality_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     the uniqueness contract behind quality_monotonic_id_audit: a feed
     whose event_id stops being a key has started double-delivering.
 
-    Plan: the naive form — one aggregate with k COUNT(DISTINCT col_i)
-    — makes Spark plan an Expand (k copies of EVERY input row through
-    the shuffle, the same multiplier the bitmap-distinct docstring
-    warns about).  Instead the columns are exploded once to the
-    (column_name, value)-grain — still k*N rows, but the partial
-    aggregate DISTINCTS THEM MAP-SIDE before the exchange, so what
-    shuffles is k * (distinct values), not k * rows: for low-cardinality
-    columns (event_type: 5 values) essentially nothing moves.  NULL
-    counts ride a separate single-row conditional-count pass (no
-    distinct, no Expand), and the two 6-row results broadcast-join.
-
-    Values compare on their CANONICAL STRING (Spark's roundtrip-safe
-    CAST col AS STRING) so one explode handles heterogeneous column
-    types; this is distinct-count-preserving for every column here
-    (injective on longs, timestamps, strings, and finite doubles —
-    the -0.0 = 0.0 and NaN = NaN collapses SQL COUNT(DISTINCT double)
-    performs are the one caveat, absent from this corpus and flagged
-    here rather than silently assumed)."""
+    Plan: one single-column aggregate PER COLUMN, unioned.  Two routes
+    were measured before settling here (BASELINE.md round-6 third
+    batch): (a) one aggregate with k COUNT(DISTINCT col_i) plans an
+    Expand — k copies of every input row through one shuffle; (b) a
+    (column_name, value)-string explode + distinct moves the same k*N
+    rows as 20-50-byte strings and cost 46.6 s at 100x.  The per-column
+    form wins on a COLUMNAR source because k single-column scans read
+    exactly the same bytes as one k-column scan, while each aggregate
+    keeps its NATIVE type through whole-stage codegen (no stringify),
+    carries its own map-side partial distinct, and shuffles its own
+    balanced exchange: 46.6 s -> 5.5 s at 100x.  Each aggregate also
+    computes the column's row/null conditional counts in the same pass,
+    so the union rows arrive complete — no join.  COUNT(DISTINCT
+    double)'s -0.0 = 0.0 / NaN collapse now matches the oracle BY
+    CONSTRUCTION (both engines aggregate the native double)."""
     events = read_table(spark, sf_dir, "events")
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
-    totals = events.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        *[
-            F.count(F.when(F.col(c).isNull(), 1)).alias(f"null_{c}")
-            for c in cols
-        ],
-    )
-    per_col_nulls = totals.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("column_name"),
-                        F.col(f"null_{c}").alias("n_null"),
-                    )
-                    for c in cols
-                ]
+    parts = []
+    for c in cols:
+        parts.append(
+            events.select(F.col(c)).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+                F.count(F.when(F.col(c).isNull(), 1)).alias("n_null"),
+            ).select(
+                F.lit(c).alias("column_name"),
+                "n_rows",
+                "n_distinct",
+                "n_null",
+                (F.col("n_distinct") == F.col("n_rows"))
+                .cast("int")
+                .alias("is_key"),
             )
-        ).alias("e"),
-        "n_rows",
-    ).select("e.column_name", "n_rows", "e.n_null")
-    pairs = events.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("column_name"),
-                        F.col(c).cast("string").alias("value"),
-                    )
-                    for c in cols
-                ]
-            )
-        ).alias("p")
-    ).select("p.column_name", "p.value")
-    dist = (
-        pairs.filter(F.col("value").isNotNull())
-        .distinct()
-        .groupBy("column_name")
-        .agg(F.count(F.lit(1)).alias("n_distinct"))
-    )
-    return (
-        per_col_nulls.join(F.broadcast(dist), ["column_name"])
-        .select(
-            "column_name",
-            "n_rows",
-            "n_distinct",
-            "n_null",
-            (F.col("n_distinct") == F.col("n_rows"))
-            .cast("int")
-            .alias("is_key"),
         )
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @REG.query(

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from firebase_realtime_database_backup_spark.catalog import read_table
+from firebase_realtime_database_backup_spark.catalog import read_table, spread
 from firebase_realtime_database_backup_spark.registry import Registry
 
 REG = Registry()
@@ -2083,7 +2083,10 @@ def sim_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = read_table(spark, sf_dir, "embeddings").select("embedding")
+    # spread(): a single-file local corpus is one input split, which
+    # would serialize the CPU-heavy matmul onto one core (no-op on a
+    # many-filed lake layout).
+    emb = spread(read_table(spark, sf_dir, "embeddings").select("embedding"))
 
     def gram_partials(batches):
         iu, ju = np.triu_indices(DIM)
@@ -2195,32 +2198,32 @@ def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical cosine; only the selection POLICY is new."""
     import math
 
-    emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
-    scored = (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            "e",
-            (
-                _dot(F.col("qe"), F.col("e"))
-                / (
-                    F.sqrt(_dot(F.col("qe"), F.col("qe")))
-                    * F.sqrt(_dot(F.col("e"), F.col("e")))
-                )
-            ).alias("rel"),
-        )
-    )
-    panel = scored.orderBy(F.desc("rel"), "vec_id").limit(MMR_PANEL).collect()
-
     def pydot(a, b):  # left-to-right fold: matches _dot / list_dot_product
         acc = 0.0
         for x, y in zip(a, b):
             acc = acc + x * y
         return acc
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    # Hoist the query vector AND its norm to literals: computed once on
+    # the driver from the same doubles, so sqrt(dot(qe,qe)) is the
+    # bit-identical value the oracle recomputes per row — folding it
+    # per corpus row (an interpreted HOF, not codegen) was measured at
+    # ~1/3 of the whole scan cost at 100x.
+    qe = emb.filter(F.col("vec_id") == 0).head().e
+    qn = math.sqrt(pydot(qe, qe))
+    qcol = F.array(*[F.lit(float(x)) for x in qe])
+    scored = spread(emb.filter(F.col("vec_id") != 0)).select(
+        "vec_id",
+        "e",
+        (
+            _dot(qcol, F.col("e"))
+            / (F.lit(qn) * F.sqrt(_dot(F.col("e"), F.col("e"))))
+        ).alias("rel"),
+    )
+    panel = scored.orderBy(F.desc("rel"), "vec_id").limit(MMR_PANEL).collect()
 
     emb_of = {r.vec_id: r.e for r in panel}
     rel_of = {r.vec_id: r.rel for r in panel}
@@ -2276,25 +2279,46 @@ def sim_pca_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
     just not SQL-expressible, hence rows-only."""
     import numpy as np
 
+    import pandas as pd
+
     gram = {
         (r.i, r.j): r.dot
         for r in sim_gram_matrix(spark, sf_dir).collect()  # 2080 rows
     }
-    emb = read_table(spark, sf_dir, "embeddings")
-    qcomp = F.expr(
-        f"transform(cast(embedding as array<double>), "
-        f"x -> cast(floor(x * {GRAM_SCALE}) as bigint))"
-    )
+
+    def sum_partials(batches):
+        # same quantize-then-sum kernel shape as gram_partials: d sums
+        # + a row count per Arrow batch (a posexplode to the N*d grain
+        # was measured at ~2/3 of this query's 100x cost and moves the
+        # corpus through a shuffle this kernel never pays)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            qb = np.floor(x * GRAM_SCALE).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "i0": np.arange(DIM),
+                    "s_part": qb.sum(axis=0),
+                    "n_part": np.full(DIM, len(qb), dtype=np.int64),
+                }
+            )
+
+    emb = spread(read_table(spark, sf_dir, "embeddings").select("embedding"))
     sums = (
-        emb.select(F.posexplode(qcomp).alias("i0", "qv"))
+        emb.mapInPandas(sum_partials, "i0 int, s_part long, n_part long")
         .groupBy("i0")
         .agg(
-            F.sum(F.col("qv").cast("decimal(38,0)")).cast("bigint").alias("s"),
-            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("s_part").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("s"),
+            F.sum(F.col("n_part").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("nd"),
         )
         .collect()
     )  # d rows — bounded driver state
-    n = sums[0].n
+    n = sums[0].nd  # every i0 carries the same total row count
     s = np.zeros(DIM, dtype=np.int64)
     for r in sums:
         s[r.i0] = r.s
