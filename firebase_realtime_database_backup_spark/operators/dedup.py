@@ -2443,3 +2443,42 @@ def dedup_editdist_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.select("name_a", "name_b", dist.alias("dist")).filter(
         F.col("dist") <= 1
     )
+
+
+@REG.query(
+    "dedup_cluster_size_profile",
+    oracle="""
+    WITH h AS (
+      SELECT MD5(text) AS hh, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM documents GROUP BY hh
+    )
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+    FROM h GROUP BY sz
+    """,
+)
+def dedup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplication PROFILE: how many exact-dup clusters exist at
+    each size — the distribution behind quality_dup_rate_by_source's
+    single rate.  Shape matters operationally: a corpus at 20% dup
+    made of millions of size-2 clusters (boilerplate drift) needs
+    different treatment than one whale cluster duplicated 10^6 times
+    (a crawler loop), and the dedup SAVINGS estimate (n_docs -
+    n_clusters per size) falls straight out of this table.
+
+    Plan: one map-side md5, one (hash)-grain count, one (size)-grain
+    count — two shuffles whose second input is already collapsed to
+    cluster grain.  The 100 TB cost is dedup_exact's stage 1 verbatim;
+    at that scale this profile is what you run FIRST to size the real
+    dedup job."""
+    docs = read_table(spark, sf_dir, "documents")
+    clusters = docs.groupBy(F.md5("text").alias("hh")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return clusters.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_docs"),
+    )

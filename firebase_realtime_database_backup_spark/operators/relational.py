@@ -8154,3 +8154,195 @@ def events_diff_in_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             t_stat.alias("t_stat"),
         )
     )
+
+
+PSI_BINS = 10
+PSI_REF_DAYS = 15  # reference window = first 15 calendar days
+
+
+@REG.query(
+    "quality_psi_drift",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(FLOOR(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    lim AS (SELECT MIN(d) AS min_d FROM ev),
+    tagged AS (
+      SELECT c, DATEDIFF('day', min_d, d) < {PSI_REF_DAYS} AS is_ref
+      FROM ev, lim
+    ),
+    ref_byval AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tagged WHERE is_ref GROUP BY c
+    ),
+    cum AS (
+      SELECT c, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY c) AS BIGINT) AS cw,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS tot
+      FROM ref_byval
+    ),
+    bkt AS (
+      SELECT (cw * {PSI_BINS} + tot - 1) // tot AS bucket,
+             MAX(c) AS hi_cents, CAST(SUM(cnt) AS BIGINT) AS ref_n
+      FROM cum GROUP BY bucket
+    ),
+    cuts AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY hi_cents) AS BIGINT) AS bin,
+             hi_cents, ref_n
+      FROM bkt
+    ),
+    kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM cuts),
+    cur_byval AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tagged WHERE NOT is_ref GROUP BY c
+    ),
+    assign AS (
+      SELECT v.c, v.cnt,
+             LEAST(1 + COUNT(ct.hi_cents), (SELECT k FROM kk)) AS bin
+      FROM cur_byval v LEFT JOIN cuts ct ON ct.hi_cents < v.c
+      GROUP BY v.c, v.cnt
+    ),
+    cur_bins AS (
+      SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cur_n FROM assign GROUP BY bin
+    ),
+    joined AS (
+      SELECT cu.bin, cu.hi_cents, cu.ref_n,
+             CAST(COALESCE(cb.cur_n, 0) AS BIGINT) AS cur_n
+      FROM cuts cu LEFT JOIN cur_bins cb ON cb.bin = cu.bin
+    ),
+    tot2 AS (
+      SELECT bin, hi_cents, ref_n, cur_n,
+             CAST(SUM(ref_n) OVER () AS BIGINT) AS ref_tot,
+             CAST(SUM(cur_n) OVER () AS BIGINT) AS cur_tot
+      FROM joined
+    )
+    SELECT bin, hi_cents, ref_n, cur_n,
+           CAST(ref_n AS DOUBLE) / ref_tot AS q,
+           CAST(cur_n AS DOUBLE) / cur_tot AS p,
+           CASE WHEN cur_n = 0 THEN NULL ELSE ROUND(
+             (CAST(cur_n AS DOUBLE) / cur_tot
+                - CAST(ref_n AS DOUBLE) / ref_tot)
+             * LN((CAST(cur_n AS DOUBLE) / cur_tot)
+                  / (CAST(ref_n AS DOUBLE) / ref_tot)), 6)
+           END AS psi_contribution
+    FROM tot2
+    """,
+)
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index (PSI) drift per decile bin — the
+    drift metric production ML monitoring actually reports (banks,
+    feature stores), complementing the engine's chi² (categorical) and
+    KS (continuous supremum) gates with the binned-contribution view
+    that tells you WHERE the distribution moved, not just that it did.
+
+    Reference = the corpus's first PSI_REF_DAYS days; bins = the
+    reference's exact equi-depth deciles via the
+    agg_histogram_equidepth discipline (fact rows collapse map-side to
+    the distinct-cents grain; a value's bucket is pure integer
+    arithmetic on the cumulative count, ceil(cw*K/tot) as `div`, never
+    float).  Current rows are assigned by a broadcast theta-join of
+    the ≤10-row cut table against the DISTINCT-cents relation — the
+    corpus never meets the join.  At 100 TB both sides cost one
+    map-side collapse + one distinct-grain exchange each.
+
+    The one float: (p - q) * ln(p / q), rounded to 6 decimals in both
+    engines (the text_tfidf precedent — libm's ln is not cross-engine
+    bit-reproducible; everything upstream of it is exact integers).
+    Empty current bins emit NULL contribution (Spark ln(0) is NULL,
+    DuckDB -inf: the CASE guard kills the divergence class)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    lim = ev.agg(F.min("d").alias("min_d"))
+    tagged = ev.crossJoin(F.broadcast(lim)).select(
+        "c",
+        (F.datediff(F.col("d"), F.col("min_d")) < PSI_REF_DAYS).alias(
+            "is_ref"
+        ),
+    )
+    ref_byval = (
+        tagged.filter("is_ref").groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = ref_byval.select(
+        "c",
+        "cnt",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("cw"),
+        F.sum("cnt").over(w_all).cast("bigint").alias("tot"),
+    )
+    bkt = (
+        cum.groupBy(
+            F.expr(f"(cw * {PSI_BINS} + tot - 1) div tot").alias("bucket")
+        )
+        .agg(
+            F.max("c").alias("hi_cents"),
+            F.sum("cnt").cast("bigint").alias("ref_n"),
+        )
+    )
+    cuts = bkt.select(
+        F.row_number()
+        .over(Window.orderBy("hi_cents"))
+        .cast("bigint")
+        .alias("bin"),
+        "hi_cents",
+        "ref_n",
+    )
+    kk = cuts.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    cur_byval = (
+        tagged.filter(~F.col("is_ref"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assign = (
+        cur_byval.join(
+            F.broadcast(cuts.select(F.col("hi_cents").alias("cut_hi"))),
+            F.col("cut_hi") < F.col("c"),
+            "left",
+        )
+        .groupBy("c", "cnt")
+        .agg(F.count("cut_hi").alias("nlt"))
+        .crossJoin(F.broadcast(kk))
+        .select(
+            "cnt", F.least(F.col("nlt") + 1, F.col("k")).alias("bin")
+        )
+    )
+    cur_bins = assign.groupBy("bin").agg(
+        F.sum("cnt").cast("bigint").alias("cur_n")
+    )
+    joined = cuts.join(F.broadcast(cur_bins), ["bin"], "left").select(
+        "bin",
+        "hi_cents",
+        "ref_n",
+        F.coalesce("cur_n", F.lit(0)).cast("bigint").alias("cur_n"),
+    )
+    w10 = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot2 = joined.select(
+        "bin",
+        "hi_cents",
+        "ref_n",
+        "cur_n",
+        F.sum("ref_n").over(w10).cast("bigint").alias("ref_tot"),
+        F.sum("cur_n").over(w10).cast("bigint").alias("cur_tot"),
+    )
+    q = F.col("ref_n").cast("double") / F.col("ref_tot")
+    p = F.col("cur_n").cast("double") / F.col("cur_tot")
+    contrib = F.when(
+        F.col("cur_n") == 0, F.lit(None).cast("double")
+    ).otherwise(F.round((p - q) * F.log(p / q), 6))
+    return tot2.select(
+        "bin",
+        "hi_cents",
+        "ref_n",
+        "cur_n",
+        q.alias("q"),
+        p.alias("p"),
+        contrib.alias("psi_contribution"),
+    )

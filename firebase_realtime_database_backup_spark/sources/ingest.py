@@ -302,3 +302,119 @@ def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_v2, F.col("n_chars"))).alias("chars_sum_v2"),
         F.sum("doc_id").alias("docid_sum"),
     )
+
+
+#: Fixture dirs for the raw-text log parse, keyed (applicationId, sf_dir).
+_LOG_FIXTURES: dict = {}
+
+#: every event_id % 43 == 0 line is mangled (delimiter scheme broken).
+_LOG_CORRUPT_MOD = 43
+
+#: the good-line wire format: evt|<event_id>|u<user_id>|<type>|<cents>
+_LOG_RE = r"^evt\|(\d+)\|u(\d+)\|(\w+)\|(\d+)$"
+
+
+@REG.query(
+    "ingest_text_log_parse",
+    oracle=f"""
+    WITH lines AS (
+      SELECT event_id, user_id, event_type,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+             event_id % {_LOG_CORRUPT_MOD} = 0 AS corrupt
+      FROM events
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE NOT corrupt) AS BIGINT) AS n_good,
+           CAST(COUNT(*) FILTER (WHERE corrupt) AS BIGINT) AS n_bad,
+           CAST(SUM(CASE WHEN NOT corrupt THEN event_id END) AS BIGINT)
+             AS good_id_sum,
+           CAST(SUM(CASE WHEN NOT corrupt THEN cents END) AS BIGINT)
+             AS good_cents_sum,
+           CAST(COUNT(DISTINCT CASE WHEN NOT corrupt THEN event_type END)
+                AS BIGINT) AS n_types_seen
+    FROM lines
+    """,
+)
+def ingest_text_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-log ingestion: `spark.read.text` + regexp parse — the
+    source format the JSONL/CSV/ORC family was missing, and the shape
+    of every real clickstream/syslog/access-log feed: untyped lines, a
+    wire regex, and a quarantine rule for lines that don't match.
+
+    A log fixture is generated deterministically from `events`
+    (format_string per row; every event_id % 43 line gets its
+    delimiter scheme mangled), written as plain .text under the
+    session-keyed scratch dir, and read back through one parallel text
+    scan + one regexp_extract per field; a line is good iff the FULL
+    anchored pattern matches.  The oracle predicts the same audit
+    numbers straight from the generation rule — a parse that drops,
+    double-counts, or mis-fields any line breaks the hash (the
+    ingest_jsonl_quarantine contract, for regex parsing).
+
+    Scale shape: generation is map-only, read-back is map-only, and
+    the only aggregate state is five accumulators + a 5-value distinct
+    — no shuffle wider than the 1-row reduce.  regexp_extract runs
+    JVM-side (no UDF); at 100 TB the text scan splits per file/block
+    like any lake scan."""
+    import hashlib
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    fixture = _LOG_FIXTURES.get(memo_key)
+    if fixture is None:
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        good = F.format_string(
+            "evt|%d|u%d|%s|%d",
+            F.col("event_id"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("cents"),
+        )
+        bad = F.format_string(
+            "evt#%d#u%d#%s#%d",
+            F.col("event_id"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("cents"),
+        )
+        line = F.when(
+            F.col("event_id") % _LOG_CORRUPT_MOD == 0, bad
+        ).otherwise(good)
+        path_tag = hashlib.sha1(
+            os.path.abspath(os.path.normpath(sf_dir)).encode()
+        ).hexdigest()[:12]
+        fixture = os.path.join(
+            os.path.dirname(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            ),
+            ".scratch",
+            f"textlog_{spark.sparkContext.applicationId}_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}_{path_tag}",
+        )
+        ev.select(line.alias("value")).write.mode("overwrite").text(fixture)
+        _LOG_FIXTURES[memo_key] = fixture
+
+    lines = spark.read.text(fixture)
+    parsed = lines.select(
+        F.regexp_extract("value", _LOG_RE, 1).alias("event_id_s"),
+        F.regexp_extract("value", _LOG_RE, 2).alias("user_id_s"),
+        F.regexp_extract("value", _LOG_RE, 3).alias("event_type"),
+        F.regexp_extract("value", _LOG_RE, 4).alias("cents_s"),
+    )
+    is_good = F.col("event_id_s") != ""
+    return parsed.agg(
+        F.count(F.when(is_good, 1)).alias("n_good"),
+        F.count(F.when(~is_good, 1)).alias("n_bad"),
+        F.sum(F.when(is_good, F.col("event_id_s").cast("bigint"))).alias(
+            "good_id_sum"
+        ),
+        F.sum(F.when(is_good, F.col("cents_s").cast("bigint"))).alias(
+            "good_cents_sum"
+        ),
+        F.count_distinct(
+            F.when(is_good, F.col("event_type"))
+        ).alias("n_types_seen"),
+    )

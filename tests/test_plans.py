@@ -1795,3 +1795,55 @@ def test_pca_matches_numpy_replay(spark, queries):
     for k, r in enumerate(got):
         assert r.eigenvalue == want[k], (k, r.eigenvalue, want[k])
     assert abs(got[-1].cum_ratio - 1.0) < 1e-12
+
+
+def test_psi_reduces_to_distinct_grain_before_windows(spark, queries):
+    """PSI's plan claims: both cumulative windows run BELOW a partial
+    aggregation (distinct-cents grain, the equi-depth lint), the cut
+    assignment join is a broadcast against the ≤10-row cut table, and
+    the bins partition the current corpus exactly (sum(cur_n) =
+    current rows; sum of rounded contributions is finite)."""
+    from pyspark.sql import functions as F
+
+    df = queries["quality_psi_drift"](spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_" in p and "Window" in p
+    assert p.rindex("partial_") > p.index("Window")  # reduce below window
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+    rows = df.collect()
+    assert len(rows) == 10
+    assert abs(sum(r.q for r in rows) - 1.0) < 1e-12
+    assert abs(sum(r.p for r in rows) - 1.0) < 1e-12
+    psi = sum(r.psi_contribution for r in rows if r.psi_contribution is not None)
+    assert psi >= 0.0  # PSI is a sum of (p-q)ln(p/q) terms, each >= 0
+
+
+def test_cluster_size_profile_crafted_corpus(spark, tmp_path):
+    """3 singletons + one size-2 + one size-4 cluster -> exactly the
+    profile rows (1,3,3), (2,1,2), (4,1,4)."""
+    import pandas as pd
+
+    from firebase_realtime_database_backup_spark.operators.dedup import (
+        dedup_cluster_size_profile,
+    )
+
+    texts = ["a", "b", "c", "dup2", "dup2", "dup4", "dup4", "dup4", "dup4"]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = str(tmp_path / "csp")
+    spark.createDataFrame(docs).coalesce(1).write.parquet(
+        str(tmp_path / "csp" / "documents.parquet")
+    )
+    got = {
+        r.cluster_size: (r.n_clusters, r.n_docs)
+        for r in dedup_cluster_size_profile(spark, d).collect()
+    }
+    assert got == {1: (3, 3), 2: (1, 2), 4: (1, 4)}
