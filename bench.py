@@ -264,6 +264,18 @@ HEADLINE = [
     "layout_partitioned_prune",
     "events_attribution_position",
     "quality_chi2_independence",
+    # round 6 continuation
+    "dedup_editdist_neighborhood",
+    "quality_candidate_keys",
+    "sim_gram_matrix",
+    "sim_mmr_diverse_topk",
+    "sim_pca_variance_explained",
+    "graph_connected_components",
+    "events_sample_ratio_mismatch",
+    "events_diff_in_means",
+    "quality_psi_drift",
+    "ingest_text_log_parse",
+    "dedup_cluster_size_profile",
 ]
 
 

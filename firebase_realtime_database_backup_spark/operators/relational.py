@@ -8053,7 +8053,7 @@ def events_sample_ratio_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              {knuth_hash_sql('user_id')} % 2 AS arm,
              CAST(FLOOR(value * 100) AS BIGINT) AS cents
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     m AS (
       SELECT event_type,
@@ -8103,10 +8103,17 @@ def events_diff_in_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cents^2 < 2.5e9 per row) holds to ~3.7e9 rows per type-arm;
     beyond that the internal sums switch to DECIMAL(38,0) — here they
     already do (belt and braces), cast back to bigint on output."""
-    ev = read_table(spark, sf_dir, "events").select(
-        "event_type",
-        (knuth_hash(F.col("user_id")) % 2).alias("arm"),
-        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    # NULL-value rows carry no metric: excluding them in BOTH engines
+    # keeps n the moments' denominator (a NULL cents row would count in
+    # n but not in the sums).
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            (knuth_hash(F.col("user_id")) % 2).alias("arm"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
 
@@ -8166,7 +8173,7 @@ PSI_REF_DAYS = 15  # reference window = first 15 calendar days
     WITH ev AS (
       SELECT CAST(ts AS DATE) AS d,
              CAST(FLOOR(value * 100) AS BIGINT) AS c
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     lim AS (SELECT MIN(d) AS min_d FROM ev),
     tagged AS (
@@ -8252,9 +8259,16 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible; everything upstream of it is exact integers).
     Empty current bins emit NULL contribution (Spark ln(0) is NULL,
     DuckDB -inf: the CASE guard kills the divergence class)."""
-    ev = read_table(spark, sf_dir, "events").select(
-        F.to_date("ts").alias("d"),
-        F.floor(F.col("value") * 100).cast("bigint").alias("c"),
+    # NULL metric rows are excluded in BOTH engines: a NULL cents
+    # group would sit at opposite ends of the cumulative window's sort
+    # (Spark NULLS FIRST vs DuckDB NULLS LAST) and shift every decile.
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.to_date("ts").alias("d"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("c"),
+        )
     )
     lim = ev.agg(F.min("d").alias("min_d"))
     tagged = ev.crossJoin(F.broadcast(lim)).select(

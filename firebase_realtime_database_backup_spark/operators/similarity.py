@@ -2212,39 +2212,61 @@ def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit-identical value the oracle recomputes per row — folding it
     # per corpus row (an interpreted HOF, not codegen) was measured at
     # ~1/3 of the whole scan cost at 100x.
-    qe = emb.filter(F.col("vec_id") == 0).head().e
+    qrow = emb.filter(F.col("vec_id") == 0).head()
+    if qrow is None:  # no query vector: the oracle's q CTE is empty too
+        return spark.createDataFrame(
+            [], "rk int, vec_id bigint, score double"
+        )
+    qe = qrow.e
     qn = math.sqrt(pydot(qe, qe))
     qcol = F.array(*[F.lit(float(x)) for x in qe])
+    # try_divide: a zero-norm vector NULLs its cosine instead of raising
+    # under ANSI — DuckDB x/0.0 is NULL too, and both engines rank
+    # NULLs last under DESC (the sim_knn_label_vote precedent).
     scored = spread(emb.filter(F.col("vec_id") != 0)).select(
         "vec_id",
         "e",
-        (
-            _dot(qcol, F.col("e"))
-            / (F.lit(qn) * F.sqrt(_dot(F.col("e"), F.col("e"))))
+        F.try_divide(
+            _dot(qcol, F.col("e")),
+            F.lit(qn) * F.sqrt(_dot(F.col("e"), F.col("e"))),
         ).alias("rel"),
     )
     panel = scored.orderBy(F.desc("rel"), "vec_id").limit(MMR_PANEL).collect()
 
     emb_of = {r.vec_id: r.e for r in panel}
-    rel_of = {r.vec_id: r.rel for r in panel}
+    rel_of = {r.vec_id: r.rel for r in panel}  # None when a norm is 0
     norm_of = {v: math.sqrt(pydot(e, e)) for v, e in emb_of.items()}
 
     def sim(a, b):
+        if norm_of[a] == 0.0 or norm_of[b] == 0.0:
+            return None  # SQL: x / 0.0 is NULL
         return pydot(emb_of[a], emb_of[b]) / (norm_of[a] * norm_of[b])
+
+    def score_of(v, sel):
+        """Mirror of the oracle's 0.5*rel - 0.5*MAX(sim): NULL rel or
+        NULL MAX (all selected sims NULL) propagates to a NULL score;
+        MAX ignores NULLs like SQL."""
+        if rel_of[v] is None:
+            return None
+        if not sel:
+            return 0.5 * rel_of[v] - 0.5 * 0.0
+        sims = [s for s in (sim(v, x[1]) for x in sel) if s is not None]
+        if not sims:
+            return None
+        return 0.5 * rel_of[v] - 0.5 * max(sims)
 
     selected: list[tuple[int, int, float]] = []  # (rk, vec_id, score)
     remaining = sorted(emb_of)
     for rk in range(1, MMR_K + 1):
-        best = None
-        for v in remaining:
-            max_sim = (
-                max(sim(v, s[1]) for s in selected) if selected else 0.0
-            )
-            score = 0.5 * rel_of[v] - 0.5 * max_sim
-            if best is None or score > best[1] or (
-                score == best[1] and v < best[0]
+        if not remaining:
+            break  # oracle: LIMIT 1 over empty -> no row at this rank
+        best = None  # (vec_id, score); NULL scores last, ties to min id
+        for v in remaining:  # ascending vec_id: strict > keeps ties left
+            s = score_of(v, selected)
+            if best is None or (
+                s is not None and (best[1] is None or s > best[1])
             ):
-                best = (v, score)
+                best = (v, s)
         selected.append((rk, best[0], best[1]))
         remaining.remove(best[0])
     return spark.createDataFrame(

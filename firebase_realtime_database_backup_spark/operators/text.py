@@ -2982,3 +2982,81 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel.alias("n_novel"),
         (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
     )
+
+
+VOCAB_GROWTH_BUCKETS = 10
+
+
+@REG.query(
+    "text_vocab_growth",
+    oracle=f"""
+    WITH {SHINGLE_SQL_CTE},
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    firsts AS (
+      SELECT sid, MIN(doc_id) AS first_doc,
+             CAST(COUNT(*) AS BIGINT) AS n_docs_containing
+      FROM dshingle GROUP BY sid
+    ),
+    bucketed AS (
+      SELECT (first_doc * {VOCAB_GROWTH_BUCKETS}) // n_docs AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS new_types,
+             CAST(SUM(n_docs_containing) AS BIGINT) AS docs_with_new
+      FROM firsts, n GROUP BY bucket
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, new_types,
+           CAST(SUM(new_types) OVER (ORDER BY bucket) AS BIGINT)
+             AS cum_vocab,
+           docs_with_new
+    FROM bucketed
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve over 3-gram types: how many
+    NEW shingle types each tenth of the corpus contributes, in
+    ingestion (doc_id) order — the saturation signal behind "is more
+    of this source still adding information?".  text_ngram_novelty
+    answers it per document; this is the corpus-level curve a
+    data-buying decision reads (a flattening cum_vocab means the next
+    batch buys mostly repeats).  3-grams, not unigrams, because they
+    are the discriminative unit the dedup family already keys on (the
+    unigram vocabulary of a bounded-domain corpus saturates in the
+    first bucket and the curve degenerates — measured here).
+
+    Plan: rides the SESSION-CACHED (doc_id, sid) dictionary relation
+    (doc_shingle_ids) the whole dedup/text family shares — the
+    data-sized explode + vocab build is paid once per (session,
+    corpus) and this query adds only a sid-grain MIN/COUNT (ints, not
+    strings), the integer bucket map (first_doc*K div n_docs — div,
+    never float), and a K-row cumulative window.  The first draft
+    aggregated the raw shingle STRINGS instead (41-72 s at 100×, all
+    of it the explode + a 2.7M-string shuffle this form never pays);
+    warm it is sub-second, and the cold dictionary build is the
+    amortized shared-index cost BASELINE.md already accounts to the
+    family."""
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    firsts = doc_shingle_ids(spark, sf_dir).groupBy("sid").agg(
+        F.min("doc_id").alias("first_doc"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_containing"),
+    )
+    bucketed = (
+        firsts.crossJoin(F.broadcast(n))
+        .groupBy(
+            F.expr(
+                f"(first_doc * {VOCAB_GROWTH_BUCKETS}) div n_docs"
+            ).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("new_types"),
+            F.sum("n_docs_containing").cast("bigint").alias(
+                "docs_with_new"
+            ),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return bucketed.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "new_types",
+        F.sum("new_types").over(w).cast("bigint").alias("cum_vocab"),
+        "docs_with_new",
+    )

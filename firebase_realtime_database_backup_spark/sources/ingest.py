@@ -310,8 +310,18 @@ _LOG_FIXTURES: dict = {}
 #: every event_id % 43 == 0 line is mangled (delimiter scheme broken).
 _LOG_CORRUPT_MOD = 43
 
-#: the good-line wire format: evt|<event_id>|u<user_id>|<type>|<cents>
-_LOG_RE = r"^evt\|(\d+)\|u(\d+)\|(\w+)\|(\d+)$"
+#: the good-line wire format: evt|<event_id>|u<user_id>|<type>|<cents>.
+#: Signed integers (the edge corpus has negative values) and a \w+ type
+#: (no delimiter can hide inside a field).
+_LOG_RE = r"^evt\|(-?\d+)\|u(-?\d+)\|(\w+)\|(-?\d+)$"
+
+#: rows the wire format cannot carry (any NULL field, or a type with
+#: non-word characters) are corrupt BY DEFINITION — the generator
+#: writes a malformed line for them and the oracle's predicate agrees.
+_LOG_UNENCODABLE_SQL = (
+    "event_id IS NULL OR user_id IS NULL OR value IS NULL OR "
+    "event_type IS NULL OR NOT REGEXP_MATCHES(event_type, '^\\w+$')"
+)
 
 
 @REG.query(
@@ -320,7 +330,8 @@ _LOG_RE = r"^evt\|(\d+)\|u(\d+)\|(\w+)\|(\d+)$"
     WITH lines AS (
       SELECT event_id, user_id, event_type,
              CAST(FLOOR(value * 100) AS BIGINT) AS cents,
-             event_id % {_LOG_CORRUPT_MOD} = 0 AS corrupt
+             ({_LOG_UNENCODABLE_SQL})
+               OR event_id % {_LOG_CORRUPT_MOD} = 0 AS corrupt
       FROM events
     )
     SELECT CAST(COUNT(*) FILTER (WHERE NOT corrupt) AS BIGINT) AS n_good,
@@ -342,10 +353,12 @@ def ingest_text_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A log fixture is generated deterministically from `events`
     (format_string per row; every event_id % 43 line gets its
-    delimiter scheme mangled), written as plain .text under the
-    session-keyed scratch dir, and read back through one parallel text
-    scan + one regexp_extract per field; a line is good iff the FULL
-    anchored pattern matches.  The oracle predicts the same audit
+    delimiter scheme mangled, and rows the wire format cannot carry —
+    any NULL field, a non-word event_type — are corrupt BY DEFINITION,
+    so generator, parser, and oracle agree on adversarial rows too),
+    written as plain .text under the session-keyed scratch dir, and
+    read back through one parallel text scan + one regexp_extract per
+    field; a line is good iff the FULL anchored pattern matches.  The oracle predicts the same audit
     numbers straight from the generation rule — a parse that drops,
     double-counts, or mis-fields any line breaks the hash (the
     ingest_jsonl_quarantine contract, for regex parsing).
@@ -373,15 +386,26 @@ def ingest_text_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type"),
             F.col("cents"),
         )
-        bad = F.format_string(
-            "evt#%d#u%d#%s#%d",
-            F.col("event_id"),
-            F.col("user_id"),
-            F.col("event_type"),
-            F.col("cents"),
+        unencodable = (
+            F.col("event_id").isNull()
+            | F.col("user_id").isNull()
+            | F.col("cents").isNull()
+            | F.col("event_type").isNull()
+            | ~F.col("event_type").rlike(r"^\w+$")
+        )
+        mangled = F.coalesce(
+            F.format_string(
+                "evt#%d#u%d#%s#%d",
+                F.col("event_id"),
+                F.col("user_id"),
+                F.col("event_type"),
+                F.col("cents"),
+            ),
+            F.lit("evt#malformed"),  # NULL fields: a fixed bad line
         )
         line = F.when(
-            F.col("event_id") % _LOG_CORRUPT_MOD == 0, bad
+            unencodable | (F.col("event_id") % _LOG_CORRUPT_MOD == 0),
+            mangled,
         ).otherwise(good)
         path_tag = hashlib.sha1(
             os.path.abspath(os.path.normpath(sf_dir)).encode()

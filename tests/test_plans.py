@@ -1847,3 +1847,60 @@ def test_cluster_size_profile_crafted_corpus(spark, tmp_path):
         for r in dedup_cluster_size_profile(spark, d).collect()
     }
     assert got == {1: (3, 3), 2: (1, 2), 4: (1, 4)}
+
+
+def test_source_overlap_bitmask_matches_pair_join(spark, queries):
+    """The bitmask route must reproduce the naive (source, sid)
+    pair-join exactly — commons, sizes, and both similarity ratios —
+    computed here independently via the join form at sf0.01."""
+    from pyspark.sql import functions as F
+
+    from firebase_realtime_database_backup_spark.catalog import read_table
+    from firebase_realtime_database_backup_spark.operators.text import (
+        doc_shingle_ids,
+    )
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "source")
+    ssid = (
+        doc_shingle_ids(spark, SF)
+        .join(docs, "doc_id")
+        .select("source", "sid")
+        .distinct()
+    )
+    a = ssid.select(F.col("source").alias("sa"), "sid")
+    b = ssid.select(F.col("source").alias("sb"), "sid")
+    want = {
+        (r.sa, r.sb): r.n
+        for r in a.join(b, ["sid"])
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got_rows = queries["dedup_source_overlap"](spark, SF).collect()
+    got = {(r.source_a, r.source_b): r.n_common for r in got_rows}
+    assert got == want
+    sz = {
+        r.source: r.n
+        for r in ssid.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in got_rows:
+        assert (r.sz_a, r.sz_b) == (sz[r.source_a], sz[r.source_b])
+        assert r.containment == r.n_common / min(r.sz_a, r.sz_b)
+
+
+def test_vocab_growth_buckets_partition_vocab(spark, queries):
+    """cum_vocab's last value must equal the corpus's total 3-gram
+    type count, and buckets must be the integer decile map."""
+    from firebase_realtime_database_backup_spark.operators.text import (
+        doc_shingle_ids,
+    )
+
+    rows = sorted(
+        queries["text_vocab_growth"](spark, SF).collect(),
+        key=lambda r: r.bucket,
+    )
+    total_types = doc_shingle_ids(spark, SF).select("sid").distinct().count()
+    assert rows[-1].cum_vocab == total_types
+    assert sum(r.new_types for r in rows) == total_types
+    assert all(0 <= r.bucket <= 9 for r in rows)
