@@ -8277,9 +8277,17 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_ref"
         ),
     )
-    ref_byval = (
-        tagged.filter("is_ref").groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    # Collapse to the (cents, is_ref) grain ONCE and pin it: Spark does
+    # not share subplans, so deriving ref/cur/cuts/k from `tagged`
+    # directly re-ran the corpus scan + min-day probe FOUR times (six
+    # BNL probes in the physical plan).  After this checkpoint every
+    # downstream relation reads the ~|distinct cents| rows instead.
+    byval = (
+        tagged.groupBy("c", "is_ref")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
+    ref_byval = byval.filter("is_ref").select("c", "cnt")
     w_cum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
     w_all = Window.orderBy("c").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -8308,11 +8316,7 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ref_n",
     )
     kk = cuts.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
-    cur_byval = (
-        tagged.filter(~F.col("is_ref"))
-        .groupBy("c")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    cur_byval = byval.filter(~F.col("is_ref")).select("c", "cnt")
     assign = (
         cur_byval.join(
             F.broadcast(cuts.select(F.col("hi_cents").alias("cut_hi"))),
@@ -8359,4 +8363,182 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.alias("q"),
         p.alias("p"),
         contrib.alias("psi_contribution"),
+    )
+
+
+MARKOV_PI_SCALE = 1_000_000  # fixed-point units for the stationary mass
+MARKOV_PI_ITERS = 20
+
+
+def _markov_stationary_oracle() -> str:
+    """Unrolled fixed-point power iteration (the graph_pagerank trick on
+    the |types|^2 transition matrix): q_ij = (n_ij * S) // rowsum_i are
+    integer transition probs, states missing from the from-side get an
+    integer self-loop (q = S), and each step is the commutative integer
+    sum mass'_j = SUM_i (mass_i * q_ij) // S — hash-exact at any
+    partitioning.  Overflow budget: mass <= |types|*S = 5e6 units,
+    q <= S = 1e6, so each product <= 5e12 << 2^63."""
+    s = MARKOV_PI_SCALE
+    steps = []
+    for k in range(1, MARKOV_PI_ITERS + 1):
+        steps.append(
+            f"p{k} AS (SELECT t.to_type AS state,"
+            f" CAST(SUM((p.mass * t.q) // {s}) AS BIGINT) AS mass"
+            f" FROM p{k - 1} p JOIN q t ON t.from_type = p.state"
+            f" GROUP BY t.to_type)"
+        )
+    last = f"p{MARKOV_PI_ITERS}"
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    states AS (SELECT DISTINCT event_type AS state FROM events),
+    rowsums AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS rowsum
+      FROM trans GROUP BY from_type
+    ),
+    q AS (
+      SELECT t.from_type, t.to_type, (t.n * {s}) // r.rowsum AS q
+      FROM trans t JOIN rowsums r USING (from_type)
+      UNION ALL
+      SELECT state, state, CAST({s} AS BIGINT)
+      FROM states WHERE state NOT IN (SELECT from_type FROM rowsums)
+    ),
+    p0 AS (SELECT state, CAST({s} AS BIGINT) AS mass FROM states),
+    {", ".join(steps)},
+    tot AS (SELECT CAST(SUM(mass) AS BIGINT) AS total FROM {last})
+    SELECT p.state AS event_type, p.mass AS pi_fixed,
+           CAST(p.mass AS DOUBLE) / t.total AS pi
+    FROM {last} p, tot t
+    """
+
+
+@REG.query("events_markov_stationary", oracle=_markov_stationary_oracle())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-behavior Markov chain — the
+    long-run share of attention each event type absorbs, the summary
+    events_markov_transitions' per-row probabilities don't give: where
+    does a random surfer of this behavior graph END UP?
+
+    Exactness: the power iteration runs in FIXED-POINT integers (the
+    graph_pagerank discipline): integer transition probs q_ij =
+    (n_ij*S) div rowsum_i, integer mass scatter (mass_i*q_ij) div S,
+    commutative sums — so 20 iterations produce bit-identical masses
+    in Spark, Python, and the oracle's 20 unrolled CTEs, and even the
+    floor-loss per step (mass leaks ~|types| units/iteration) is
+    reproduced exactly.  States never seen on the from-side get an
+    integer self-loop (mass conserving, standard absorbing fix).
+
+    Plan: the corpus contributes exactly one user-grain lag shuffle +
+    a |types|^2 count (the events_markov_transitions stages); the
+    iteration itself runs driver-side over the collected <=25-row
+    integer matrix (bounded driver state, the MMR/PQ-codebook
+    precedent) — distributing a 5x5 matmul would be parody."""
+    s = MARKOV_PI_SCALE
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()
+    )  # <= |types|^2 rows — bounded driver state
+    states = sorted(
+        r.event_type
+        for r in events.select("event_type").distinct().collect()
+    )
+    rowsum: dict = {}
+    for r in trans:
+        rowsum[r.from_type] = rowsum.get(r.from_type, 0) + r.n
+    q: dict = {}
+    for r in trans:
+        q[(r.from_type, r.to_type)] = (r.n * s) // rowsum[r.from_type]
+    for st in states:
+        if st not in rowsum:
+            q[(st, st)] = s
+    mass = {st: s for st in states}
+    for _ in range(MARKOV_PI_ITERS):
+        nxt = {st: 0 for st in states}
+        for (i, j), qv in q.items():
+            nxt[j] += (mass[i] * qv) // s
+        mass = nxt
+    total = sum(mass.values())
+    rows = [(st, mass[st], mass[st] / total) for st in states]
+    return spark.createDataFrame(
+        rows, "event_type string, pi_fixed bigint, pi double"
+    )
+
+
+KCORE_K = 3
+
+
+@REG.query("graph_kcore")  # rows-only: the peeling FIXPOINT (repeatedly
+# delete degree < k, degrees recomputed after every deletion wave) is a
+# non-monotone shrinking iteration — unlike min-label propagation it has
+# no accumulate-only recursive-CTE form, so the gate is the pure-Python
+# peeling replay in tests/test_plans.py plus the driver's rows check.
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-core of the co-click graph (k=3): the maximal subgraph in
+    which every item still has >= 3 co-click neighbors — the standard
+    dense-community extraction that strips tendrils and leaves the
+    engagement core (where recommendation models actually have signal).
+    Completes the graph family's toolkit: PageRank (importance),
+    triangles (clustering), components (reach), core (density).
+
+    Plan: rides ensure_item_edges like every graph consumer.  The
+    driver loops the peeling fixpoint — each wave is one degree
+    aggregate + two broadcast anti-joins removing low-degree nodes'
+    edges, with localCheckpoint pinning each wave's result so the plan
+    never re-derives prior waves (the min_label_components shape).
+    Iterations = peeling depth (shallow on heavy-tailed graphs); data
+    never leaves executors; the edge list is item-catalog-sized, not
+    corpus-sized, but NOT driver-collectable at 100 TB (items^2 worst
+    case) — which is why this loops over DataFrames and the bounded
+    5x5 Markov chain does not."""
+    edges = ensure_item_edges(spark, sf_dir).select("item_a", "item_b")
+    cur = edges.localCheckpoint(eager=True)
+    while True:
+        deg = (
+            cur.select(F.col("item_a").alias("item"))
+            .unionByName(cur.select(F.col("item_b").alias("item")))
+            .groupBy("item")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        low = deg.filter(F.col("deg") < KCORE_K).select("item")
+        if low.isEmpty():
+            break
+        cur = (
+            cur.join(
+                F.broadcast(low.withColumnRenamed("item", "item_a")),
+                ["item_a"],
+                "left_anti",
+            )
+            .join(
+                F.broadcast(low.withColumnRenamed("item", "item_b")),
+                ["item_b"],
+                "left_anti",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        cur.select(F.col("item_a").alias("item"))
+        .unionByName(cur.select(F.col("item_b").alias("item")))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
     )

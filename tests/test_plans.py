@@ -465,6 +465,14 @@ BNL_ONE_ROW_PROBES = {
     # grid (fixed K-row relations), then x the 1-row total — the grid
     # is the designed output grain, never data-sized (round 6)
     "quality_chi2_independence": 2,
+    # 1-row grand-total row under the 2-row arm-count report (round 6)
+    "events_sample_ratio_mismatch": 1,
+    # 1-row min-day probe + 1-row bin-count k + the DELIBERATE <=10-row
+    # cut-table theta-join assigning distinct cents to deciles — all
+    # three broadcast sides are bounded by construction (round 6)
+    "quality_psi_drift": 3,
+    # 1-row n_docs probe under the 10-row decile curve (round 6)
+    "text_vocab_growth": 1,
 }
 BNL_ALLOWED = BNL_DESIGNED | set(BNL_ONE_ROW_PROBES)
 
@@ -1904,3 +1912,54 @@ def test_vocab_growth_buckets_partition_vocab(spark, queries):
     assert rows[-1].cum_vocab == total_types
     assert sum(r.new_types for r in rows) == total_types
     assert all(0 <= r.bucket <= 9 for r in rows)
+
+
+def test_kcore_matches_python_peeling(spark, queries):
+    """Replay the distributed peeling with a pure-Python fixpoint over
+    the same shared edge list: identical surviving nodes AND identical
+    in-core degrees."""
+    from firebase_realtime_database_backup_spark.operators.relational import (
+        KCORE_K,
+        ensure_item_edges,
+    )
+
+    edges = {
+        (r.item_a, r.item_b)
+        for r in ensure_item_edges(spark, SF).collect()
+    }
+    cur = set(edges)
+    while True:
+        deg: dict = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        low = {n for n, d in deg.items() if d < KCORE_K}
+        if not low:
+            break
+        cur = {(a, b) for a, b in cur if a not in low and b not in low}
+    want: dict = {}
+    for a, b in cur:
+        want[a] = want.get(a, 0) + 1
+        want[b] = want.get(b, 0) + 1
+    got = {
+        r.item: r.core_degree for r in queries["graph_kcore"](spark, SF).collect()
+    }
+    assert got == want
+    assert all(d >= KCORE_K for d in got.values())
+
+
+def test_markov_stationary_mass_is_conserved_modulo_floor(spark, queries):
+    """pi sums to 1; fixed masses are positive; and the integer floor
+    loss per iteration is bounded by |types| units x iterations."""
+    from firebase_realtime_database_backup_spark.operators.relational import (
+        MARKOV_PI_ITERS,
+        MARKOV_PI_SCALE,
+    )
+
+    rows = queries["events_markov_stationary"](spark, SF).collect()
+    n = len(rows)
+    total = sum(r.pi_fixed for r in rows)
+    start = n * MARKOV_PI_SCALE
+    assert 0 <= start - total <= n * n * MARKOV_PI_ITERS
+    assert abs(sum(r.pi for r in rows) - 1.0) < 1e-12
+    assert all(r.pi_fixed > 0 for r in rows)
