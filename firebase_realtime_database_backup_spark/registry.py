@@ -87,13 +87,12 @@ DRIVER_ATTESTED_ROUND: dict[str, int] = {
     "agg_percentiles": 1, "agg_pivot": 1, "agg_rollup": 1,
     "events_cohort_retention": 1, "events_funnel": 1,
     "events_resample_gapfill": 1, "events_sessionize": 1,
-    "filter_pushdown_range": 1, "flagship_revenue": 1, "join_asof":
+    "filter_pushdown_range": 6, "flagship_revenue": 6, "join_asof":
     1, "join_broadcast_dim": 1, "join_full_outer": 1,
-    "join_inner_equi": 1, "join_left_anti": 1, "join_left_outer": 1,
+    "join_inner_equi": 6, "join_left_anti": 1, "join_left_outer": 1,
     "join_left_semi": 1, "join_range_binned": 1,
     "join_range_residual": 1, "join_right_outer": 1,
-    "join_salted_skew": 1, "join_theta_bnl": 1, "pricing_summary":
-    1, "sample_deterministic": 1, "set_except": 1, "set_except_all":
+    "join_salted_skew": 1, "join_theta_bnl": 1, "pricing_summary": 6, "sample_deterministic": 1, "set_except": 1, "set_except_all":
     1, "set_intersect": 1, "set_union_all": 1, "set_union_distinct":
     1, "sort_topk": 1, "sql_correlated_subquery": 1,
     "sql_scalar_subquery": 1, "tpch_q10_returned_topk": 1,
@@ -125,15 +124,15 @@ DRIVER_ATTESTED_ROUND: dict[str, int] = {
     "tpch_q2_min_cost_supplier": 2,
     # round 3 (CORRECTNESS_r03.json):
     "agg_histogram_equiwidth": 3, "agg_unpivot": 3,
-    "conditional_case_nullif": 3, "events_item_cooccurrence": 3,
+    "conditional_case_nullif": 3, "events_item_cooccurrence": 6,
     "events_markov_transitions": 3, "events_rfm_segments": 3,
     "flagship_revenue_bucketed": 3, "ingest_jsonl_quarantine": 3,
     "ingest_schema_inference": 3, "ingest_schema_inference_sampled":
     3, "json_extract_props": 3, "json_from_json_struct": 3,
-    "mix_temperature_sampled": 3, "multimodal_frame_energy": 3,
-    "multimodal_frame_explode": 3, "multimodal_media_features": 3,
-    "multimodal_phash_dedup": 3, "multimodal_resize_pool": 3,
-    "multimodal_scene_cuts": 3, "multimodal_silence_trim": 3,
+    "mix_temperature_sampled": 3, "multimodal_frame_energy": 6,
+    "multimodal_frame_explode": 6, "multimodal_media_features": 6,
+    "multimodal_phash_dedup": 6, "multimodal_resize_pool": 6,
+    "multimodal_scene_cuts": 6, "multimodal_silence_trim": 6,
     "quality_audit_constraints": 3, "quality_winsorize": 3,
     "scalar_array_funcs": 3, "scalar_bitwise_funcs": 3,
     "scalar_date_funcs": 3, "scalar_hof_funcs": 3,
@@ -153,14 +152,14 @@ DRIVER_ATTESTED_ROUND: dict[str, int] = {
     "agg_mode_per_group": 4, "agg_regression_exact": 4,
     "agg_string_agg": 4, "dedup_cross_corpus_cosine": 4,
     "dedup_minhash_estimate_audit": 4, "events_anomaly_mad": 4,
-    "events_attribution_linear": 4, "events_funnel_windowed": 4,
+    "events_attribution_linear": 6, "events_funnel_windowed": 4,
     "events_moving_median": 4, "events_rfm_scaled": 4,
     "events_sliding_distinct": 4, "events_top_sequences": 4,
     "ingest_schema_evolution": 4, "join_asof_forward": 4,
     "join_asof_nearest": 4, "join_asof_tolerance": 4,
     "join_bloom_prefilter": 4, "join_shuffle_hash_hint": 4,
     "layout_zorder": 4, "mix_token_budget_select": 4,
-    "multimodal_phash_hamming": 4, "quality_benford": 4,
+    "multimodal_phash_hamming": 6, "quality_benford": 4,
     "quality_column_profile": 4, "quality_drift_chi2": 4,
     "quality_referential_integrity": 4, "quality_skew_report": 4,
     "sample_stratified_topk": 4, "sim_centroid_drift": 4,
@@ -170,14 +169,14 @@ DRIVER_ATTESTED_ROUND: dict[str, int] = {
     "stream_stream_join": 4, "stream_window_session": 4,
     "stream_window_sliding": 4, "stream_window_tumbling": 4,
     "text_adaptive_length_filter": 4, "text_bigram_collocations": 4,
-    "text_bigram_surprisal": 4, "text_bpe_encode": 4,
-    "text_bpe_merges": 4, "text_char_entropy": 4, "text_span_dedup":
+    "text_bigram_surprisal": 4, "text_bpe_encode": 6,
+    "text_bpe_merges": 6, "text_char_entropy": 6, "text_span_dedup":
     4, "text_span_scrub": 4, "text_surprisal_score": 4,
     "window_streaks": 4,
     # round 5 (CORRECTNESS_r05.json):
-    "agg_bitmap_distinct": 5, "agg_entropy_by_group": 5,
+    "agg_bitmap_distinct": 5, "agg_entropy_by_group": 6,
     "agg_median_twolevel": 5, "agg_skew_kurtosis_exact": 5,
-    "agg_weighted_median": 5, "dedup_minhash_audit_sampled": 5,
+    "agg_weighted_median": 5, "dedup_minhash_audit_sampled": 6,
     "events_activity_concentration": 5, "events_adoption_curve": 5,
     "events_audience_overlap": 5, "events_bot_rate_gate": 5,
     "events_changepoint_cusum": 5, "events_cohort_ltv": 5,
@@ -185,15 +184,15 @@ DRIVER_ATTESTED_ROUND: dict[str, int] = {
     "events_forecast_backtest": 5, "events_funnel_conversion_time":
     5, "events_seasonality_profile": 5,
     "events_session_gap_histogram": 5, "events_trending_topk": 5,
-    "graph_degree_distribution": 5, "graph_triangle_count": 5,
+    "graph_degree_distribution": 6, "graph_triangle_count": 6,
     "join_interval_overlap": 5, "join_scd2_pointintime": 5,
     "layout_compact_small_files": 5, "mix_epoch_repeat_plan": 5,
     "quality_corpus_datasheet": 5, "quality_dup_rate_by_source": 5,
     "quality_ks_test": 5, "quality_label_balance": 5,
-    "quality_monotonic_id_audit": 5, "quality_null_completeness": 5,
+    "quality_monotonic_id_audit": 6, "quality_null_completeness": 5,
     "quality_outlier_iqr": 5, "sim_knn_label_vote": 5,
     "sql_exists_not_exists": 5, "stream_bot_alerts": 5,
-    "stream_watermark_audit": 5, "text_char_entropy_scaled": 5,
+    "stream_watermark_audit": 5, "text_char_entropy_scaled": 6,
     "text_ngram_novelty": 5, "tpch_q11_value_share": 5,
     "tpch_q13_order_distribution": 5, "tpch_q15_top_supplier": 5,
     "tpch_q16_supplier_variety": 5, "tpch_q17_small_qty_revenue": 5,
@@ -201,6 +200,21 @@ DRIVER_ATTESTED_ROUND: dict[str, int] = {
     "tpch_q8_market_share": 5, "tpch_q9_profit": 5,
     "window_max_drawdown": 5, "window_open_intervals": 5,
     "window_order_gaps": 5,
+    # round 6 (CORRECTNESS_r06.json, first attestation):
+    "agg_bitmap_distinct_merge": 6, "agg_histogram_equidepth": 6,
+    "dedup_cluster_size_profile": 6, "dedup_clusters": 6,
+    "dedup_editdist_neighborhood": 6, "dedup_source_overlap": 6,
+    "events_attribution_position": 6, "events_diff_in_means": 6,
+    "events_markov_stationary": 6, "events_sample_ratio_mismatch": 6,
+    "events_survival_table": 6, "events_trend_slope_theilsen": 6,
+    "graph_connected_components": 6, "graph_pagerank": 6,
+    "ingest_text_log_parse": 6, "layout_partitioned_prune": 6,
+    "multimodal_phash_cluster": 6, "quality_candidate_keys": 6,
+    "quality_chi2_independence": 6, "quality_psi_drift": 6,
+    "quality_split_leakage_audit": 6, "sim_gram_matrix": 6,
+    "sim_mmr_diverse_topk": 6, "stream_dim_join": 6, "text_vocab_growth": 6,
+    "window_interval_merge": 6, "window_rolling_regression": 6,
+
 }
 
 DRIVER_PASSED = frozenset(DRIVER_ATTESTED_ROUND)
@@ -211,39 +225,9 @@ DRIVER_PASSED = frozenset(DRIVER_ATTESTED_ROUND)
 # window (regression risk beats staleness).  Cleared per name once the
 # window re-attests it (i.e. when its DRIVER_ATTESTED_ROUND catches up).
 ROUND_TOUCHED: dict[str, int] = {
-    # round 6: integer-division entropy fix (ADVICE r5), BPE scratch
-    # path now session-keyed, sampled-audit shingle relation memoized.
-    "agg_entropy_by_group": 6,
-    "text_char_entropy": 6,
-    "text_char_entropy_scaled": 6,
-    "text_bpe_merges": 6,
-    "text_bpe_encode": 6,
-    "dedup_minhash_audit_sampled": 6,
-    # round 6: co-occurrence edge list now session-memoized
-    # (ensure_item_edges) and shared by every graph consumer.
-    "events_item_cooccurrence": 6,
-    "graph_triangle_count": 6,
-    "graph_degree_distribution": 6,
-    # round 6: zero-row Arrow-batch guards added inside the multimodal
-    # mapInPandas kernels (phash_hashes, _media_features,
-    # _fake_decode_batch, frame explode/energy, resize_pool) — the
-    # guard paths are new code on attested queries, so they jump the
-    # window (regression risk beats staleness).
-    "multimodal_phash_dedup": 6,
-    "multimodal_phash_hamming": 6,
-    "multimodal_media_features": 6,
-    "multimodal_scene_cuts": 6,
-    "multimodal_silence_trim": 6,
-    "multimodal_frame_explode": 6,
-    "multimodal_frame_energy": 6,
-    "multimodal_resize_pool": 6,
-    # round 6: refactored to ride the shared attributed_clicks relation
-    # (same plan; the position model credits the same substructure).
-    "events_attribution_linear": 6,
-    # round 6: exact distinct rewritten from the id-grain
-    # COUNT(DISTINCT) to the bitmap word-mask route after the 1000x
-    # measurement (34.9 s -> ~4 s on 150M ids); oracle unchanged.
-    "quality_monotonic_id_audit": 6,
+    # (empty: every round-6-touched name re-attested in CORRECTNESS_r06;
+    # stamp queries round 7 touches here.)
+
 }
 
 
