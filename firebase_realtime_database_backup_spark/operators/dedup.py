@@ -2535,8 +2535,12 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight by the mask's sid count, and every (a, b) common count
     falls out of one tiny aggregate — the agg_bitmap_distinct
     discipline applied to set-intersection counting.  Measured 44.6 →
-    ~3 s at 100×.  Beyond 64 sources the mask splits into words
-    exactly like the bitmap-distinct family."""
+    ~3 s at 100×.  Beyond 64 sources the set splits into ceil(n/64)
+    word columns (one conditional BIT_OR each, same single sid-grain
+    exchange — Spark's shiftleft wraps the shift amount mod 64, so a
+    single-word mask would silently alias source 64 onto source 0);
+    the word count is a bounded driver scalar (#feeds, the src_idx
+    broadcast's own size)."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
     srcs = docs.select("source").distinct()
     src_idx = srcs.select(
@@ -2545,21 +2549,39 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.orderBy("source")) - 1
         ).alias("idx"),
     )
+    n_src = src_idx.count()  # bounded: the number of distinct feeds
+    n_words = max(1, (n_src + 63) // 64)
+    word_cols = [
+        F.coalesce(
+            F.bit_or(
+                F.when(
+                    F.col("idx").between(w * 64, w * 64 + 63),
+                    F.expr(f"shiftleft(1L, idx - {w * 64})"),
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias(f"m{w}")
+        for w in range(n_words)
+    ]
     sid_mask = (
         doc_shingle_ids(spark, sf_dir)
         .join(F.broadcast(docs.join(F.broadcast(src_idx), "source")
                           .select("doc_id", "idx")),
               "doc_id")
         .groupBy("sid")
-        .agg(
-            F.bit_or(F.expr("shiftleft(1L, idx)")).alias("mask")
-        )
+        .agg(*word_cols)
     )
-    mask_counts = sid_mask.groupBy("mask").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_sids")
-    )
+    mask_counts = sid_mask.groupBy(
+        *[f"m{w}" for w in range(n_words)]
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_sids"))
+    # global source index per set bit: word w bit i -> idx = w*64 + i
     bits = F.expr(
-        "filter(sequence(0, 63), i -> (mask & shiftleft(1L, i)) != 0)"
+        "concat(" + ", ".join(
+            f"transform(filter(sequence(0, 63),"
+            f" i -> (m{w} & shiftleft(1L, i)) != 0),"
+            f" i -> i + {w * 64})"
+            for w in range(n_words)
+        ) + ")"
     )
     # per-source sizes: one row per set bit
     sizes = (

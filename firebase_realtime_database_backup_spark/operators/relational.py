@@ -8381,11 +8381,19 @@ def _markov_stationary_oracle() -> str:
     s = MARKOV_PI_SCALE
     steps = []
     for k in range(1, MARKOV_PI_ITERS + 1):
+        # LEFT JOIN back against the full states relation: a state with
+        # outgoing transitions but zero inbound edges (never a to_type,
+        # and no self-loop since it IS on the from-side) must persist
+        # with mass 0 — the driver-side replay keeps every state, so an
+        # inner-join oracle would drop the row and break the hash.
         steps.append(
-            f"p{k} AS (SELECT t.to_type AS state,"
-            f" CAST(SUM((p.mass * t.q) // {s}) AS BIGINT) AS mass"
+            f"p{k} AS (SELECT s0.state,"
+            f" CAST(COALESCE(m.mass, 0) AS BIGINT) AS mass"
+            f" FROM states s0 LEFT JOIN ("
+            f"SELECT t.to_type AS state,"
+            f" SUM((p.mass * t.q) // {s}) AS mass"
             f" FROM p{k - 1} p JOIN q t ON t.from_type = p.state"
-            f" GROUP BY t.to_type)"
+            f" GROUP BY t.to_type) m ON m.state = s0.state)"
         )
     last = f"p{MARKOV_PI_ITERS}"
     return f"""

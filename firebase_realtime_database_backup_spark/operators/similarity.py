@@ -2340,7 +2340,18 @@ def sim_pca_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )  # d rows — bounded driver state
+    out_schema = (
+        "component int, eigenvalue double, var_ratio double, "
+        "cum_ratio double"
+    )
+    # Degenerate-corpus guards (the sim_mmr_diverse_topk discipline):
+    # an empty embeddings table yields zero sum rows (sums[0] would
+    # raise), and a 1-row corpus has no sample covariance (n - 1 == 0).
+    if not sums:
+        return spark.createDataFrame([], out_schema)
     n = sums[0].nd  # every i0 carries the same total row count
+    if n < 2:
+        return spark.createDataFrame([], out_schema)
     s = np.zeros(DIM, dtype=np.int64)
     for r in sums:
         s[r.i0] = r.s
@@ -2353,10 +2364,13 @@ def sim_pca_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = np.linalg.eigvalsh(cov)[::-1]  # descending
     total = float(ev.sum())
     cum = np.cumsum(ev)
-    rows = [
-        (k + 1, float(ev[k]), float(ev[k] / total), float(cum[k] / total))
-        for k in range(DIM)
-    ]
-    return spark.createDataFrame(
-        rows, "component int, eigenvalue double, var_ratio double, cum_ratio double"
-    )
+    if total == 0.0:
+        # all-zero (or all-identical) vectors: zero variance anywhere,
+        # so the ratio is a 0/0 — report 0.0 rather than NaN
+        rows = [(k + 1, float(ev[k]), 0.0, 0.0) for k in range(DIM)]
+    else:
+        rows = [
+            (k + 1, float(ev[k]), float(ev[k] / total), float(cum[k] / total))
+            for k in range(DIM)
+        ]
+    return spark.createDataFrame(rows, out_schema)

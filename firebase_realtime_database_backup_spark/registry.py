@@ -225,9 +225,15 @@ DRIVER_PASSED = frozenset(DRIVER_ATTESTED_ROUND)
 # window (regression risk beats staleness).  Cleared per name once the
 # window re-attests it (i.e. when its DRIVER_ATTESTED_ROUND catches up).
 ROUND_TOUCHED: dict[str, int] = {
-    # (empty: every round-6-touched name re-attested in CORRECTNESS_r06;
-    # stamp queries round 7 touches here.)
-
+    # round 7 (ADVICE r6): source-set masks split into ceil(n/64) words
+    # (>64 sources no longer alias mod 64); the stationary-distribution
+    # oracle LEFT JOINs each power-iteration step against the full
+    # states relation (zero-inbound states keep their mass-0 row); the
+    # text-log generator sanitizes \n/\r out of mangled payloads so
+    # corrupt rows stay one physical line.
+    "dedup_source_overlap": 7,
+    "events_markov_stationary": 7,
+    "ingest_text_log_parse": 7,
 }
 
 

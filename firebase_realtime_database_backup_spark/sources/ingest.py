@@ -398,7 +398,12 @@ def ingest_text_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "evt#%d#u%d#%s#%d",
                 F.col("event_id"),
                 F.col("user_id"),
-                F.col("event_type"),
+                # the payload of a corrupt line is irrelevant to the
+                # audit, but it must stay ONE physical line: a raw
+                # event_type carrying \n or \r would be split by the
+                # .text() writer into multiple lines and read-back
+                # n_bad would diverge from the oracle's per-row count
+                F.regexp_replace(F.col("event_type"), r"[\r\n]", " "),
                 F.col("cents"),
             ),
             F.lit("evt#malformed"),  # NULL fields: a fixed bad line

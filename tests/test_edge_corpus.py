@@ -569,3 +569,175 @@ def test_bpe_merges_match_reference_and_oracle(spark, bpe_dir):
         .orderBy("merge_rank").collect()
     ]
     assert got == expected, (got, expected)
+
+
+@pytest.fixture(scope="module")
+def advice7_dir(tmp_path_factory):
+    """Round-7 ADVICE shapes no prior corpus exercises:
+
+    - documents spread over 70 distinct sources (> one 64-bit word):
+      Spark's shiftleft wraps the shift amount mod 64, so the
+      single-word source-overlap mask silently aliased source 64 onto
+      source 0 — the multi-word split must keep every pair exact.
+      Sources 0-4 additionally CONTAIN source 65-69's unique shingle,
+      so cross-word pair bits (word 0 x word 1) carry real counts;
+    - an event stream where state 'entry' has outgoing transitions but
+      ZERO inbound edges (never a to_type, and no self-loop since it
+      is on the from-side): the stationary-distribution oracle must
+      keep it at mass 0 like the driver replay does;
+    - an event_type carrying an embedded newline: the text-log
+      generator must keep its mangled line ONE physical line or
+      read-back n_bad diverges from the oracle's per-row count;
+    - an embeddings table with exactly ONE row (no sample covariance)
+      for the PCA degenerate guard."""
+    d = str(tmp_path_factory.mktemp("advice7_corpus"))
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.001"
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem"):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet') LIMIT 0)"
+            f" TO '{os.path.join(d, t + '.parquet')}' (FORMAT PARQUET)"
+        )
+    con.execute(
+        f"""
+        COPY (
+          SELECT CAST(r AS BIGINT) AS doc_id,
+                 'shared overlap shingle' AS text,
+                 'en' AS lang,
+                 'src' || LPAD(CAST(r AS VARCHAR), 2, '0') AS source,
+                 CAST(22 AS BIGINT) AS n_chars
+          FROM range(70) t(r)
+          UNION ALL
+          SELECT CAST(100 + r AS BIGINT),
+                 'uniq' || r || ' alpha beta', 'en',
+                 'src' || LPAD(CAST(r AS VARCHAR), 2, '0'),
+                 CAST(20 AS BIGINT)
+          FROM range(70) t(r)
+          UNION ALL
+          -- sources 0-4 also hold the unique shingle of sources 65-69
+          SELECT CAST(200 + r AS BIGINT),
+                 'uniq' || (65 + r) || ' alpha beta', 'en',
+                 'src' || LPAD(CAST(r AS VARCHAR), 2, '0'),
+                 CAST(20 AS BIGINT)
+          FROM range(5) t(r)
+        ) TO '{os.path.join(d, "documents.parquet")}' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM (VALUES
+            (1, TIMESTAMP '2024-06-01 00:00:00', 10, 'entry', 1.0, NULL),
+            (2, TIMESTAMP '2024-06-01 00:00:01', 10, 'view', 2.0, NULL),
+            (3, TIMESTAMP '2024-06-01 00:00:00', 11, 'entry', 3.0, NULL),
+            (4, TIMESTAMP '2024-06-01 00:00:01', 11, 'click', 4.0, NULL),
+            (5, TIMESTAMP '2024-06-01 00:00:02', 11, 'view', 5.0, NULL),
+            (6, TIMESTAMP '2024-06-01 00:00:03', 11, 'click', 6.0, NULL),
+            (7, TIMESTAMP '2024-06-01 00:00:00', 12, E'bad\\ntype', 7.0,
+             NULL),
+            (8, TIMESTAMP '2024-06-01 00:00:01', 12, 'view', 8.0, NULL),
+            (9, TIMESTAMP '2024-06-01 00:00:00', 13, E'bad\\rret', -2.5,
+             NULL),
+            (10, TIMESTAMP '2024-06-01 00:00:01', 13, 'purchase', 9.0, NULL)
+          ) t(event_id, ts, user_id, event_type, value, props)
+        ) TO '{os.path.join(d, "events.parquet")}' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{src}/embeddings.parquet') LIMIT 1
+        ) TO '{os.path.join(d, "embeddings.parquet")}' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    return d
+
+
+def test_source_overlap_beyond_64_sources(spark, advice7_dir):
+    """70 distinct sources force the two-word mask path; the sid-grain
+    self-join oracle is word-size-blind, so any mod-64 aliasing breaks
+    the hash.  Also pins the cross-word pair bits (src00-04 contain
+    src65-69's unique shingle -> containment 1.0 on word-0 x word-1
+    pairs)."""
+    import __spark_entry__ as e
+
+    con = verify.duckdb_connection(advice7_dir)
+    r = verify.compare_query(
+        spark, con, "dedup_source_overlap",
+        e.queries()["dedup_source_overlap"],
+        e.oracle_sql()["dedup_source_overlap"], advice7_dir,
+    )
+    assert r.ok, r.details
+    out = {
+        (row.source_a, row.source_b): row
+        for row in e.queries()["dedup_source_overlap"](spark, advice7_dir)
+        .collect()
+    }
+    # every one of the C(70,2) pairs shares the common shingle
+    assert len(out) == 70 * 69 // 2
+    # cross-word containment: src65's unique shingle lives in src00 too
+    row = out[("src00", "src65")]
+    assert row.n_common == 2 and row.containment == 1.0, row
+
+
+def test_markov_stationary_source_only_state(spark, advice7_dir):
+    """'entry' precedes other states but nothing ever precedes it: the
+    oracle's power-iteration steps must keep it as an explicit mass-0
+    row (LEFT JOIN against states) exactly like the driver replay."""
+    import __spark_entry__ as e
+
+    con = verify.duckdb_connection(advice7_dir)
+    r = verify.compare_query(
+        spark, con, "events_markov_stationary",
+        e.queries()["events_markov_stationary"],
+        e.oracle_sql()["events_markov_stationary"], advice7_dir,
+    )
+    assert r.ok, r.details
+    pi = {
+        row.event_type: row.pi_fixed
+        for row in e.queries()["events_markov_stationary"](
+            spark, advice7_dir
+        ).collect()
+    }
+    assert pi["entry"] == 0  # present, with exactly zero mass
+
+
+def test_text_log_parse_newline_event_type(spark, advice7_dir):
+    """An event_type embedding \\n or \\r is corrupt by definition
+    (fails the word-type predicate), but its mangled line must stay ONE
+    physical line so read-back n_bad equals the oracle's per-row
+    count."""
+    import __spark_entry__ as e
+
+    con = verify.duckdb_connection(advice7_dir)
+    r = verify.compare_query(
+        spark, con, "ingest_text_log_parse",
+        e.queries()["ingest_text_log_parse"],
+        e.oracle_sql()["ingest_text_log_parse"], advice7_dir,
+    )
+    assert r.ok, r.details
+
+
+def test_pca_degenerate_corpora(spark, advice7_dir, tmp_path):
+    """sim_pca_variance_explained on a 1-row corpus (no sample
+    covariance) and on an EMPTY embeddings table must return an empty
+    frame instead of raising (IndexError / ZeroDivisionError)."""
+    from firebase_realtime_database_backup_spark.operators.similarity import (
+        sim_pca_variance_explained,
+    )
+
+    assert sim_pca_variance_explained(spark, advice7_dir).count() == 0
+
+    empty_dir = str(tmp_path / "pca_empty")
+    os.makedirs(empty_dir)
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet("
+        f"'/root/testdata/sf0.001/embeddings.parquet') LIMIT 0)"
+        f" TO '{os.path.join(empty_dir, 'embeddings.parquet')}'"
+        f" (FORMAT PARQUET)"
+    )
+    con.close()
+    assert sim_pca_variance_explained(spark, empty_dir).count() == 0
