@@ -240,6 +240,7 @@ HEADLINE = [
     "quality_ks_test",
     "events_bot_rate_gate",
     "window_order_gaps",
+    "window_order_gaps_twolevel",
     "quality_outlier_iqr",
     "sim_knn_label_vote",
     "sim_knn_label_vote_arrow",
@@ -266,6 +267,7 @@ HEADLINE = [
     "quality_chi2_independence",
     # round 6 continuation
     "dedup_editdist_neighborhood",
+    "dedup_editdist_sampled",
     "quality_candidate_keys",
     "sim_gram_matrix",
     "sim_mmr_diverse_topk",

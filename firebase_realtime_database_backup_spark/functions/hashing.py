@@ -60,3 +60,45 @@ def knuth_bucket_sql(expr: str, buckets: int) -> str:
 def knuth_hash_sql(expr: str) -> str:
     """DuckDB fragment computing exactly :func:`knuth_hash`."""
     return f"CAST(((CAST({expr} AS BIGINT) % {M31}) * {KNUTH}) % {M31} AS BIGINT)"
+
+
+#: Suffix length for the cross-engine STRING bucket: 8 tail characters
+#: give 31^8 ≈ 8.5e11 distinct keys before the Knuth mix — plenty for
+#: sampling; the TAIL because generated/serial names (Customer#000...x)
+#: share long constant prefixes and vary at the end.
+_STR_TAIL = 8
+
+
+def string_bucket(col: Column, buckets: int) -> Column:
+    """Deterministic bucket in ``[0, buckets)`` of a STRING column,
+    bit-identical between Spark and DuckDB (:func:`string_bucket_sql`).
+
+    Neither engine's native string hash matches the other's
+    (xxhash64 vs duckdb hash), so sampling by name needs a shared
+    formula: a base-31 polynomial over the last ``_STR_TAIL``
+    characters' code points, then the same Knuth multiplicative mix as
+    :func:`knuth_bucket`.  Guarded per position with CASE (not bare
+    substring) because the engines disagree on substring semantics at
+    position <= 0."""
+    key = F.lit(0).cast("long")
+    for i in range(_STR_TAIL):
+        c = F.when(
+            F.length(col) > i,
+            F.ascii(F.substring(col, F.length(col) - F.lit(i), F.lit(1))),
+        ).otherwise(F.lit(0))
+        key = key * 31 + c.cast("long")
+    key = F.pmod(key, F.lit(M31))
+    return F.pmod(key * F.lit(KNUTH), F.lit(M31)).cast("bigint") % buckets
+
+
+def string_bucket_sql(expr: str, buckets: int) -> str:
+    """DuckDB fragment computing exactly :func:`string_bucket`."""
+    key = "CAST(0 AS BIGINT)"
+    for i in range(_STR_TAIL):
+        c = (
+            f"CASE WHEN LENGTH({expr}) > {i} THEN "
+            f"ASCII(SUBSTRING({expr}, LENGTH({expr}) - {i}, 1)) "
+            f"ELSE 0 END"
+        )
+        key = f"(({key}) * 31 + CAST({c} AS BIGINT))"
+    return f"CAST(((({key}) % {M31}) * {KNUTH}) % {M31} AS BIGINT) % {buckets}"

@@ -443,18 +443,44 @@ def multimodal_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue  # zero-row batch: nothing to emit (uniform guard across all mapInPandas kernels; the np.stack-based kernels in similarity/dedup hard-require it)
-            ids, cells, vals = [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                buf = np.frombuffer(payload, dtype=np.uint8)
-                raster = np.resize(buf.astype(np.int64), 64).reshape(8, 8)
-                pooled = (
-                    raster.reshape(4, POOL, 4, POOL).swapaxes(1, 2).reshape(16, 4)
-                    .sum(axis=1) // (POOL * POOL)
-                )
-                ids.extend([int(doc_id)] * 16)
-                cells.extend(range(16))
-                vals.extend(int(v) for v in pooled)
-            yield pd.DataFrame({"doc_id": ids, "cell": cells, "pooled": vals})
+            # Whole-batch vectorization (the gram_partials shape): one
+            # concatenated byte buffer + a (n, 64) modular gather
+            # replaces the per-row np.resize loop — np.resize's byte
+            # tiling IS buf[k % len], so the gather is semantics-exact.
+            plist = pdf["payload"].to_numpy()
+            n = len(plist)
+            lens = np.fromiter(
+                (len(p) for p in plist), dtype=np.int64, count=n
+            )
+            flat = np.frombuffer(b"".join(plist), dtype=np.uint8).astype(
+                np.int64
+            )
+            offs = np.concatenate(([0], np.cumsum(lens[:-1])))
+            safe = np.maximum(lens, 1)  # empty payloads: avoid mod-0
+            idx = offs[:, None] + (np.arange(64)[None, :] % safe[:, None])
+            if flat.size:
+                gathered = flat[np.minimum(idx, flat.size - 1)]
+            else:
+                gathered = np.zeros((n, 64), dtype=np.int64)
+            # an empty payload rasters to all-zeros (np.resize of an
+            # empty buffer), matching the oracle's NULLIF/COALESCE pair
+            raster = np.where(lens[:, None] > 0, gathered, 0)
+            pooled = (
+                raster.reshape(n, 4, POOL, 4, POOL)
+                .swapaxes(2, 3)
+                .reshape(n, 16, POOL * POOL)
+                .sum(axis=2)
+                // (POOL * POOL)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(
+                        pdf["doc_id"].to_numpy().astype(np.int64), 16
+                    ),
+                    "cell": np.tile(np.arange(16, dtype=np.int64), n),
+                    "pooled": pooled.reshape(-1),
+                }
+            )
 
     return payloads.mapInPandas(pool, schema)
 

@@ -74,19 +74,15 @@ def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
-    """Same accumulator on Spark 4's transformWithStateInPandas — the
-    successor API to applyInPandasWithState: named state variables on a
-    processor handle (ValueState here; ListState/MapState/timers
-    available), native TTL support, and schema evolution of state.
-    Runs only on the RocksDB state store provider (set
-    spark.sql.streaming.stateStore.providerClass accordingly) and
-    requires the `protobuf` package (the processor talks to the JVM
-    state server over a protobuf protocol).  protobuf is not installed
-    in this offline container, so the parity test self-skips here and
-    runs wherever protobuf is present; applyInPandasWithState
-    (stateful_user_totals_stream) is the fully-tested production path
-    in this environment."""
+def _make_user_totals_processor():
+    """Build the transformWithStateInPandas processor CLASS at module
+    scope so its state-fold logic is drivable without the streaming
+    runtime: `pyspark.sql.streaming.stateful_processor` imports clean
+    without protobuf (only the live JVM state-server protocol needs
+    it), which lets the parity test in this offline container execute
+    handleInputRows against a faithful in-memory ValueState instead of
+    skipping — the accumulator semantics (OUR code) run everywhere;
+    only Spark's own wire protocol requires protobuf."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -120,8 +116,25 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return UserTotalsProcessor
+
+
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Same accumulator on Spark 4's transformWithStateInPandas — the
+    successor API to applyInPandasWithState: named state variables on a
+    processor handle (ValueState here; ListState/MapState/timers
+    available), native TTL support, and schema evolution of state.
+    Runs only on the RocksDB state store provider (set
+    spark.sql.streaming.stateStore.providerClass accordingly) and
+    requires the `protobuf` package at RUNTIME (the processor talks to
+    the JVM state server over a protobuf protocol).  Where protobuf is
+    absent the parity test drives the processor class directly over
+    the same micro-batch splits (_make_user_totals_processor), so the
+    accumulator logic is tested everywhere; applyInPandasWithState
+    (stateful_user_totals_stream) is the non-protobuf production
+    path."""
     return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=UserTotalsProcessor(),
+        statefulProcessor=_make_user_totals_processor()(),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",

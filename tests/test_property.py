@@ -303,3 +303,51 @@ def test_knuth_hash_overflow_safe_and_backward_compatible(ids, buckets):
         # intermediate bound: the pre-reduced multiplicand never exceeds
         # BIGINT (the naive form does for i >= ~3.5e9)
         assert (i % M31) * KNUTH < 2**63
+
+
+def test_string_bucket_cross_engine_parity(spark):
+    """string_bucket (the name-grain sampling predicate behind
+    dedup_editdist_sampled) must be bit-identical between Spark and
+    DuckDB on adversarial strings: empty, 1-char, long, shared-prefix
+    serial ids, non-ASCII, embedded newline."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from firebase_realtime_database_backup_spark.functions.hashing import (
+        string_bucket,
+        string_bucket_sql,
+    )
+
+    names = [
+        "",
+        "a",
+        "Customer#000000001",
+        "Customer#000000002",
+        "Customer#001499999",
+        "Zürich straße",
+        "x" * 40,
+        "name\nwith newline",
+        "  trailing  ",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "s string")
+    got = {
+        r.s: r.b
+        for r in df.select(
+            "s", string_bucket(F.col("s"), 4).alias("b")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for n in names:
+        ob = con.execute(
+            f"SELECT {string_bucket_sql('s', 4)} FROM (SELECT ? AS s)", [n]
+        ).fetchone()[0]
+        assert got[n] == ob, (n, got[n], ob)
+    # and the sample is non-degenerate on a serial corpus
+    serial = spark.createDataFrame(
+        [(f"Customer#{i:09d}",) for i in range(4096)], "s string"
+    )
+    frac = (
+        serial.filter(string_bucket(F.col("s"), 4) == 0).count() / 4096
+    )
+    assert 0.15 < frac < 0.35, frac
