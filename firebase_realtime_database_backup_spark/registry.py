@@ -234,6 +234,29 @@ ROUND_TOUCHED: dict[str, int] = {
     "dedup_source_overlap": 7,
     "events_markov_stationary": 7,
     "ingest_text_log_parse": 7,
+    # round 7: doc_shingle_ids rerouted through the PERSISTED shingle
+    # table (ensure_shingle_table) — byte-identical relation, but the
+    # read path of every shingle consumer changed, so they jump the
+    # window (the round-6 zero-row-guard precedent).  Transitive
+    # closure: direct consumers + dedup_clusters / simhash_hamming /
+    # keep_best_quality, which call the consumer queries.
+    "dedup_minhash_lsh": 7,
+    "dedup_simhash": 7,
+    "dedup_simhash_hamming": 7,
+    "dedup_ngram_jaccard": 7,
+    "dedup_containment": 7,
+    "dedup_cross_corpus": 7,
+    "dedup_cross_corpus_xxhash": 7,
+    "dedup_minhash_xxhash": 7,
+    "dedup_minhash_estimate_audit": 7,
+    "dedup_minhash_audit_sampled": 7,
+    "dedup_clusters": 7,
+    "dedup_keep_best_quality": 7,
+    "text_ngram_novelty": 7,
+    "text_vocab_growth": 7,
+    # round 7: resize kernel vectorized (whole-batch modular gather
+    # replaces the per-row np.resize loop) — attested query, new code.
+    "multimodal_resize_pool": 7,
 }
 
 
