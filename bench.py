@@ -268,6 +268,8 @@ HEADLINE = [
     # round 6 continuation
     "dedup_editdist_neighborhood",
     "dedup_editdist_sampled",
+    "dedup_entity_resolution",
+    "mix_budget_apportion",
     "quality_candidate_keys",
     "sim_gram_matrix",
     "sim_mmr_diverse_topk",

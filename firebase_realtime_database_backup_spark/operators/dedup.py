@@ -2545,6 +2545,137 @@ def dedup_editdist_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ER_M = 0.95  #: P(field agrees | records are a true match) — the
+#: standard Fellegi-Sunter m-probability prior; u is estimated from
+#: the data (see dedup_entity_resolution).
+
+
+@REG.query(
+    "dedup_entity_resolution",
+    oracle=f"""
+    WITH names AS (SELECT DISTINCT c_name FROM customer),
+    cand AS (
+      SELECT a.c_name AS name_a, b.c_name AS name_b
+      FROM names a JOIN names b ON a.c_name < b.c_name
+      WHERE LEVENSHTEIN(a.c_name, b.c_name) <= 1
+    ),
+    attr AS (
+      SELECT c_name, MIN(c_nationkey) AS nat, MIN(c_mktsegment) AS seg
+      FROM customer GROUP BY c_name
+    ),
+    un AS (
+      SELECT CAST(SUM(n * n) AS DOUBLE) / (SUM(n) * SUM(n)) AS u
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n
+            FROM customer GROUP BY c_nationkey)
+    ),
+    us AS (
+      SELECT CAST(SUM(n * n) AS DOUBLE) / (SUM(n) * SUM(n)) AS u
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n
+            FROM customer GROUP BY c_mktsegment)
+    )
+    SELECT c.name_a, c.name_b,
+           CAST(a.nat = b.nat AS INT) AS agree_nation,
+           CAST(a.seg = b.seg AS INT) AS agree_segment,
+           ROUND(
+             (CASE WHEN a.nat = b.nat THEN LN({ER_M} / un.u)
+                   ELSE LN({1 - ER_M} / NULLIF(1 - un.u, 0)) END)
+             + (CASE WHEN a.seg = b.seg THEN LN({ER_M} / us.u)
+                     ELSE LN({1 - ER_M} / NULLIF(1 - us.u, 0)) END),
+             6) AS match_score
+    FROM cand c
+    JOIN attr a ON a.c_name = c.name_a
+    JOIN attr b ON b.c_name = c.name_b, un, us
+    """,
+)
+def dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage scoring over the FastSS candidate
+    pairs — the SCORE-AND-THRESHOLD stage every entity-resolution
+    pipeline runs after candidate generation, completing the cascade
+    (block: fuzzy_names -> enumerate: editdist_neighborhood -> score:
+    here).  A near-identical name alone is weak evidence; agreement on
+    the pair's OTHER fields is what separates "same entity, typo'd"
+    from "different entities with adjacent serial ids".
+
+    Per candidate pair and field f: weight = ln(m/u_f) on agreement,
+    ln((1-m)/(1-u_f)) on disagreement, where m = {ER_M} is the standard
+    prior for P(agree | match) and u_f — P(agree | NON-match) — is
+    ESTIMATED FROM THE CORPUS as the collision probability of f's
+    empirical value distribution, sum_v (n_v/N)^2: rare-valued fields
+    (24 nations) earn bigger agreement weights than coarse ones
+    (5 segments), with no labeled data needed.  The match score is the
+    log-likelihood ratio = sum of field weights.
+
+    Exactness: u is one exact-integer division (sum n_v^2 / N^2 over
+    exact counts), the weights are single lns of identical doubles,
+    and the final ROUND(,6) absorbs libm drift (the tfidf precedent).
+    The NULLIF guards the structurally-unreachable disagreement branch
+    when a field is constant (u = 1 means disagreement cannot occur;
+    DuckDB CASE is lazy but the guard keeps the expression total).
+
+    Plan: candidates come from the REGISTERED FastSS enumerator (same
+    plan, exact recall); attributes join back per side on the name key
+    (MIN-deduped per name, deterministic both engines); the two
+    u-statistics are 1-row aggregates attached by broadcast cross join
+    (bounded probes, BNL-lint-allowlisted).  Nothing beyond the
+    enumerator is data-sized: two value-grain counts + candidate-grain
+    arithmetic."""
+    names = dedup_editdist_neighborhood(spark, sf_dir).select(
+        "name_a", "name_b"
+    )
+    cust = read_table(spark, sf_dir, "customer")
+    attr = cust.groupBy("c_name").agg(
+        F.min("c_nationkey").alias("nat"),
+        F.min("c_mktsegment").alias("seg"),
+    )
+    def u_of(col):
+        counts = cust.groupBy(col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        return counts.agg(
+            (
+                F.sum(F.col("n") * F.col("n")).cast("double")
+                / (F.sum("n") * F.sum("n"))
+            ).alias("u")
+        )
+    u = (
+        u_of("c_nationkey").select(F.col("u").alias("u_nat"))
+        .crossJoin(F.broadcast(u_of("c_mktsegment")
+                               .select(F.col("u").alias("u_seg"))))
+    )
+    a = attr.select(
+        F.col("c_name").alias("name_a"),
+        F.col("nat").alias("nat_a"),
+        F.col("seg").alias("seg_a"),
+    )
+    b = attr.select(
+        F.col("c_name").alias("name_b"),
+        F.col("nat").alias("nat_b"),
+        F.col("seg").alias("seg_b"),
+    )
+    agree_nat = F.col("nat_a") == F.col("nat_b")
+    agree_seg = F.col("seg_a") == F.col("seg_b")
+    w_nat = F.when(agree_nat, F.log(F.lit(ER_M) / F.col("u_nat"))).otherwise(
+        F.log(F.lit(1 - ER_M) / F.nullif(F.lit(1.0) - F.col("u_nat"),
+                                         F.lit(0.0)))
+    )
+    w_seg = F.when(agree_seg, F.log(F.lit(ER_M) / F.col("u_seg"))).otherwise(
+        F.log(F.lit(1 - ER_M) / F.nullif(F.lit(1.0) - F.col("u_seg"),
+                                         F.lit(0.0)))
+    )
+    return (
+        names.join(a, "name_a")
+        .join(b, "name_b")
+        .crossJoin(F.broadcast(u))
+        .select(
+            "name_a",
+            "name_b",
+            agree_nat.cast("int").alias("agree_nation"),
+            agree_seg.cast("int").alias("agree_segment"),
+            F.round(w_nat + w_seg, 6).alias("match_score"),
+        )
+    )
+
+
 @REG.query(
     "dedup_cluster_size_profile",
     oracle="""

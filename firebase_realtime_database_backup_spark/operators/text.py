@@ -2909,6 +2909,107 @@ def text_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_EPOCH_BUDGET_X = 2
 
 
+MIX_APPORTION_DENOM = 3  #: budget = corpus_tokens div 3 — a fixed
+#: fraction so the apportionment is meaningful at every corpus scale.
+
+
+@REG.query(
+    "mix_budget_apportion",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(tokens) AS BIGINT) AS t,
+             CAST(SUM(tokens) // {MIX_APPORTION_DENOM} AS BIGINT) AS b
+      FROM toks
+    ),
+    quota AS (
+      SELECT source, tokens,
+             (tokens * b) // t AS base,
+             (tokens * b) % t AS rem,
+             b
+      FROM toks, tot
+    ),
+    ranked AS (
+      SELECT source, tokens, base, b,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+             CAST(b - SUM(base) OVER () AS BIGINT) AS leftover
+      FROM quota
+    )
+    SELECT source, tokens AS tokens_available,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens,
+           CAST(rk <= leftover AS INT) AS got_bonus
+    FROM ranked
+    """,
+)
+def mix_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT integer apportionment of a global token budget across
+    sources — the allocation step between "weights" (mix_epoch_repeat_
+    plan plans epochs from them) and "execution" (mix_weighted_sources
+    gates rows): given budget B = corpus div {MIX_APPORTION_DENOM},
+    each source gets floor(B * tokens_i / T) plus one of the
+    L = B - sum(floors) bonus tokens by LARGEST REMAINDER (Hamilton's
+    method) — the classic apportionment whose allocations sum to
+    EXACTLY B, with no floating quota ever computed.  Real pipelines
+    need the exact form: a per-source float share rounds to an
+    allocation that misses the budget by up to |sources| tokens, and
+    a downstream packer sized to B overflows or starves.
+
+    Exactness: everything is int64 (quota numerator tokens_i * B —
+    fits while corpus_tokens^2 / {MIX_APPORTION_DENOM} < 2^63, i.e.
+    corpus < ~5e9 tokens; past that the numerator moves to
+    DECIMAL(38,0), same plan); the remainder rank breaks ties by
+    (rem DESC, source ASC), deterministic in both engines; sum(alloc)
+    == B is pytest-pinned, not asserted by hope.
+
+    Plan: one map-side token count to the |sources| grain, a 1-row
+    totals broadcast (BNL-allowlisted), and one |sources|-row window —
+    nothing after the first aggregate is data-sized."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    toks = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tokens")
+    )
+    tot = toks.agg(
+        F.sum("tokens").cast("bigint").alias("t"),
+        # integer `div`, not `/`: float division + cast would lose
+        # exactness on large token totals
+        F.expr(
+            f"CAST(sum(tokens) AS BIGINT) div {MIX_APPORTION_DENOM}"
+        ).alias("b"),
+    )
+    quota = toks.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        F.expr("(tokens * b) div t").alias("base"),
+        F.expr("(tokens * b) % t").alias("rem"),
+        "b",
+    )
+    wrk = Window.orderBy(F.col("rem").desc(), "source")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = quota.select(
+        "source",
+        "tokens",
+        "base",
+        F.row_number().over(wrk).alias("rk"),
+        (F.col("b") - F.sum("base").over(wall)).cast("bigint")
+        .alias("leftover"),
+    )
+    bonus = F.col("rk") <= F.col("leftover")
+    return ranked.select(
+        "source",
+        F.col("tokens").alias("tokens_available"),
+        (F.col("base") + bonus.cast("bigint")).cast("bigint")
+        .alias("alloc_tokens"),
+        bonus.cast("int").alias("got_bonus"),
+    )
+
+
 @REG.query(
     "mix_epoch_repeat_plan",
     oracle=f"""

@@ -473,6 +473,13 @@ BNL_ONE_ROW_PROBES = {
     "quality_psi_drift": 3,
     # 1-row n_docs probe under the 10-row decile curve (round 6)
     "text_vocab_growth": 1,
+    # the quality_drift_chi2 shape: the 1-row (u_nat, u_seg) statistics
+    # row is itself a 1-row x 1-row cross join, then attaches to the
+    # candidate pairs (round 7)
+    "dedup_entity_resolution": 2,
+    # 1-row (corpus_total, budget) row under the |sources| grain
+    # (round 7)
+    "mix_budget_apportion": 1,
 }
 BNL_ALLOWED = BNL_DESIGNED | set(BNL_ONE_ROW_PROBES)
 
@@ -2056,3 +2063,28 @@ def test_order_gaps_twolevel_matches_teaching(spark, tmp_path):
     assert by_cust[1] == (1, 4, 0, 1.0, 104)
     # cust 3 gaps: 2, 3 -> interpolated median 2.5
     assert by_cust[3] == (3, 3, 2, 2.5, 3)
+
+
+def test_budget_apportion_books_balance(spark):
+    """Hamilton apportionment invariants: allocations sum to EXACTLY
+    the integer budget (corpus div 3), every source gets at least its
+    floor quota, and exactly `leftover` sources carry a +1 bonus."""
+    from pyspark.sql import functions as F
+
+    from firebase_realtime_database_backup_spark.operators.text import (
+        MIX_APPORTION_DENOM,
+        mix_budget_apportion,
+    )
+
+    df = mix_budget_apportion(spark, SF).collect()
+    total_tokens = sum(r.tokens_available for r in df)
+    budget = total_tokens // MIX_APPORTION_DENOM
+    assert sum(r.alloc_tokens for r in df) == budget
+    n_bonus = sum(r.got_bonus for r in df)
+    for r in df:
+        base = (r.tokens_available * budget) // total_tokens
+        assert r.alloc_tokens in (base, base + 1)
+        assert (r.alloc_tokens == base + 1) == bool(r.got_bonus)
+    # leftover = budget - sum(floors)
+    floors = sum((r.tokens_available * budget) // total_tokens for r in df)
+    assert n_bonus == budget - floors
