@@ -83,33 +83,33 @@ class Registry:
 # record implementation changes in ROUND_TOUCHED.
 DRIVER_ATTESTED_ROUND: dict[str, int] = {
     # round 1 (CORRECTNESS_r01.json):
-    "agg_count_distinct": 1, "agg_cube": 1, "agg_grouping_sets": 1,
-    "agg_percentiles": 1, "agg_pivot": 1, "agg_rollup": 1,
-    "events_cohort_retention": 1, "events_funnel": 1,
-    "events_resample_gapfill": 1, "events_sessionize": 1,
+    "agg_count_distinct": 7, "agg_cube": 7, "agg_grouping_sets": 7,
+    "agg_percentiles": 7, "agg_pivot": 7, "agg_rollup": 7,
+    "events_cohort_retention": 1, "events_funnel": 7,
+    "events_resample_gapfill": 7, "events_sessionize": 1,
     "filter_pushdown_range": 6, "flagship_revenue": 6, "join_asof":
-    1, "join_broadcast_dim": 1, "join_full_outer": 1,
-    "join_inner_equi": 6, "join_left_anti": 1, "join_left_outer": 1,
-    "join_left_semi": 1, "join_range_binned": 1,
-    "join_range_residual": 1, "join_right_outer": 1,
-    "join_salted_skew": 1, "join_theta_bnl": 1, "pricing_summary": 6, "sample_deterministic": 1, "set_except": 1, "set_except_all":
-    1, "set_intersect": 1, "set_union_all": 1, "set_union_distinct":
-    1, "sort_topk": 1, "sql_correlated_subquery": 1,
+    7, "join_broadcast_dim": 7, "join_full_outer": 7,
+    "join_inner_equi": 6, "join_left_anti": 7, "join_left_outer": 7,
+    "join_left_semi": 7, "join_range_binned": 7,
+    "join_range_residual": 7, "join_right_outer": 7,
+    "join_salted_skew": 7, "join_theta_bnl": 7, "pricing_summary": 6, "sample_deterministic": 7, "set_except": 7, "set_except_all":
+    1, "set_intersect": 7, "set_union_all": 7, "set_union_distinct":
+    1, "sort_topk": 7, "sql_correlated_subquery": 7,
     "sql_scalar_subquery": 1, "tpch_q10_returned_topk": 1,
-    "tpch_q14_promo": 1, "tpch_q18_big_orders": 1,
+    "tpch_q14_promo": 7, "tpch_q18_big_orders": 1,
     "tpch_q3_topk_revenue": 1, "tpch_q4_order_priority": 1,
-    "tpch_q5_local_volume": 1, "window_lag_lead": 1,
-    "window_nth_first_last": 1, "window_percent_dist": 1,
-    "window_range_frame": 1, "window_ranking": 1,
-    "window_running_frame": 1,
+    "tpch_q5_local_volume": 1, "window_lag_lead": 7,
+    "window_nth_first_last": 1, "window_percent_dist": 7,
+    "window_range_frame": 1, "window_ranking": 7,
+    "window_running_frame": 7,
     # round 2 (CORRECTNESS_r02.json):
-    "dedup_containment": 2, "dedup_content_hash": 2,
-    "dedup_cross_corpus": 2, "dedup_decontaminate": 2,
+    "dedup_containment": 7, "dedup_content_hash": 2,
+    "dedup_cross_corpus": 7, "dedup_decontaminate": 2,
     "dedup_embedding_cosine": 2, "dedup_embedding_cosine_scaled": 2,
     "dedup_exact": 2, "dedup_fuzzy_names": 2,
-    "dedup_keep_best_quality": 2, "dedup_minhash_lsh": 2,
-    "dedup_ngram_jaccard": 2, "dedup_simhash": 2,
-    "dedup_simhash_hamming": 2, "mix_weighted_sources": 2,
+    "dedup_keep_best_quality": 7, "dedup_minhash_lsh": 7,
+    "dedup_ngram_jaccard": 7, "dedup_simhash": 7,
+    "dedup_simhash_hamming": 7, "mix_weighted_sources": 2,
     "pipeline_prepare_corpus": 2, "text_anonymize_keys": 2,
     "text_chunk_fixed": 2, "text_chunk_overlap": 2,
     "text_fingerprint": 2, "text_gopher_rules": 2, "text_lang_id":
@@ -131,7 +131,7 @@ DRIVER_ATTESTED_ROUND: dict[str, int] = {
     3, "json_extract_props": 3, "json_from_json_struct": 3,
     "mix_temperature_sampled": 3, "multimodal_frame_energy": 6,
     "multimodal_frame_explode": 6, "multimodal_media_features": 6,
-    "multimodal_phash_dedup": 6, "multimodal_resize_pool": 6,
+    "multimodal_phash_dedup": 6, "multimodal_resize_pool": 7,
     "multimodal_scene_cuts": 6, "multimodal_silence_trim": 6,
     "quality_audit_constraints": 3, "quality_winsorize": 3,
     "scalar_array_funcs": 3, "scalar_bitwise_funcs": 3,
@@ -151,7 +151,7 @@ DRIVER_ATTESTED_ROUND: dict[str, int] = {
     "agg_countmin_sketch": 4, "agg_heavy_hitters": 4,
     "agg_mode_per_group": 4, "agg_regression_exact": 4,
     "agg_string_agg": 4, "dedup_cross_corpus_cosine": 4,
-    "dedup_minhash_estimate_audit": 4, "events_anomaly_mad": 4,
+    "dedup_minhash_estimate_audit": 7, "events_anomaly_mad": 4,
     "events_attribution_linear": 6, "events_funnel_windowed": 4,
     "events_moving_median": 4, "events_rfm_scaled": 4,
     "events_sliding_distinct": 4, "events_top_sequences": 4,
@@ -176,7 +176,7 @@ DRIVER_ATTESTED_ROUND: dict[str, int] = {
     # round 5 (CORRECTNESS_r05.json):
     "agg_bitmap_distinct": 5, "agg_entropy_by_group": 6,
     "agg_median_twolevel": 5, "agg_skew_kurtosis_exact": 5,
-    "agg_weighted_median": 5, "dedup_minhash_audit_sampled": 6,
+    "agg_weighted_median": 5, "dedup_minhash_audit_sampled": 7,
     "events_activity_concentration": 5, "events_adoption_curve": 5,
     "events_audience_overlap": 5, "events_bot_rate_gate": 5,
     "events_changepoint_cusum": 5, "events_cohort_ltv": 5,
@@ -193,7 +193,7 @@ DRIVER_ATTESTED_ROUND: dict[str, int] = {
     "quality_outlier_iqr": 5, "sim_knn_label_vote": 5,
     "sql_exists_not_exists": 5, "stream_bot_alerts": 5,
     "stream_watermark_audit": 5, "text_char_entropy_scaled": 6,
-    "text_ngram_novelty": 5, "tpch_q11_value_share": 5,
+    "text_ngram_novelty": 7, "tpch_q11_value_share": 5,
     "tpch_q13_order_distribution": 5, "tpch_q15_top_supplier": 5,
     "tpch_q16_supplier_variety": 5, "tpch_q17_small_qty_revenue": 5,
     "tpch_q6_forecast": 5, "tpch_q7_volume_shipping": 5,
@@ -202,19 +202,21 @@ DRIVER_ATTESTED_ROUND: dict[str, int] = {
     "window_order_gaps": 5,
     # round 6 (CORRECTNESS_r06.json, first attestation):
     "agg_bitmap_distinct_merge": 6, "agg_histogram_equidepth": 6,
-    "dedup_cluster_size_profile": 6, "dedup_clusters": 6,
-    "dedup_editdist_neighborhood": 6, "dedup_source_overlap": 6,
+    "dedup_cluster_size_profile": 6, "dedup_clusters": 7,
+    "dedup_editdist_neighborhood": 6, "dedup_source_overlap": 7,
     "events_attribution_position": 6, "events_diff_in_means": 6,
-    "events_markov_stationary": 6, "events_sample_ratio_mismatch": 6,
+    "events_markov_stationary": 7, "events_sample_ratio_mismatch": 6,
     "events_survival_table": 6, "events_trend_slope_theilsen": 6,
     "graph_connected_components": 6, "graph_pagerank": 6,
-    "ingest_text_log_parse": 6, "layout_partitioned_prune": 6,
+    "ingest_text_log_parse": 7, "layout_partitioned_prune": 6,
     "multimodal_phash_cluster": 6, "quality_candidate_keys": 6,
     "quality_chi2_independence": 6, "quality_psi_drift": 6,
     "quality_split_leakage_audit": 6, "sim_gram_matrix": 6,
-    "sim_mmr_diverse_topk": 6, "stream_dim_join": 6, "text_vocab_growth": 6,
+    "sim_mmr_diverse_topk": 6, "stream_dim_join": 6, "text_vocab_growth": 7,
     "window_interval_merge": 6, "window_rolling_regression": 6,
-
+    # round 7 (CORRECTNESS_r07.json, first attestation):
+    "dedup_editdist_sampled": 7, "dedup_entity_resolution": 7,
+    "mix_budget_apportion": 7, "window_order_gaps_twolevel": 7,
 }
 
 DRIVER_PASSED = frozenset(DRIVER_ATTESTED_ROUND)
@@ -225,38 +227,13 @@ DRIVER_PASSED = frozenset(DRIVER_ATTESTED_ROUND)
 # window (regression risk beats staleness).  Cleared per name once the
 # window re-attests it (i.e. when its DRIVER_ATTESTED_ROUND catches up).
 ROUND_TOUCHED: dict[str, int] = {
-    # round 7 (ADVICE r6): source-set masks split into ceil(n/64) words
-    # (>64 sources no longer alias mod 64); the stationary-distribution
-    # oracle LEFT JOINs each power-iteration step against the full
-    # states relation (zero-inbound states keep their mass-0 row); the
-    # text-log generator sanitizes \n/\r out of mangled payloads so
-    # corrupt rows stay one physical line.
-    "dedup_source_overlap": 7,
-    "events_markov_stationary": 7,
-    "ingest_text_log_parse": 7,
-    # round 7: doc_shingle_ids rerouted through the PERSISTED shingle
-    # table (ensure_shingle_table) — byte-identical relation, but the
-    # read path of every shingle consumer changed, so they jump the
-    # window (the round-6 zero-row-guard precedent).  Transitive
-    # closure: direct consumers + dedup_clusters / simhash_hamming /
-    # keep_best_quality, which call the consumer queries.
-    "dedup_minhash_lsh": 7,
-    "dedup_simhash": 7,
-    "dedup_simhash_hamming": 7,
-    "dedup_ngram_jaccard": 7,
-    "dedup_containment": 7,
-    "dedup_cross_corpus": 7,
+    # round 7 shingle-table reroute touched these two xxhash twins too;
+    # they are ROWS-ONLY (dictionary-free production twins whose
+    # correctness pin is the pytest bit-identity assert against their
+    # oracle-backed siblings, which DID re-attest in r7), so the touch
+    # stamp is an audit record — the window ordering never sees them.
     "dedup_cross_corpus_xxhash": 7,
     "dedup_minhash_xxhash": 7,
-    "dedup_minhash_estimate_audit": 7,
-    "dedup_minhash_audit_sampled": 7,
-    "dedup_clusters": 7,
-    "dedup_keep_best_quality": 7,
-    "text_ngram_novelty": 7,
-    "text_vocab_growth": 7,
-    # round 7: resize kernel vectorized (whole-batch modular gather
-    # replaces the per-row np.resize loop) — attested query, new code.
-    "multimodal_resize_pool": 7,
 }
 
 
