@@ -345,7 +345,28 @@ def main() -> None:
     # exactly the cliff the cutoff exists to prevent.  6 s clears every
     # cache-building family member with margin; the >=6 s queries are
     # the iterative teaching anchors where single-shot is intended.
+    #
+    # Round 8 closes the cutoff's remaining cliff (VERDICT r7, "What's
+    # wrong" #1): a HISTORICALLY-fast query whose first shot spikes
+    # past the constant (text_tfidf recorded 9.24 s single-shot in the
+    # r7 driver run vs 1.31 s steady-state) got recorded at cold cost
+    # with no steady-state shot at all.  The rerun decision now also
+    # consults the PREVIOUS run's recorded time (BENCH_DETAIL.json is
+    # read before being overwritten): if the query measured fast last
+    # time, a spiked first shot earns a second shot and the min is
+    # recorded — the spike stays visible in the "cold" map.  Genuinely
+    # slow queries (fast in no run) remain single-shot, bounding total
+    # bench time.
     RERUN_UNDER_SEC = 6.0
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    prior: dict[str, float] = {}
+    try:
+        with open(detail_path) as fh:
+            prior = json.load(fh).get("queries", {}) or {}
+    except (OSError, ValueError):
+        pass
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
@@ -353,7 +374,10 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         elapsed = time.perf_counter() - t0
-        if elapsed < RERUN_UNDER_SEC:
+        if (
+            elapsed < RERUN_UNDER_SEC
+            or prior.get(name, float("inf")) < RERUN_UNDER_SEC
+        ):
             cold[name] = round(elapsed, 3)
             t1 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -364,10 +388,9 @@ def main() -> None:
     # The stdout line must stay compact — round 1's full 107-entry map
     # overflowed the driver's capture and left BENCH_r01 "parsed": null.
     # Headline JSON carries the total + the 10 slowest queries; the full
-    # per-query map goes to BENCH_DETAIL.json next to this script.
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    # per-query map goes to BENCH_DETAIL.json next to this script
+    # (detail_path was resolved — and the prior round's map consumed —
+    # before the timed loop above).
     with open(detail_path, "w") as fh:
         json.dump(
             {"sf": sf, "n_queries": len(times), "queries": times, "cold": cold},

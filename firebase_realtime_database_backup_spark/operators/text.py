@@ -138,31 +138,37 @@ def ensure_shingle_table(spark: SparkSession, sf_dir: str) -> str:
     freshly-computed aggregate subplan is too conservative to pick the
     broadcast automatically — without the hint this becomes a
     sort-merge join shuffling the full occurrence stream by shingle
-    string."""
-    import hashlib
+    string.
+
+    Round 8: the scratch path is CONTENT-keyed (corpus fingerprint) and
+    published atomically via scratch.publish_table, so a NEW session
+    reuses any live session's (or a dead session's) table instead of
+    re-paying the corpus-wide build — the 100 TB "never pay the
+    dictionary shuffle twice" claim now holds ACROSS sessions, not
+    just within one.  Concurrent same-corpus sessions race on one
+    os.rename; the loser discards its copy and reads the winner's
+    (no overwrite tear, the property the old per-session key bought
+    at the cost of a 780 s rebuild per session at the 1000x decade)."""
     import os
+
+    from ..scratch import is_published, publish_table
 
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     hit = _SHINGLE_TABLES.get(key)
-    if hit is not None:
+    if hit is not None and is_published(hit):
         return hit
-    sh = doc_shingles(spark, sf_dir)
-    out = (
-        sh.join(F.broadcast(shingle_vocab(sh)), "shingle")
-        .select("doc_id", "sid")
-        .distinct()
-    )
-    # scratch path keyed by (applicationId, corpus) exactly like the
-    # memo: concurrent sessions on the same corpus must not overwrite
-    # each other's table mid-read (the ensure_bpe_table rationale)
-    tag = hashlib.sha1("\x00".join(key).encode()).hexdigest()[:12]
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        os.pardir,
-        ".scratch",
-        f"shingle_table_{os.path.basename(os.path.normpath(sf_dir))}_{tag}",
-    )
-    out.write.mode("overwrite").parquet(path)
+
+    def build(tmp: str) -> None:
+        sh = doc_shingles(spark, sf_dir)
+        (
+            sh.join(F.broadcast(shingle_vocab(sh)), "shingle")
+            .select("doc_id", "sid")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+
+    path = publish_table("shingle_table", sf_dir, ("documents",), build)
     _SHINGLE_TABLES[key] = path
     return path
 
@@ -177,8 +183,12 @@ def doc_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-read, not a rebuild."""
     # applicationId, not id(spark): a recycled object address after a
     # session restart must not resurrect DataFrames bound to the dead
-    # session
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # session.  abspath matches _SHINGLE_TABLES' key normalization —
+    # two spellings of one corpus dir must share one cached relation,
+    # not double-pin executor storage (ADVICE r7).
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     cached = _DSHINGLE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -1966,30 +1976,31 @@ def ensure_bpe_table(spark: SparkSession, sf_dir: str) -> str:
     tokenize pass) reads the parquet back instead of re-running the
     loop.  The persisted form is byte-identical to the inline loop's
     output by construction (it IS that output, written once) and
-    asserted so in tests/test_plans.py."""
-    import hashlib
+    asserted so in tests/test_plans.py.
+
+    Round 8: CONTENT-keyed and atomically published via
+    scratch.publish_table (see ensure_shingle_table) — training is
+    paid once per CORPUS VERSION across all sessions, and a lost
+    publish race costs duplicate training CPU, never a torn read."""
     import os
+
+    from ..scratch import is_published, publish_table
 
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     hit = _BPE_TABLES.get(key)
-    if hit is not None:
+    if hit is not None and is_published(hit):
         return hit
-    final_vocab, merges = _bpe_loop(spark, sf_dir, BPE_MERGES)
-    # The scratch path is keyed by (applicationId, corpus) exactly like
-    # the memo: two concurrent sessions training the same corpus would
-    # otherwise write.mode("overwrite") the SAME directory and one
-    # session's read-back could tear against the other's overwrite.
-    tag = hashlib.sha1("\x00".join(key).encode()).hexdigest()[:12]
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        os.pardir,
-        ".scratch",
-        f"bpe_table_{os.path.basename(os.path.normpath(sf_dir))}_{tag}",
-    )
-    spark.createDataFrame(merges, _BPE_MERGES_SCHEMA).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "merges"))
-    final_vocab.write.mode("overwrite").parquet(os.path.join(path, "vocab"))
+
+    def build(tmp: str) -> None:
+        final_vocab, merges = _bpe_loop(spark, sf_dir, BPE_MERGES)
+        spark.createDataFrame(merges, _BPE_MERGES_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "merges"))
+        final_vocab.write.mode("overwrite").parquet(
+            os.path.join(tmp, "vocab")
+        )
+
+    path = publish_table("bpe_table", sf_dir, ("documents",), build)
     _BPE_TABLES[key] = path
     return path
 
@@ -2928,8 +2939,8 @@ MIX_APPORTION_DENOM = 3  #: budget = corpus_tokens div 3 — a fixed
     ),
     quota AS (
       SELECT source, tokens,
-             (tokens * b) // t AS base,
-             (tokens * b) % t AS rem,
+             CAST((CAST(tokens AS HUGEINT) * b) // t AS BIGINT) AS base,
+             CAST((CAST(tokens AS HUGEINT) * b) % t AS BIGINT) AS rem,
              b
       FROM toks, tot
     ),
@@ -2959,12 +2970,17 @@ def mix_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
     allocation that misses the budget by up to |sources| tokens, and
     a downstream packer sized to B overflows or starves.
 
-    Exactness: everything is int64 (quota numerator tokens_i * B —
-    fits while corpus_tokens^2 / {MIX_APPORTION_DENOM} < 2^63, i.e.
-    corpus < ~5e9 tokens; past that the numerator moves to
-    DECIMAL(38,0), same plan); the remainder rank breaks ties by
-    (rem DESC, source ASC), deterministic in both engines; sum(alloc)
-    == B is pytest-pinned, not asserted by hope.
+    Exactness: the quota numerator tokens_i * B is computed in 128-bit
+    integer arithmetic on BOTH engines — DECIMAL(38,0) here, HUGEINT
+    in the oracle — because at ~5e9 corpus tokens it overflows int64,
+    where non-ANSI Spark would WRAP silently while DuckDB raises
+    (ADVICE r7): the engines would diverge with a wrong answer on the
+    Spark side.  38 digits carry exactness past 10^19 corpus tokens
+    (numerator ~ T^2/{MIX_APPORTION_DENOM}), beyond any physical
+    corpus; base and rem both fit back in int64 (base <= B, rem < T).
+    The remainder rank breaks ties by (rem DESC, source ASC),
+    deterministic in both engines; sum(alloc) == B is pytest-pinned,
+    not asserted by hope.
 
     Plan: one map-side token count to the |sources| grain, a 1-row
     totals broadcast (BNL-allowlisted), and one |sources|-row window —
@@ -2984,8 +3000,15 @@ def mix_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
     quota = toks.crossJoin(F.broadcast(tot)).select(
         "source",
         "tokens",
-        F.expr("(tokens * b) div t").alias("base"),
-        F.expr("(tokens * b) % t").alias("rem"),
+        # 128-bit numerator (see docstring): DECIMAL(38,0) div/% are
+        # exact integer ops in Spark, verified bit-identical to the
+        # oracle's HUGEINT in tests/test_property.py.
+        F.expr(
+            "CAST((CAST(tokens AS DECIMAL(38,0)) * b) div t AS BIGINT)"
+        ).alias("base"),
+        F.expr(
+            "CAST((CAST(tokens AS DECIMAL(38,0)) * b) % t AS BIGINT)"
+        ).alias("rem"),
         "b",
     )
     wrk = Window.orderBy(F.col("rem").desc(), "source")

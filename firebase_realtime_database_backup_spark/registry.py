@@ -232,8 +232,33 @@ ROUND_TOUCHED: dict[str, int] = {
     # correctness pin is the pytest bit-identity assert against their
     # oracle-backed siblings, which DID re-attest in r7), so the touch
     # stamp is an audit record — the window ordering never sees them.
-    "dedup_cross_corpus_xxhash": 7,
-    "dedup_minhash_xxhash": 7,
+    "dedup_cross_corpus_xxhash": 8,
+    "dedup_minhash_xxhash": 8,
+    # round 8: the persisted shingle/BPE dictionaries moved from
+    # session-keyed to CONTENT-keyed scratch paths with atomic publish
+    # (scratch.py) — byte-identical relations, but the read path of
+    # every dictionary consumer changed again, so the r7 reroute
+    # cohort jumps the window once more (same transitive closure),
+    # now joined by the BPE readers.
+    "dedup_minhash_lsh": 8,
+    "dedup_simhash": 8,
+    "dedup_simhash_hamming": 8,
+    "dedup_ngram_jaccard": 8,
+    "dedup_containment": 8,
+    "dedup_cross_corpus": 8,
+    "dedup_minhash_estimate_audit": 8,
+    "dedup_minhash_audit_sampled": 8,
+    "dedup_clusters": 8,
+    "dedup_keep_best_quality": 8,
+    "dedup_source_overlap": 8,
+    "text_ngram_novelty": 8,
+    "text_vocab_growth": 8,
+    "text_bpe_merges": 8,
+    "text_bpe_encode": 8,
+    # round 8: mix_budget_apportion's quota numerator moved to 128-bit
+    # (DECIMAL(38,0) / HUGEINT) — identical values below the old int64
+    # bound, but the expression changed on both engines (ADVICE r7).
+    "mix_budget_apportion": 8,
 }
 
 

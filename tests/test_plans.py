@@ -2088,3 +2088,34 @@ def test_budget_apportion_books_balance(spark):
     # leftover = budget - sum(floors)
     floors = sum((r.tokens_available * budget) // total_tokens for r in df)
     assert n_bonus == budget - floors
+
+
+def test_budget_apportion_quota_past_int64(spark):
+    """The quota numerator tokens_i * B overflows int64 past ~5e9
+    corpus tokens; the 128-bit form (Spark DECIMAL(38,0), oracle
+    HUGEINT) must stay exact and cross-engine-identical there —
+    non-ANSI Spark would otherwise WRAP silently while DuckDB raises
+    (ADVICE r7)."""
+    import duckdb
+
+    # 6e9-token source in a 9e9 corpus: numerator 2.4e19 > 2^63.
+    cases = [
+        (6_000_000_000, 3_000_000_000, 9_000_000_000),
+        (9_999_999_999, 3_333_333_333, 9_999_999_999),
+        (2**62, 2**61, 2**62 + 12345),
+    ]
+    df = spark.createDataFrame(cases, "tokens long, b long, t long")
+    got = df.selectExpr(
+        "CAST((CAST(tokens AS DECIMAL(38,0)) * b) div t AS BIGINT) AS base",
+        "CAST((CAST(tokens AS DECIMAL(38,0)) * b) % t AS BIGINT) AS rem",
+    ).collect()
+    con = duckdb.connect()
+    for (tokens, b, t), row in zip(cases, got):
+        assert row.base == (tokens * b) // t, (tokens, b, t)
+        assert row.rem == (tokens * b) % t
+        ob, orem = con.execute(
+            "SELECT CAST((CAST(? AS HUGEINT) * ?) // ? AS BIGINT),"
+            " CAST((CAST(? AS HUGEINT) * ?) % ? AS BIGINT)",
+            [tokens, b, t, tokens, b, t],
+        ).fetchone()
+        assert (ob, orem) == (row.base, row.rem)

@@ -329,6 +329,15 @@ def test_string_bucket_cross_engine_parity(spark):
         "x" * 40,
         "name\nwith newline",
         "  trailing  ",
+        # Astral-plane (>U+FFFF) tails: Spark's UTF8String and DuckDB
+        # both index by CODE POINT, but that equivalence was unverified
+        # until ADVICE r7 asked for it — a divergence here would make
+        # the sampled-editdist oracle and Spark plan silently sample
+        # DIFFERENT name sets on emoji-bearing corpora.
+        "Customer \U0001F600",
+        "\U0001F680\U0001F600",
+        "mixed \U0001D11E clef G",
+        "\U0001F600" * 9,
     ]
     df = spark.createDataFrame([(n,) for n in names], "s string")
     got = {
