@@ -270,6 +270,11 @@ HEADLINE = [
     "dedup_editdist_sampled",
     "dedup_entity_resolution",
     "mix_budget_apportion",
+    # round 8: the completed entity-resolution cascade
+    "dedup_entity_resolution_sampled",
+    "dedup_entity_resolution_em",
+    "dedup_entity_clusters",
+    "dedup_entity_clusters_sampled",
     "quality_candidate_keys",
     "sim_gram_matrix",
     "sim_mmr_diverse_topk",

@@ -477,6 +477,16 @@ BNL_ONE_ROW_PROBES = {
     # row is itself a 1-row x 1-row cross join, then attaches to the
     # candidate pairs (round 7)
     "dedup_entity_resolution": 2,
+    # same scorer, sampled candidates (round 8)
+    "dedup_entity_resolution_sampled": 2,
+    # 1-row (u_nat x u_seg) init row onto the 1-row pattern pivot, then
+    # the fitted-parameter row attaches to the <=4-row pattern table —
+    # the EM sufficient statistic is 1 row by design (round 8)
+    "dedup_entity_resolution_em": 3,
+    # closure over the scorer: inherits its 2 probes; the fixpoint and
+    # size window add none (round 8)
+    "dedup_entity_clusters": 2,
+    "dedup_entity_clusters_sampled": 2,
     # 1-row (corpus_total, budget) row under the |sources| grain
     # (round 7)
     "mix_budget_apportion": 1,
