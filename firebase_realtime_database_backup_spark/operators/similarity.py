@@ -333,8 +333,35 @@ _DIST2 = (
 )
 
 
+def _nearest_cells(emb_col, ee_col, cents: list) -> "F.Column":
+    """Cells sorted by (d2, cid) as an array of structs — PURE column
+    math against the LITERAL centroid list: d2 = (ee - 2*dot(e, c)) +
+    cc with the same fold and the same arithmetic order as the window
+    form it replaced, so the doubles (and the tie order) are
+    bit-identical; array_sort on struct(d2, cid) is lexicographic,
+    exactly ORDER BY d2, cid."""
+    entries = [
+        F.struct(
+            (
+                ee_col
+                - 2 * _dot(F.array(*[F.lit(v) for v in ce]), emb_col)
+                + F.lit(cc)
+            ).alias("d2"),
+            F.lit(cid).cast("bigint").alias("cid"),
+        )
+        for cid, ce, cc in cents
+    ]
+    return F.array_sort(F.array(*entries))
+
+
+
 @REG.query(
     "sim_ivf_topk",
+    prod_twin="sim_ivfpq_persisted",  # flat IVF re-scores raw vectors
+    # in probed cells with the interpreted oracle-exact fold (48 s at
+    # 2M vectors, CPU-bound in the HOF dot); the persisted IVF x PQ
+    # index probes Arrow-encoded codes off a cell-partitioned table —
+    # the production route at the decade where the index must persist
     oracle=f"""
     WITH cents AS (
       SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
@@ -387,39 +414,68 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigns every vector to its nearest cell; queries probe their
     N_PROBE nearest cells and run exact cosine only within them.
 
-    Scale shape: assignment is a map-side broadcast pass over the corpus
-    (centroid set is small by construction), the probe join is an equi
-    join on cell id — the inverted-file structure — and the final top-k
-    is a per-query window.  Swap the first-N centroid stand-in for
-    KMeans.fit centers at deployment; the dataflow is identical."""
-    # dot(e,e) / dot(c,c) computed ONCE per vector/centroid; the per-pair
-    # work is a single fold.  Arithmetic order matches the oracle's
-    # (ee - 2*ec) + cc exactly, so the doubles are bit-identical.
+    Scale shape — round 8 rewrite: the original form ranked the
+    corpus × centroids cross join through a row_number window, which
+    SHUFFLES corpus×K rows carrying the full embedding payload (~20 GB
+    at the 2M-vector decade — measured >9 min, the round-8 1000×
+    cliff).  But the centroid table is BOUNDED by construction (it is
+    the whole point of a coarse quantizer), so assignment belongs at
+    SCAN SPEED: fetch the K centroids to the driver (the bounded
+    panel-fetch pattern kmeans/MMR already use), inline them as
+    literal arrays, and pick each vector's cell with per-row column
+    math (array_sort over the K (d2, cid) structs — bit-identical
+    d2 arithmetic and tie order to the window form).  Assignment now
+    costs ZERO shuffle — the only remaining exchanges are the ≤
+    (queries × N_PROBE)-row probe broadcast and the per-query top-k
+    window over probed cells.  cc (centroid self-dot) rides the
+    literal, computed driver-side from the same fold order.
+
+    Swap the first-N centroid stand-in for KMeans.fit centers at
+    deployment; the dataflow is identical."""
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     ).withColumn("ee", _dot(F.col("emb"), F.col("emb")))
-    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("ce"),
-        F.col("ee").alias("cc"),
+    # bounded panel fetch: K centroid rows (vec_id < N_CENTROIDS is a
+    # pushed-down scan predicate), never corpus-sized
+    cent_rows = (
+        emb.filter(F.col("vec_id") < N_CENTROIDS)
+        .select("vec_id", "emb", "ee")
+        .collect()
     )
-    dist2 = F.col("ee") - 2 * _dot(F.col("emb"), F.col("ce")) + F.col("cc")
-    pairs = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "emb", "ee", "cid", dist2.alias("d2")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    ranked = pairs.withColumn("rn", F.row_number().over(w_assign))
-    assign = ranked.filter(F.col("rn") == 1).select(
-        "vec_id", "emb", "cid", F.sqrt("ee").alias("cn")
+
+    def _fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    cents = [(r.vec_id, list(r.emb), _fold_dot(r.emb, r.emb)) for r in cent_rows]
+    if not cents:
+        return spark.createDataFrame(
+            [], "q_id bigint, c_id bigint, cosine double, rk int"
+        )
+    sorted_cells = _nearest_cells(F.col("emb"), F.col("ee"), cents)
+    assign = emb.select(
+        "vec_id",
+        "emb",
+        F.sqrt("ee").alias("cn"),
+        sorted_cells[0]["cid"].alias("cid"),
     )
     probes = (
-        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE))
+        emb.filter(F.col("vec_id") < N_QUERIES)
         .select(
-            F.col("vec_id").alias("q_id"), F.col("emb").alias("qe"), "cid",
+            F.col("vec_id").alias("q_id"),
+            F.col("emb").alias("qe"),
             F.sqrt("ee").alias("qn"),
+            F.posexplode(
+                F.slice(sorted_cells, 1, N_PROBE)
+            ).alias("pos", "cell"),
         )
+        .select("q_id", "qe", "qn", F.col("cell")["cid"].alias("cid"))
     )
     scored = (
-        probes.join(assign, "cid")
+        F.broadcast(probes)
+        .join(assign, "cid")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",

@@ -259,6 +259,12 @@ ROUND_TOUCHED: dict[str, int] = {
     # (DECIMAL(38,0) / HUGEINT) — identical values below the old int64
     # bound, but the expression changed on both engines (ADVICE r7).
     "mix_budget_apportion": 8,
+    # round 8: sim_ivf_topk's assignment rewritten from the corpus x K
+    # row_number window (a ~20 GB shuffle at 2M vectors — the 1000x
+    # cliff) to literal-centroid array_sort at scan speed — d2
+    # arithmetic and tie order bit-identical, oracle re-verified, but
+    # the plan changed wholesale.
+    "sim_ivf_topk": 8,
 }
 
 
