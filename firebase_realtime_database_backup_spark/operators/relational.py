@@ -3824,16 +3824,27 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sum(rank) == |nodes| stays a loop invariant (asserted in tests).
     # Checkpoint every 4 iterations, not every one: each eager
     # checkpoint is a full job, and 4 un-materialized iterations of
-    # broadcast-join lineage stay well inside optimizer limits —
-    # measured 7.6 s (every iter) vs 4.5 s (every 4) vs 5.6 s (never:
-    # plan-depth optimizer cost overtakes) at sf0.1, identical results.
+    # join lineage stay well inside optimizer limits — round-6 sweep
+    # 7.6 s (every iter) vs 4.5 s (every 4) vs 5.6 s (never); the
+    # round-8 re-sweep confirms cadence 1-4 equivalent within noise
+    # and 8/never worse (BASELINE.md round 8), identical results.
+    #
+    # Round 8: the rank/contrib join hints are GONE — the forced
+    # broadcast re-shipped the item-catalog-sized rank relation every
+    # iteration, and the re-sweep measured the hint-free form fastest
+    # (4.97 vs 6.1 s registered); at 100 TB the rank table is
+    # |items|-sized, so AQE picks broadcast while it fits and falls
+    # back to a co-partitioned shuffle join (both sides keyed by item
+    # across iterations) when it doesn't — the hint made that cliff a
+    # driver OOM instead.  out_deg keeps its hint (every sweep variant
+    # carried it; it is the stable small side of the scatter).
     dec = "decimal(38,0)"
     ranks = nodes.withColumn(
         "rank", F.lit(PAGERANK_SCALE).cast(dec)
     ).localCheckpoint(eager=True)
     for i in range(PAGERANK_ITERS):
         contribs = (
-            edges.join(F.broadcast(ranks), edges["src"] == ranks["item"])
+            edges.join(ranks, edges["src"] == ranks["item"])
             .join(F.broadcast(out_deg), "src")
             .select(
                 "dst",
@@ -3854,7 +3865,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("in_sum"), F.lit(0).cast(dec)
         )
         ranks = nodes.join(
-            F.broadcast(contribs), nodes["item"] == contribs["dst"], "left"
+            contribs, nodes["item"] == contribs["dst"], "left"
         ).select(
             "item",
             ((x - x % 100) / 100).cast(dec).alias("rank"),

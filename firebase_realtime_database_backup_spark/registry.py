@@ -265,6 +265,10 @@ ROUND_TOUCHED: dict[str, int] = {
     # arithmetic and tie order bit-identical, oracle re-verified, but
     # the plan changed wholesale.
     "sim_ivf_topk": 8,
+    # round 8: graph_pagerank dropped the forced rank/contrib
+    # broadcast hints after the idle re-sweep (BASELINE.md round 8) —
+    # integer fixed-point output unchanged, plan changed.
+    "graph_pagerank": 8,
 }
 
 
