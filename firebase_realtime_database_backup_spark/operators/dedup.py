@@ -520,20 +520,82 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Edge count under which min_label_components runs the WHOLE closure
+#: as one single-task union-find instead of the distributed fixpoint.
+#: 1M symmetric edges ≈ tens of MB in one Arrow group — far inside a
+#: task's memory — while the distributed loop pays (graph diameter) ×
+#: (two-shuffle job overhead) regardless of size: the round-8 ER name
+#: graph measured 21k edges but DIAMETER 31 (chains of serial ids one
+#: substitution apart), i.e. 32 iterations × ~0.8 s of pure scheduling
+#: — 25 s for milliseconds of actual union-find work.
+MLC_LOCAL_EDGE_CAP = 1_000_000
+
+
+def _local_components(edges: DataFrame) -> DataFrame:
+    """Single-task exact union-find over a bounded symmetric edge list
+    — union-by-min-root (the smaller root always stays root, so every
+    final root IS its component's min id) + path halving; output is
+    row-order-independent and identical to the distributed fixpoint's
+    by construction."""
+    id_type = dict(edges.dtypes)["doc_a"]
+
+    def uf(pdf):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
+            ra, rb = find(a), find(b)
+            if ra == rb:
+                continue
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+        nodes = sorted(set(pdf["doc_a"]))  # symmetric: doc_a covers all
+        return pd.DataFrame(
+            {"doc_id": nodes, "cluster_id": [find(n) for n in nodes]}
+        )
+
+    return (
+        edges.withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandas(uf, f"doc_id {id_type}, cluster_id {id_type}")
+    )
+
+
 def min_label_components(pairs: DataFrame, max_iter: int = 48) -> DataFrame:
     """Connected components of an undirected pair list `(doc_a, doc_b)`
-    via iterative min-label propagation: every node repeatedly adopts
-    the smallest label among itself and its neighbors (two shuffles per
-    iteration: edge join + min-agg) until a fixpoint.  Iterations
-    needed = graph diameter, tiny for dup clusters (near-cliques from
-    band collisions); the driver loops, data never leaves executors —
-    the canonical Spark shape for iterative algorithms.
+    — the consumer of ANY pair-emitting dedup tier wants keep/drop
+    decisions, i.e. cluster labels, not the quadratic pair list.
+    Returns `(doc_id, cluster_id)` for every node that appears in
+    `pairs`, where cluster_id is the component's min member id.
 
-    Shared by dedup_clusters (text near-dup graph) and
-    multimodal_phash_cluster (pHash Hamming graph): the consumer of
-    ANY pair-emitting dedup tier wants keep/drop decisions, i.e.
-    cluster labels, not the quadratic pair list.  Returns
-    `(doc_id, cluster_id)` for every node that appears in `pairs`."""
+    TWO-REGIME plan (round 8): the pair graph after banding/
+    thresholding is orders of magnitude smaller than the corpus, so
+    when the symmetric edge list fits one task (≤ MLC_LOCAL_EDGE_CAP)
+    the closure runs as a SINGLE-TASK union-find — linear work, one
+    shuffle, no driver loop.  The distributed min-label fixpoint
+    (every node repeatedly adopts the smallest label among itself and
+    its neighbors; two shuffles per iteration; iterations = graph
+    diameter) remains the large-graph path: it is the canonical Spark
+    shape for iterative closure, but its cost is diameter × job
+    overhead even when the graph is tiny — the round-8 ER name graph
+    (21k edges, diameter 31: serial ids one substitution apart chain)
+    paid 25 s of pure scheduling for milliseconds of union-find.  At
+    100 TB a billions-of-edges dup graph takes the distributed branch;
+    both branches produce the identical (doc_id, min-of-component)
+    relation, and both are driver-attested through every closure
+    consumer's oracle.
+
+    Shared by dedup_clusters (text near-dup graph),
+    multimodal_phash_cluster (pHash Hamming graph),
+    graph_connected_components, and the entity-resolution closure."""
     # symmetric edge list incl. self-loops so isolated endpoints keep labels
     edges = (
         pairs.unionByName(
@@ -544,6 +606,9 @@ def min_label_components(pairs: DataFrame, max_iter: int = 48) -> DataFrame:
         .distinct()
         .cache()
     )
+    # the count also materializes the cache the loop would have built
+    if edges.count() <= MLC_LOCAL_EDGE_CAP:
+        return _local_components(edges)
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()

@@ -269,6 +269,13 @@ ROUND_TOUCHED: dict[str, int] = {
     # broadcast hints after the idle re-sweep (BASELINE.md round 8) —
     # integer fixed-point output unchanged, plan changed.
     "graph_pagerank": 8,
+    # round 8: min_label_components grew the single-task union-find
+    # fast path (≤1M-edge graphs skip the diameter-bound distributed
+    # loop) — identical (doc_id, min-of-component) output, new plan
+    # for every closure consumer (dedup_clusters already stamped above
+    # by the shingle reroute).
+    "graph_connected_components": 8,
+    "multimodal_phash_cluster": 8,
 }
 
 

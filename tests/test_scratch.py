@@ -70,6 +70,22 @@ def test_bpe_table_survives_sessions(spark):
     assert _marker_mtime(path) == before, "merge table was retrained"
 
 
+def test_ivfpq_index_survives_sessions(spark):
+    """The persisted IVF x PQ code table must also ride the content
+    key: a fresh session re-derives only the bounded driver state
+    (deterministic centroid/codebook training) and reuses the
+    corpus-scale encode without rewriting it."""
+    from firebase_realtime_database_backup_spark.operators import similarity
+
+    idx = similarity.ensure_ivfpq_index(spark, SF)
+    assert idx is not None and is_published(idx[0])
+    before = _marker_mtime(idx[0])
+    similarity._IVFPQ_INDEXES.clear()
+    again = similarity.ensure_ivfpq_index(spark, SF)
+    assert again[0] == idx[0], "new session re-encoded instead of reusing"
+    assert _marker_mtime(idx[0]) == before, "index was rewritten"
+
+
 def test_fingerprint_tracks_corpus_version(tmp_path, monkeypatch):
     """The fingerprint must change when a dependency table's bytes
     change (rebuilt scale corpora get a FRESH table, never a stale
