@@ -596,13 +596,27 @@ def min_label_components(pairs: DataFrame, max_iter: int = 48) -> DataFrame:
     Shared by dedup_clusters (text near-dup graph),
     multimodal_phash_cluster (pHash Hamming graph),
     graph_connected_components, and the entity-resolution closure."""
-    # symmetric edge list incl. self-loops so isolated endpoints keep labels
+    # Symmetric edge list via a single explode pass: UNION with the
+    # swapped projection would reference the (possibly expensive) pair
+    # source twice — Spark shares no subplans, so a scored-candidate
+    # lineage would execute twice and its plan would print twice
+    # (tripping the BNL plan lint for the ER closure, whose scorer
+    # carries two allowed 1-row probes).  explode(array(fwd, rev))
+    # emits both orientations from ONE scan of `pairs`.
     edges = (
-        pairs.unionByName(
-            pairs.select(
-                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-            )
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("a"), F.col("doc_a").alias("b")
+                    ),
+                )
+            ).alias("e")
         )
+        .select(F.col("e.a").alias("doc_a"), F.col("e.b").alias("doc_b"))
         .distinct()
         .cache()
     )

@@ -484,9 +484,13 @@ BNL_ONE_ROW_PROBES = {
     # the EM sufficient statistic is 1 row by design (round 8)
     "dedup_entity_resolution_em": 3,
     # closure over the scorer: inherits its 2 probes; the fixpoint and
-    # size window add none (round 8)
-    "dedup_entity_clusters": 2,
-    "dedup_entity_clusters_sampled": 2,
+    # size window add none.  The edge list is CACHED (min-label /
+    # union-find input), and simple-mode explain prints a cached
+    # relation's child plan twice (at the InMemoryTableScan and inside
+    # the InMemoryRelation), so the 2 executed probes appear as 4 in
+    # the plan STRING — cap at 4, executed shape is 2 (round 8)
+    "dedup_entity_clusters": 4,
+    "dedup_entity_clusters_sampled": 4,
     # 1-row (corpus_total, budget) row under the |sources| grain
     # (round 7)
     "mix_budget_apportion": 1,
