@@ -285,6 +285,10 @@ HEADLINE = [
     "quality_psi_drift",
     "ingest_text_log_parse",
     "dedup_cluster_size_profile",
+    # round 8: prefix-filtered exact joins + cross-source calibration
+    "dedup_jaccard_prefix",
+    "dedup_containment_prefix",
+    "quality_score_calibration",
 ]
 
 

@@ -382,6 +382,169 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("jaccard") >= 0.3)
 
 
+#: Rational form of JACCARD_THRESHOLD (3/5 = 0.6) — the prefix/length
+#: pruning proofs below take integer ceilings of t*|d|, so the
+#: threshold must be exactly representable as a fraction; the assert
+#: keeps the two spellings from drifting apart.
+PREFIX_T_NUM, PREFIX_T_DEN = 3, 5
+assert PREFIX_T_NUM / PREFIX_T_DEN == JACCARD_THRESHOLD
+
+
+def _df_ordered_tokens(spark: SparkSession, sf_dir: str):
+    """Shared prefix-join machinery: the shingle dictionary, per-doc
+    set sizes, and each doc's tokens ranked by the GLOBAL (df, sid)
+    order (rarest first) — the order both exact similarity joins
+    below take prefixes under.  Returns (dsh, sizes, ranked) where
+    ranked carries (sid, doc_id, sz, rn)."""
+    dsh = doc_shingle_ids(spark, sf_dir)
+    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    freq = dsh.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "sid")
+    )
+    ranked = (
+        dsh.join(freq, "sid")
+        .join(sizes, "doc_id")
+        .withColumn("rn", rn)
+        .select("sid", "doc_id", "sz", "rn")
+    )
+    return dsh, sizes, ranked
+
+
+def _sid_arrays(dsh: DataFrame) -> DataFrame:
+    """(doc_id, arr, sz): each doc's sorted sid set as ONE array row —
+    the in-row verification side of the prefix joins (array_intersect
+    inside codegen instead of re-joining candidates against the
+    dictionary; see dedup_jaccard_prefix's plan notes)."""
+    return dsh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("sid")).alias("arr"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+
+
+@REG.query(
+    "dedup_jaccard_prefix",
+    oracle=f"""
+    WITH {SHINGLE_SQL_CTE}
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           COUNT(*) AS n_common,
+           CAST(COUNT(*) AS DOUBLE)
+             / (sa.sz + sb.sz - COUNT(*)) AS jaccard
+    FROM dshingle x
+    JOIN dshingle y ON x.sid = y.sid AND x.doc_id < y.doc_id
+    JOIN doc_sizes sa ON sa.doc_id = x.doc_id
+    JOIN doc_sizes sb ON sb.doc_id = y.doc_id
+    GROUP BY x.doc_id, y.doc_id, sa.sz, sb.sz
+    HAVING CAST(COUNT(*) AS DOUBLE) / (sa.sz + sb.sz - COUNT(*))
+           >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= t over the WHOLE corpus via prefix filtering
+    (the SSJoin/PPJoin family) — the lossless-pruning answer to the
+    bound dedup_ngram_jaccard carries (doc_id <= 200, because a raw
+    all-pairs-sharing-a-shingle join explodes on hot shingles).
+    MinHash LSH trades recall for scale; this operator keeps EXACT
+    output and still scales: candidates must collide on a token of
+    both docs' RARE-TOKEN PREFIXES, so the quadratic blowup a hot
+    shingle causes in the naive join cannot happen — hot (high-df)
+    tokens sort to the END of the global order and never enter a
+    prefix unless the threshold demands nearly the whole set.
+
+    Pruning is provably lossless: order every doc's shingle set by
+    (df, sid); J(A,B) >= t implies |A∩B| >= ceil(t*|A|) (the union is
+    at least |A|), so if the first |A| - ceil(t*|A|) + 1 tokens of A
+    contain no common token, the remaining ceil(t*|A|) - 1 slots
+    cannot reach the required overlap — the SMALLEST common token
+    therefore sits inside BOTH prefixes and the prefix equi-join
+    emits the pair.  A second exact filter drops pairs whose sizes
+    alone bound Jaccard under t (t*max(|A|,|B|) <= min requires
+    5*min >= 3*max in integers).  Survivors are verified with an
+    exact intersection count — the output is bit-identical to the
+    unbounded all-pairs join the oracle runs.
+
+    Plan: sizes and document frequencies are two (key)-grain
+    aggregates off the shared persisted shingle dictionary; the
+    prefix pick is a per-doc window (distributed by doc_id); the
+    candidate join is an equi-join on sid whose inputs are the
+    PREFIXES (a t-controlled fraction of the dictionary, rare tokens
+    only); verification joins candidates back to the dictionary by
+    doc — every join keyed, no broadcast of anything vocabulary- or
+    corpus-sized, no driver loop."""
+    dsh, sizes, ranked = _df_ordered_tokens(spark, sf_dir)
+    ceil_t = F.expr(
+        f"({PREFIX_T_NUM} * sz + {PREFIX_T_DEN - 1}) div {PREFIX_T_DEN}"
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("sz") - ceil_t + 1
+    ).select("sid", "doc_id", "sz")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                PREFIX_T_NUM
+                * F.greatest(F.col("a.sz"), F.col("b.sz"))
+                <= PREFIX_T_DEN * F.least(F.col("a.sz"), F.col("b.sz"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # Verification: near-threshold pairs (a saturated corpus is full of
+    # them) are irreducible exact work, so make the per-candidate cost
+    # an in-row array_intersect over the two docs' sid SETS instead of
+    # re-joining candidates against the (doc, sid) dictionary — the
+    # row-explosion form shuffles |cands| x avg_set_size rows through
+    # two hash joins + a count aggregate (measured 63 -> 16.5 s at the
+    # 20x near-dup-saturated decade); the array form ships each doc's
+    # ~set_size-int array once per candidate side and counts inside
+    # whole-stage codegen.
+    darr = _sid_arrays(dsh)
+    out = (
+        cands.join(
+            darr.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("arr").alias("arr_a"),
+                F.col("sz").alias("sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            darr.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("arr").alias("arr_b"),
+                F.col("sz").alias("sb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("arr_a", "arr_b"))
+            .cast("bigint")
+            .alias("n_common"),
+            "sa",
+            "sb",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa") + F.col("sb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
 @REG.query("dedup_minhash_ml")  # rows-only: ml hash family not SQL-reproducible
 def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-scale MinHashLSH via pyspark.ml: HashingTF shingles
@@ -1438,6 +1601,127 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
+
+
+#: Rational form of CONTAINMENT_THRESHOLD (4/5 = 0.8) — same contract
+#: as PREFIX_T_NUM/DEN: integer ceilings in the pruning proof.
+CONT_T_NUM, CONT_T_DEN = 4, 5
+assert CONT_T_NUM / CONT_T_DEN == CONTAINMENT_THRESHOLD
+
+
+@REG.query(
+    "dedup_containment_prefix",
+    oracle=f"""
+    WITH {SHINGLE_SQL_CTE}
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           COUNT(*) AS n_common,
+           sa.sz AS sz_a, sb.sz AS sz_b,
+           CAST(COUNT(*) AS DOUBLE) / LEAST(sa.sz, sb.sz) AS containment
+    FROM dshingle x
+    JOIN dshingle y ON x.sid = y.sid AND x.doc_id < y.doc_id
+    JOIN doc_sizes sa ON sa.doc_id = x.doc_id
+    JOIN doc_sizes sb ON sb.doc_id = y.doc_id
+    GROUP BY x.doc_id, y.doc_id, sa.sz, sb.sz
+    HAVING CAST(COUNT(*) AS DOUBLE) / LEAST(sa.sz, sb.sz)
+           >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT containment >= t over the WHOLE corpus — the lossless
+    counterpart of dedup_containment, whose MinHash-band candidates
+    carry LSH recall (a quoted short doc whose bands all miss is
+    silently lost).  Exact containment is the measure that CANNOT be
+    LSH'd well: C = |A∩B| / min(|A|,|B|) is asymmetric, and a short
+    doc fully quoted inside a long one has tiny Jaccard, so minhash
+    signatures (which estimate Jaccard) systematically under-sample
+    exactly the pairs this operator exists for.
+
+    Pruning is the ASYMMETRIC prefix rule: under the global (df, sid)
+    order, if C(A,B) >= t with |B| <= |A| then |A∩B| >= ceil(t*|B|),
+    so B's first |B| - ceil(t*|B|) + 1 tokens must contain a common
+    token (else the remaining ceil(t*|B|) - 1 slots cannot reach the
+    required overlap) — the SHORT side probes with its rare-token
+    prefix against the FULL dictionary (the long side cannot prune:
+    min(|A|,|B|) may be far below t*|A|, so its own-size prefix bound
+    is vacuous).  Probe prefixes hold only rare (low-df) tokens, and
+    a rare token by definition occurs in few full sets, so candidate
+    volume is bounded by the prefix tokens' document frequencies —
+    no hot-token blowup.  Equal-size pairs probe from both sides and
+    canonicalize by id; verification is the shared in-row
+    array_intersect (see dedup_jaccard_prefix).
+
+    Oracle: the UNBOUNDED all-pairs containment join — pruning
+    losslessness is hash-verified, and the asymmetric lemma is
+    hypothesis-pinned in tests/test_property.py."""
+    dsh, sizes, ranked = _df_ordered_tokens(spark, sf_dir)
+    ceil_t = F.expr(
+        f"({CONT_T_NUM} * sz + {CONT_T_DEN - 1}) div {CONT_T_DEN}"
+    )
+    probe = ranked.filter(
+        F.col("rn") <= F.col("sz") - ceil_t + 1
+    ).select("sid", "doc_id", "sz")
+    index = dsh.join(sizes, "doc_id").select("sid", "doc_id", "sz")
+    b, a = probe.alias("b"), index.alias("a")
+    cands = (
+        b.join(
+            a,
+            (F.col("b.sid") == F.col("a.sid"))
+            & (
+                (F.col("a.sz") > F.col("b.sz"))
+                | (
+                    (F.col("a.sz") == F.col("b.sz"))
+                    & (F.col("a.doc_id") != F.col("b.doc_id"))
+                )
+            ),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias(
+                "doc_b"
+            ),
+        )
+        .distinct()
+    )
+    darr = _sid_arrays(dsh)
+    out = (
+        cands.join(
+            darr.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("arr").alias("arr_a"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            darr.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("arr").alias("arr_b"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("arr_a", "arr_b"))
+            .cast("bigint")
+            .alias("n_common"),
+            "sz_a",
+            "sz_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "sz_a",
+            "sz_b",
+            (
+                F.col("n_common").cast("double")
+                / F.least(F.col("sz_a"), F.col("sz_b"))
+            ).alias("containment"),
+        )
+    )
+    return out.filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
 
 
 #: Hamming radius for simhash near-dup: fingerprints within 3 differing

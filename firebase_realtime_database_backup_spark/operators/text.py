@@ -396,6 +396,137 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.query(
+    "quality_score_calibration",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, {QUALITY_SQL} AS q FROM documents
+    ),
+    src AS (
+      SELECT doc_id, source, q,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY q, doc_id)
+               AS r,
+             COUNT(*) OVER (PARTITION BY source) AS n_s
+      FROM scored
+    ),
+    g AS (
+      SELECT q, ROW_NUMBER() OVER (ORDER BY q, doc_id) AS gr FROM scored
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM scored),
+    pos AS (
+      SELECT doc_id, source, q,
+             (CASE WHEN n_s > 1
+                   THEN CAST(r - 1 AS DOUBLE) / CAST(n_s - 1 AS DOUBLE)
+                   ELSE 0.5 END)
+               * CAST(n_tot - 1 AS DOUBLE) AS gpos
+      FROM src, n
+    )
+    SELECT p.doc_id, p.source, p.q AS quality_raw,
+           gk.q + (p.gpos - FLOOR(p.gpos))
+                * (COALESCE(gk1.q, gk.q) - gk.q) AS quality_calibrated
+    FROM pos p
+    JOIN g gk ON gk.gr = CAST(FLOOR(p.gpos) AS BIGINT) + 1
+    LEFT JOIN g gk1 ON gk1.gr = CAST(FLOOR(p.gpos) AS BIGINT) + 2
+    """,
+)
+def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source QUANTILE NORMALIZATION of the per-doc quality
+    signal: map every doc's within-source percentile onto the pooled
+    global score distribution (linear interpolation between the two
+    bracketing global order statistics — the percentile_cont rule).
+    The pipeline problem this solves: heterogeneous sources score on
+    DIFFERENT scales (a forum's 90th percentile may sit below a
+    textbook corpus's 10th), so one global quality threshold
+    over-prunes some sources and under-prunes others; calibrated
+    scores make `WHERE quality_calibrated >= t` enforce the same
+    WITHIN-SOURCE selectivity everywhere while keeping values on the
+    interpretable global scale.  mix_token_budget_select and the
+    Gopher gates compose downstream of this.
+
+    Plan (exact, no corpus-sized single-partition window): the raw
+    score is the shared quality_expr/QUALITY_SQL pair (bit-identical
+    doubles cross-engine); within-source rank + count are windows
+    distributed by source; the GLOBAL rank reuses shingle_vocab's
+    bucket trick — scores bucket by floor(q*64) (q is bounded in
+    [0,1] by construction: 0.4 + 0.4 + 0.2 weights), rank within
+    bucket in parallel, add broadcast per-bucket offsets (the only
+    serial window runs over <= 66 offset rows); interpolation is two
+    integer-keyed joins against the (rank, score) relation.  The
+    1-row corpus-count probe is the registered BNL shape.  Doubles
+    stay bit-identical to the oracle because every step is IEEE
+    +,-,*,/ and FLOOR in the same operation order — no libm."""
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        quality_expr(F.split(F.col("text"), " ")).alias("q"),
+    )
+    src = scored.select(
+        "doc_id",
+        "source",
+        "q",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("q", "doc_id"))
+        .alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .alias("n_s"),
+    )
+    bucketed = scored.withColumn(
+        "bkt", F.floor(F.col("q") * F.lit(64.0)).cast("int")
+    )
+    counts = bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
+    offsets = counts.select(
+        "bkt",
+        (F.sum("n").over(Window.orderBy("bkt")) - F.col("n")).alias("off"),
+    )
+    g = (
+        bucketed.withColumn(
+            "rb",
+            F.row_number().over(
+                Window.partitionBy("bkt").orderBy("q", "doc_id")
+            ),
+        )
+        .join(F.broadcast(offsets), "bkt")
+        .select(
+            F.col("q").alias("gq"),
+            (F.col("off") + F.col("rb")).cast("bigint").alias("gr"),
+        )
+    )
+    n_tot = scored.groupBy().agg(F.count(F.lit(1)).alias("n_tot"))
+    pos = (
+        src.crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            "gpos",
+            F.when(
+                F.col("n_s") > 1,
+                (F.col("r") - 1).cast("double")
+                / (F.col("n_s") - 1).cast("double"),
+            ).otherwise(F.lit(0.5))
+            * (F.col("n_tot") - 1).cast("double"),
+        )
+        .withColumn("k", F.floor("gpos").cast("bigint"))
+    )
+    gk, gk1 = g.alias("gk"), g.alias("gk1")
+    return (
+        pos.join(gk, F.col("gk.gr") == F.col("k") + 1)
+        .join(gk1, F.col("gk1.gr") == F.col("k") + 2, "left")
+        .select(
+            "doc_id",
+            "source",
+            F.col("q").alias("quality_raw"),
+            (
+                F.col("gk.gq")
+                + (F.col("gpos") - F.floor("gpos"))
+                * (
+                    F.coalesce(F.col("gk1.gq"), F.col("gk.gq"))
+                    - F.col("gk.gq")
+                )
+            ).alias("quality_calibrated"),
+        )
+    )
+
+
+@REG.query(
     "text_char_entropy",
     oracle="""
     WITH c AS (

@@ -494,6 +494,9 @@ BNL_ONE_ROW_PROBES = {
     # 1-row (corpus_total, budget) row under the |sources| grain
     # (round 7)
     "mix_budget_apportion": 1,
+    # 1-row corpus-count probe scaling within-source percentiles onto
+    # the pooled rank scale (round 8)
+    "quality_score_calibration": 1,
 }
 BNL_ALLOWED = BNL_DESIGNED | set(BNL_ONE_ROW_PROBES)
 

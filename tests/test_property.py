@@ -360,3 +360,85 @@ def test_string_bucket_cross_engine_parity(spark):
         serial.filter(string_bucket(F.col("s"), 4) == 0).count() / 4096
     )
     assert 0.15 < frac < 0.35, frac
+
+
+@given(
+    sets=st.lists(
+        st.frozensets(st.integers(min_value=0, max_value=60), min_size=1, max_size=24),
+        min_size=2,
+        max_size=12,
+    ),
+    freqs=st.dictionaries(
+        st.integers(min_value=0, max_value=60),
+        st.integers(min_value=1, max_value=9),
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_prefix_filter_lemma_is_lossless(sets, freqs):
+    """The pruning theorem dedup_jaccard_prefix rests on, pinned in
+    pure Python against random set families and an ARBITRARY (even
+    adversarial) token-frequency table: for ANY total order of tokens
+    by (freq, token), every pair with J(A,B) >= t shares at least one
+    token inside both docs' (|d| - ceil(t*|d|) + 1)-prefixes AND
+    passes the integer size filter t*max <= min.  If this ever fails,
+    the operator's candidate join has lost a true pair — the property
+    the sf oracles can only spot-check is checked here across the
+    space."""
+    t_num, t_den = 3, 5  # PREFIX_T_NUM / PREFIX_T_DEN
+
+    def prefix(s):
+        ordered = sorted(s, key=lambda x: (freqs.get(x, 0), x))
+        p = len(s) - (t_num * len(s) + t_den - 1) // t_den + 1
+        return set(ordered[:p])
+
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            inter = len(a & b)
+            if inter == 0:
+                continue
+            jac = inter / (len(a) + len(b) - inter)
+            if jac * t_den < t_num:  # J < t exactly (integer cross-mult)
+                continue
+            # size filter must admit the pair
+            assert t_num * max(len(a), len(b)) <= t_den * min(
+                len(a), len(b)
+            ), (len(a), len(b), jac)
+            # and the prefixes must collide
+            assert prefix(a) & prefix(b), (sorted(a), sorted(b), jac, freqs)
+
+
+@given(
+    sets=st.lists(
+        st.frozensets(st.integers(min_value=0, max_value=60), min_size=1, max_size=24),
+        min_size=2,
+        max_size=12,
+    ),
+    freqs=st.dictionaries(
+        st.integers(min_value=0, max_value=60),
+        st.integers(min_value=1, max_value=9),
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_containment_prefix_lemma_is_lossless(sets, freqs):
+    """dedup_containment_prefix's asymmetric pruning lemma: for any
+    pair with C(A,B) = |A∩B|/min >= t, the SMALLER set's
+    (|B| - ceil(t*|B|) + 1)-prefix under any (freq, token) order
+    intersects the LARGER set's FULL token set (for equal sizes,
+    either side's probe works — the operator probes both)."""
+    t_num, t_den = 4, 5  # CONT_T_NUM / CONT_T_DEN
+
+    def prefix(s):
+        ordered = sorted(s, key=lambda x: (freqs.get(x, 0), x))
+        p = len(s) - (t_num * len(s) + t_den - 1) // t_den + 1
+        return set(ordered[:p])
+
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            if len(a) < len(b):
+                a, b = b, a  # b is the (or a) smaller set
+            inter = len(a & b)
+            if inter * t_den < t_num * len(b):  # C < t, integer-exact
+                continue
+            assert prefix(b) & a, (sorted(a), sorted(b), freqs)
