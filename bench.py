@@ -289,6 +289,9 @@ HEADLINE = [
     "dedup_jaccard_prefix",
     "dedup_containment_prefix",
     "quality_score_calibration",
+    "sample_weighted_reservoir",
+    "events_cuped_adjustment",
+    "text_zipf_slope",
 ]
 
 

@@ -3075,6 +3075,99 @@ def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-source sample size for the weighted reservoir.
+WEIGHTED_SAMPLE_K = 50
+
+
+@REG.query(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS weight,
+             {oround(
+                 "-LN(CAST((doc_id % 2147483648) * 2654435761 "
+                 "% 2147483648 + 1 AS DOUBLE) / 2147483649.0) "
+                 "/ CAST(n_chars AS DOUBLE)",
+                 6,
+             )} AS skey
+      FROM documents
+      WHERE n_chars > 0 AND doc_id IS NOT NULL
+    )
+    SELECT source, doc_id, weight, skey,
+           CAST(rk AS BIGINT) AS sample_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY skey, doc_id
+             ) AS rk
+      FROM keyed
+    )
+    WHERE rk <= {WEIGHTED_SAMPLE_K}
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling without replacement, k per source — the
+    Efraimidis-Spirakis exponential-key scheme (A-ES): every doc draws
+    key = -ln(u)/w (an Exponential(w) variate) and the k SMALLEST keys
+    per source are the sample, which selects without replacement with
+    inclusion probability proportional to weight.  The property the
+    uniform samplers (sample_deterministic / stratified / temperature)
+    cannot give: length- or quality-weighted token budgets ("sample
+    docs proportional to n_chars") while staying a true
+    without-replacement sample.  Bonus the exponential keys buy for
+    free: ordering by key is a weighted PERMUTATION, so ANY prefix of
+    the ranked output is itself a correct weighted sample — shrinking
+    a 50-doc sample to 10 needs no recomputation, just sample_rank <=
+    10.
+
+    Deterministic and engine-invariant: u comes from the Knuth
+    multiplicative hash of doc_id mapped to (0, 1] — the doc_id is
+    reduced mod 2^31 BEFORE the multiply so the product stays in
+    int64 for any doc_id (the mix_budget_apportion overflow
+    discipline: DuckDB raises on int64 overflow, Spark wraps
+    silently).  The one libm call (-ln(u)/w) rounds to 6 decimals on
+    both engines (the tfidf precedent), ties broken by doc_id, so
+    selection is bit-reproducible cross-engine.
+
+    Plan: map-only key computation, then the sample_stratified_topk
+    two-phase rank — phase 1 ranks within (source, salt-of-32) at
+    full cluster parallelism and keeps rank <= k (a guaranteed
+    superset of the global per-source top-k), phase 2 ranks the
+    <= 32k survivors; no stratum ever sorts its full history in one
+    task."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        (F.col("n_chars") > 0) & F.col("doc_id").isNotNull()
+    )
+    h = (F.col("doc_id") % F.lit(2147483648)) * F.lit(
+        2654435761
+    ) % F.lit(2147483648)
+    u = (h + F.lit(1)).cast("double") / F.lit(2147483649.0)
+    skey = F.round(
+        -F.log(u) / F.col("n_chars").cast("double"), 6
+    )
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("double").alias("weight"),
+        skey.alias("skey"),
+    )
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(32))
+    w_pre = Window.partitionBy("source", salt).orderBy("skey", "doc_id")
+    w = Window.partitionBy("source").orderBy("skey", "doc_id")
+    return (
+        keyed.withColumn("pre_rk", F.row_number().over(w_pre))
+        .filter(F.col("pre_rk") <= WEIGHTED_SAMPLE_K)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= WEIGHTED_SAMPLE_K)
+        .select(
+            "source",
+            "doc_id",
+            "weight",
+            "skey",
+            F.col("rk").cast("bigint").alias("sample_rank"),
+        )
+    )
+
+
 @REG.query(
     "quality_corpus_datasheet",
     oracle=f"""
@@ -8255,6 +8348,169 @@ def events_diff_in_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             diff.alias("diff"),
             t_stat.alias("t_stat"),
         )
+    )
+
+
+CUPED_PRE_DAYS = 15  # pre-experiment covariate window, min-day anchored
+
+
+@REG.query(
+    "events_cuped_adjustment",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    lim AS (SELECT MIN(d) AS min_d FROM ev),
+    u AS (
+      SELECT user_id,
+             {knuth_hash_sql('user_id')} % 2 AS arm,
+             CAST(COALESCE(SUM(cents) FILTER (
+               WHERE DATEDIFF('day', min_d, d) < {CUPED_PRE_DAYS}
+             ), 0) AS BIGINT) AS x,
+             CAST(COALESCE(SUM(cents) FILTER (
+               WHERE DATEDIFF('day', min_d, d) >= {CUPED_PRE_DAYS}
+             ), 0) AS BIGINT) AS y
+      FROM ev, lim GROUP BY user_id
+    ),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS BIGINT) AS sxa,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS BIGINT) AS sya,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS BIGINT) AS sxxa,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS BIGINT) AS sxya,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS BIGINT) AS syya
+      FROM u GROUP BY arm
+    ),
+    g AS (
+      SELECT CAST(SUM(n_users) AS BIGINT) AS n,
+             CAST(SUM(sxa) AS BIGINT) AS sx,
+             CAST(SUM(sya) AS BIGINT) AS sy,
+             CAST(SUM(sxxa) AS BIGINT) AS sxx,
+             CAST(SUM(sxya) AS BIGINT) AS sxy,
+             CAST(SUM(syya) AS BIGINT) AS syy
+      FROM arms
+    )
+    SELECT arm, n_users,
+           CAST(sya AS DOUBLE) / n_users / 100.0 AS mean_post,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / NULLIF(CAST(n AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx, 0.0) AS theta,
+           CAST(sya AS DOUBLE) / n_users / 100.0
+             - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / NULLIF(CAST(n AS DOUBLE) * sxx
+                          - CAST(sx AS DOUBLE) * sx, 0.0)
+               * (CAST(sxa AS DOUBLE) / n_users / 100.0
+                    - CAST(sx AS DOUBLE) / n / 100.0) AS mean_adjusted,
+           ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+             / NULLIF((CAST(n AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * sx)
+                      * (CAST(n AS DOUBLE) * syy
+                         - CAST(sy AS DOUBLE) * sy), 0.0)
+             AS var_reduction
+    FROM arms, g
+    """,
+)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B readout — the third leg of
+    the experimentation kit (SRM gate → diff-in-means → CUPED): each
+    user's PRE-experiment value (cents in the min-day-anchored first
+    {CUPED_PRE_DAYS} days, the quality_psi_drift window convention)
+    becomes the covariate X; the adjusted metric Y − θ(X − X̄) with
+    θ = cov(X,Y)/var(X) removes the between-user variance X predicts,
+    shrinking the readout's CI by the factor (1 − ρ²) reported as
+    var_reduction — the difference between a 2-week and a 2-day
+    experiment at the same power.  θ is estimated POOLED across arms
+    (the standard form: assignment is independent of X, so pooling is
+    unbiased and uses all users).
+
+    Exactness discipline = events_diff_in_means: cents quantization
+    before any sum, user-grain x/y as int64, corpus moments as
+    DECIMAL(38,0) sums cast back to int64 (order-free, partition-
+    invariant), then every reported number is the IDENTICAL double
+    expression tree over those integers in both engines.  NULLIF
+    guards the degenerate no-pre-variance corpus to NULL identically.
+
+    Plan: one scan + broadcast 1-row min-day probe, one user-grain
+    aggregate, then a 6-integer corpus row and a 2-row arm aggregate
+    cross-joined back (the two registered 1-row BNL probes).  At
+    100 TB nothing data-sized moves after the user-grain aggregate."""
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.col("ts").cast("date").alias("d"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    lim = ev.agg(F.min("d").alias("min_d"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pre = F.datediff(F.col("d"), F.col("min_d")) < CUPED_PRE_DAYS
+    u = (
+        ev.crossJoin(F.broadcast(lim))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(F.sum(F.when(pre, dec(F.col("cents")))), F.lit(0))
+            .cast("bigint")
+            .alias("x"),
+            F.coalesce(F.sum(F.when(~pre, dec(F.col("cents")))), F.lit(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .select(
+            (knuth_hash(F.col("user_id")) % 2).alias("arm"), "x", "y"
+        )
+    )
+    # The pooled moments are the SUM of the per-arm moments, so derive
+    # them by re-aggregating the 2-row arm relation instead of reading
+    # `u` twice — Spark shares no subplans, and a second consumption
+    # of `u` would re-run the scan + user aggregate AND duplicate the
+    # min-day probe in the plan.  The arm relation is localCheckpointed
+    # (2 rows, the min_label_components discipline) so the final
+    # arm x pooled cross-join reads ONE materialization — one corpus
+    # scan total, at any decade.
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(dec(F.col("x"))).cast("bigint").alias("sxa"),
+        F.sum(dec(F.col("y"))).cast("bigint").alias("sya"),
+        F.sum(dec(F.col("x")) * F.col("x")).cast("bigint").alias("sxxa"),
+        F.sum(dec(F.col("x")) * F.col("y")).cast("bigint").alias("sxya"),
+        F.sum(dec(F.col("y")) * F.col("y")).cast("bigint").alias("syya"),
+    ).localCheckpoint(eager=True)
+    g = arms.agg(
+        F.sum("n_users").cast("bigint").alias("n"),
+        F.sum("sxa").cast("bigint").alias("sx"),
+        F.sum("sya").cast("bigint").alias("sy"),
+        F.sum("sxxa").cast("bigint").alias("sxx"),
+        F.sum("sxya").cast("bigint").alias("sxy"),
+        F.sum("syya").cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    varx_n = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vary_n = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    theta = cov_n / F.nullif(varx_n, F.lit(0.0))
+    mean_post = (
+        F.col("sya").cast("double") / F.col("n_users") / F.lit(100.0)
+    )
+    mean_x_arm = (
+        F.col("sxa").cast("double") / F.col("n_users") / F.lit(100.0)
+    )
+    mean_x = F.col("sx").cast("double") / F.col("n") / F.lit(100.0)
+    return arms.crossJoin(F.broadcast(g)).select(
+        "arm",
+        "n_users",
+        mean_post.alias("mean_post"),
+        theta.alias("theta"),
+        (mean_post - theta * (mean_x_arm - mean_x)).alias(
+            "mean_adjusted"
+        ),
+        (cov_n * cov_n / F.nullif(varx_n * vary_n, F.lit(0.0))).alias(
+            "var_reduction"
+        ),
     )
 
 

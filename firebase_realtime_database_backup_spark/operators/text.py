@@ -935,6 +935,140 @@ def pipeline_prepare_corpus_scaled(spark: SparkSession, sf_dir: str) -> DataFram
 STOPWORDS = ("the", "a", "of", "and", "to")
 
 
+def _text_zipf_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+    ),
+    tc AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks WHERE term <> '' GROUP BY term
+    ),
+    head AS (
+      SELECT term, cnt FROM tc ORDER BY cnt DESC, term
+      LIMIT {ZIPF_HEAD_K}
+    ),
+    rk AS (
+      SELECT cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS r
+      FROM head
+    ),
+    q AS (
+      SELECT
+        CAST(ROUND(LN(CAST(r AS DOUBLE)) * 1000000, 0) AS BIGINT) AS lr,
+        CAST(ROUND(LN(CAST(cnt AS DOUBLE)) * 1000000, 0) AS BIGINT) AS lc
+      FROM rk
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(lr) AS BIGINT) AS sx,
+             CAST(SUM(lc) AS BIGINT) AS sy,
+             CAST(SUM(lr * lr) AS BIGINT) AS sxx,
+             CAST(SUM(lr * lc) AS BIGINT) AS sxy,
+             CAST(SUM(lc * lc) AS BIGINT) AS syy
+      FROM q
+    )
+    SELECT n AS n_terms,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / NULLIF(CAST(n AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx, 0.0) AS slope,
+           (CAST(sy AS DOUBLE)
+              - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                / NULLIF(CAST(n AS DOUBLE) * sxx
+                           - CAST(sx AS DOUBLE) * sx, 0.0)
+                * sx)
+             / n / 1000000.0 AS intercept,
+           ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+             / NULLIF((CAST(n AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * sx)
+                      * (CAST(n AS DOUBLE) * syy
+                         - CAST(sy AS DOUBLE) * sy), 0.0) AS r_squared
+    FROM m
+    """
+
+
+#: Zipf fit window: the OLS runs over the top-K rank-frequency head,
+#: where the power law lives (the tail bends down on every finite
+#: corpus and would bias the slope).
+ZIPF_HEAD_K = 1000
+
+
+@REG.query("text_zipf_slope", oracle=_text_zipf_oracle())
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf (rank-frequency power-law) fit over the corpus's term
+    distribution: ln(count) ~ slope * ln(rank) + intercept by OLS over
+    the top-{ZIPF_HEAD_K} head.  A healthy natural-language corpus
+    fits slope ≈ -1 with high r²; deviations are corpus-health
+    signals the datasheet quotes — slope >> -1 means boilerplate/
+    template flooding (frequencies too flat), a poor r² in the head
+    means mixed-domain or synthetic text.  Complements
+    text_vocab_growth (Heaps' law — type growth) with the OTHER
+    classical corpus law (token distribution).
+
+    Exactness: the two libm lns are quantized to integer MICRO-LOGS
+    (round(ln * 1e6) as int64, the char-entropy whole-bit discipline
+    applied at 1e-6 grain), so every OLS moment is an exact int64 sum
+    — order-free, partition-invariant — and slope/intercept/r² are
+    identical double expression trees over identical integers in both
+    engines.  Slope and r² are scale-invariant under the common 1e6
+    factor; the intercept divides it back out.
+
+    Plan: explode + map-side-combinable term count (the text_top_terms
+    shape), then TakeOrdered({ZIPF_HEAD_K}) — per-partition partial
+    top-k, NO full sort of the vocabulary — and a bounded
+    {ZIPF_HEAD_K}-row window + single-row reduce.  At 100 TB the only
+    data-sized stage is the term count; everything after is K rows."""
+    docs = spread(
+        read_table(spark, sf_dir, "documents").select(
+            F.split("text", " ").alias("toks")
+        )
+    )
+    tc = (
+        docs.select(F.explode("toks").alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    head = tc.orderBy(F.desc("cnt"), "term").limit(ZIPF_HEAD_K)
+    rk = head.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), "term"))
+        .alias("r"),
+    )
+    micro = lambda c: F.round(F.log(c.cast("double")) * 1000000, 0).cast(  # noqa: E731
+        "bigint"
+    )
+    q = rk.select(micro(F.col("r")).alias("lr"), micro(F.col("cnt")).alias("lc"))
+    m = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("lr").cast("bigint").alias("sx"),
+        F.sum("lc").cast("bigint").alias("sy"),
+        F.sum(F.col("lr") * F.col("lr")).cast("bigint").alias("sxx"),
+        F.sum(F.col("lr") * F.col("lc")).cast("bigint").alias("sxy"),
+        F.sum(F.col("lc") * F.col("lc")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    varx_n = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vary_n = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    slope = cov_n / F.nullif(varx_n, F.lit(0.0))
+    return m.select(
+        F.col("n").alias("n_terms"),
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx"))
+            / F.col("n")
+            / F.lit(1000000.0)
+        ).alias("intercept"),
+        (cov_n * cov_n / F.nullif(varx_n * vary_n, F.lit(0.0))).alias(
+            "r_squared"
+        ),
+    )
+
+
+
 @REG.query(
     "text_top_terms",
     oracle=f"""

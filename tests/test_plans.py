@@ -497,6 +497,10 @@ BNL_ONE_ROW_PROBES = {
     # 1-row corpus-count probe scaling within-source percentiles onto
     # the pooled rank scale (round 8)
     "quality_score_calibration": 1,
+    # the 1-row pooled-moments row under the 2-row arm report; the
+    # min-day probe sits behind the arm relation's localCheckpoint so
+    # it executes once and never reaches the final plan (round 8)
+    "events_cuped_adjustment": 1,
 }
 BNL_ALLOWED = BNL_DESIGNED | set(BNL_ONE_ROW_PROBES)
 

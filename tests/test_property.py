@@ -442,3 +442,33 @@ def test_containment_prefix_lemma_is_lossless(sets, freqs):
             if inter * t_den < t_num * len(b):  # C < t, integer-exact
                 continue
             assert prefix(b) & a, (sorted(a), sorted(b), freqs)
+
+
+def test_weighted_reservoir_prefers_heavy_docs(spark, tmp_path):
+    """sample_weighted_reservoir's A-ES property pinned on an extreme
+    two-class corpus: 900 docs of weight 10 vs 100 docs of weight
+    1000 in one source (heavy class holds ~92% of the total weight)
+    — the k=50 sample must be dominated by heavy docs, and any
+    rank-prefix must be the corresponding smaller sample (the
+    exponential-key permutation property)."""
+    import __spark_entry__ as e
+
+    rows = [
+        (i, "x", "en", "s0", 10 if i < 900 else 1000) for i in range(1000)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    corpus = str(tmp_path / "wres")
+    df.coalesce(1).write.parquet(corpus + "/documents.parquet")
+    samp = (
+        e.queries()["sample_weighted_reservoir"](spark, corpus)
+        .orderBy("sample_rank")
+        .collect()
+    )
+    assert len(samp) == 50
+    heavy = sum(1 for r in samp if r.weight == 1000.0)
+    assert heavy >= 35, heavy
+    # permutation-prefix property: rank <= 10 IS the k=10 sample
+    prefix = [r.doc_id for r in samp if r.sample_rank <= 10]
+    assert len(prefix) == 10 and prefix == [r.doc_id for r in samp[:10]]
