@@ -2112,11 +2112,23 @@ def _semantic_kmeans(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         # centroid (standard Lloyd's; also what the numpy replay and
         # the scaled twin do) — the left join + coalesce is what stops
         # empty cells from silently shrinking K
+        #
+        # localCheckpoint per iteration (the graph_pagerank cadence
+        # discipline): the centroid relation is K rows, but without the
+        # eager materialization each Lloyd's round re-derives EVERY
+        # previous round's assign+mean subtree (Spark shares no
+        # subplans — the unrolled round-7 plan held 258 Exchanges /
+        # 144 scans and re-ran the whole lineage per reference).
         cents = (
             cents.join(means, "cid", "left")
             .select("cid", F.coalesce("ce_new", "ce").alias("ce"))
+            .localCheckpoint(eager=True)
         )
-    final = assign(cents).join(emb, "vec_id")
+    # the final assignment is referenced three times below (both pair
+    # sides + the output join) — materialize it once, |N| rows of 2 ids
+    final = (
+        assign(cents).localCheckpoint(eager=True).join(emb, "vec_id")
+    )
     a = final.select(
         "cid", F.col("vec_id").alias("vec_a"),
         F.col("emb").alias("ae"), _norm(F.col("emb")).alias("an"),
@@ -2711,6 +2723,86 @@ def quality_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: session-scoped FastSS verified-pair relations, keyed by
+#: (applicationId, sf_dir, variant) — the ensure_item_edges discipline
+#: applied to the entity-resolution cascade's shared candidate tier:
+#: the enumerator output is consumed verbatim by the pair query itself,
+#: the Fellegi-Sunter scorer, the EM fit, and the transitive closure
+#: (each tier previously re-planned the full deletion-variant joins
+#: from cold — the dominant stage of all four queries).  At 100 TB the
+#: verified pair table is exactly what a production cascade would
+#: materialize once per corpus and hand to every downstream tier.
+_FASTSS_PAIRS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _fastss_pairs_plan(names: DataFrame) -> DataFrame:
+    """The FastSS deletion-neighborhood enumerator over a distinct name
+    relation: position-tagged substitution join + asymmetric indel
+    join + levenshtein verify (see dedup_editdist_neighborhood for the
+    full derivation).  Shared by the full and sampled variants."""
+    nonempty = names.filter(F.length("c_name") > 0)
+    deletions = F.expr(
+        "transform(sequence(1, length(c_name)), i -> "
+        "concat(substring(c_name, 1, i - 1), substring(c_name, i + 1)))"
+    )
+    va = nonempty.select(
+        F.col("c_name").alias("name_a"),
+        F.posexplode(deletions).alias("pos", "variant"),
+    )
+    vb = nonempty.select(
+        F.col("c_name").alias("name_b"),
+        F.posexplode(deletions).alias("pos", "variant"),
+    )
+    subs = (
+        va.join(vb, ["variant", "pos"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+    )
+    indels = (
+        va.select("name_a", "variant")
+        .join(
+            names.select(F.col("c_name").alias("name_b")),
+            F.col("variant") == F.col("name_b"),
+        )
+        .select(
+            F.least("name_a", "name_b").alias("name_a"),
+            F.greatest("name_a", "name_b").alias("name_b"),
+        )
+        .filter(F.col("name_a") < F.col("name_b"))
+    )
+    cands = subs.unionByName(indels).distinct()
+    dist = F.levenshtein("name_a", "name_b").cast("int")
+    return cands.select("name_a", "name_b", dist.alias("dist")).filter(
+        F.col("dist") <= 1
+    )
+
+
+def _ensure_fastss_pairs(
+    spark: SparkSession, sf_dir: str, variant: str
+) -> DataFrame:
+    """Build the verified edit-distance-1 pair relation ONCE per
+    (session, corpus, variant) and hand the same cached DataFrame to
+    every cascade tier.  variant: 'full' | 'sampled'."""
+    key = (spark.sparkContext.applicationId, sf_dir, variant)
+    cached = _FASTSS_PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    names = (
+        read_table(spark, sf_dir, "customer").select("c_name").distinct()
+    )
+    if variant == "sampled":
+        from firebase_realtime_database_backup_spark.functions.hashing import (
+            string_bucket,
+        )
+
+        names = names.filter(
+            string_bucket(F.col("c_name"), EDITDIST_SAMPLE_MOD) == 0
+        )
+    out = _fastss_pairs_plan(names).cache()
+    _FASTSS_PAIRS_CACHE[key] = out
+    return out
+
+
 @REG.query(
     "dedup_editdist_neighborhood",
     oracle="""
@@ -2758,56 +2850,12 @@ def dedup_editdist_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist=0 impossible, so every row is exactly 1 edit apart; the
     final LEVENSHTEIN runs only on true-pair-sized input (candidates
     are distance-1 by construction — it is the belt-and-braces
-    verify, not a filter doing real work)."""
-    names = (
-        read_table(spark, sf_dir, "customer").select("c_name").distinct()
-    )
-    # (pos, variant) for pos = 0..L-1: delete char pos+1 (JVM-side).
-    # Only non-empty names emit variants: the empty string's deletion
-    # set is empty, and sequence(1, 0) would otherwise run DESCENDING
-    # and fabricate two spurious "" variants.
-    nonempty = names.filter(F.length("c_name") > 0)
-    deletions = F.expr(
-        "transform(sequence(1, length(c_name)), i -> "
-        "concat(substring(c_name, 1, i - 1), substring(c_name, i + 1)))"
-    )
-    va = nonempty.select(
-        F.col("c_name").alias("name_a"),
-        F.posexplode(deletions).alias("pos", "variant"),
-    )
-    vb = nonempty.select(
-        F.col("c_name").alias("name_b"),
-        F.posexplode(
-            F.expr(
-                "transform(sequence(1, length(c_name)), i -> "
-                "concat(substring(c_name, 1, i - 1), substring(c_name, i + 1)))"
-            )
-        ).alias("pos", "variant"),
-    )
-    subs = (
-        va.join(vb, ["variant", "pos"])
-        .filter(F.col("name_a") < F.col("name_b"))
-        .select("name_a", "name_b")
-    )
-    # indels: B equals a deletion variant of A (possibly at several
-    # positions inside a run of equal chars — hence the distinct)
-    indels = (
-        va.select("name_a", "variant")
-        .join(
-            names.select(F.col("c_name").alias("name_b")),
-            F.col("variant") == F.col("name_b"),
-        )
-        .select(
-            F.least("name_a", "name_b").alias("name_a"),
-            F.greatest("name_a", "name_b").alias("name_b"),
-        )
-        .filter(F.col("name_a") < F.col("name_b"))
-    )
-    cands = subs.unionByName(indels).distinct()
-    dist = F.levenshtein("name_a", "name_b").cast("int")
-    return cands.select("name_a", "name_b", dist.alias("dist")).filter(
-        F.col("dist") <= 1
-    )
+    verify, not a filter doing real work).
+
+    Served from _ensure_fastss_pairs: the verified pair relation is
+    built once per (session, corpus) and shared with the scorer, EM,
+    and closure tiers of the entity-resolution cascade."""
+    return _ensure_fastss_pairs(spark, sf_dir, "full")
 
 
 #: Name-grain sampling modulus for the SAMPLED edit-distance audit:
@@ -2860,52 +2908,12 @@ def dedup_editdist_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     output by MOD²; everything else is the base plan — position-tagged
     substitution join, asymmetric indel join, JVM-side throughout.
     Measured vs the base enumerator on the 1.5M-name saturated corpus:
-    see BASELINE.md round-7 (the <60 s budget row)."""
-    from firebase_realtime_database_backup_spark.functions.hashing import (
-        string_bucket,
-    )
+    see BASELINE.md round-7 (the <60 s budget row).
 
-    names = (
-        read_table(spark, sf_dir, "customer")
-        .select("c_name")
-        .distinct()
-        .filter(string_bucket(F.col("c_name"), EDITDIST_SAMPLE_MOD) == 0)
-    )
-    nonempty = names.filter(F.length("c_name") > 0)
-    deletions = F.expr(
-        "transform(sequence(1, length(c_name)), i -> "
-        "concat(substring(c_name, 1, i - 1), substring(c_name, i + 1)))"
-    )
-    va = nonempty.select(
-        F.col("c_name").alias("name_a"),
-        F.posexplode(deletions).alias("pos", "variant"),
-    )
-    vb = nonempty.select(
-        F.col("c_name").alias("name_b"),
-        F.posexplode(deletions).alias("pos", "variant"),
-    )
-    subs = (
-        va.join(vb, ["variant", "pos"])
-        .filter(F.col("name_a") < F.col("name_b"))
-        .select("name_a", "name_b")
-    )
-    indels = (
-        va.select("name_a", "variant")
-        .join(
-            names.select(F.col("c_name").alias("name_b")),
-            F.col("variant") == F.col("name_b"),
-        )
-        .select(
-            F.least("name_a", "name_b").alias("name_a"),
-            F.greatest("name_a", "name_b").alias("name_b"),
-        )
-        .filter(F.col("name_a") < F.col("name_b"))
-    )
-    cands = subs.unionByName(indels).distinct()
-    dist = F.levenshtein("name_a", "name_b").cast("int")
-    return cands.select("name_a", "name_b", dist.alias("dist")).filter(
-        F.col("dist") <= 1
-    )
+    Served from _ensure_fastss_pairs (variant='sampled'): built once
+    per (session, corpus), shared with the sampled scorer / EM /
+    sampled closure tiers."""
+    return _ensure_fastss_pairs(spark, sf_dir, "sampled")
 
 
 ER_M = 0.95  #: P(field agrees | records are a true match) — the

@@ -87,6 +87,18 @@ PHASH_SQL_CTE = f"""{ASCII_DOCS_CTE},
     )"""
 
 
+#: session-scoped (doc_id, phash_hi, phash_lo) relations, keyed by
+#: (applicationId, sf_dir): the hash pass is a Python-boundary decode
+#: kernel consumed by THREE registered queries (dedup / hamming /
+#: cluster), and within one plan the relation is referenced from
+#: several join sides — Spark shares no subplans, so without the memo
+#: each reference re-paid the whole Arrow decode+hash pass (17
+#: ArrowEvalPython nodes in phash_cluster's round-7 plan).  Guide §4:
+#: cross the JVM↔Python boundary once; the cached relation is 3 ints
+#: per image.
+_PHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, phash_hi, phash_lo): the aHash of every payload —
     vectorized numpy kernel in mapInPandas, one pass, zero shuffle.
@@ -104,6 +116,10 @@ def phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     replica corpus genuinely holds ~100-wide near-dup clusters, 61.8M
     pairs — not hashing).  Both paths are bit-identical to the SQL CTE
     oracle."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PHASH_CACHE.get(key)
+    if cached is not None:
+        return cached
     payloads = ascii_payloads(spark, sf_dir)
     schema = "doc_id bigint, phash_hi bigint, phash_lo bigint"
 
@@ -143,7 +159,9 @@ def phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": ids, "phash_hi": hi, "phash_lo": lo}
             )
 
-    return payloads.mapInPandas(phash, schema)
+    out = payloads.mapInPandas(phash, schema).cache()
+    _PHASH_CACHE[key] = out
+    return out
 
 
 def ascii_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:

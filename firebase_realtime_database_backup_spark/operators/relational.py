@@ -4044,6 +4044,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.select(F.col("dst").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+        .cache()  # reused by the orientation joins AND the wedge stats
     )
     e = (
         pairs.join(deg.withColumnRenamed("node", "src"), "src")
@@ -4058,11 +4059,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = (F.col("src_d") < F.col("dst_d")) | (
         (F.col("src_d") == F.col("dst_d")) & (F.col("src") < F.col("dst"))
     )
+    # Materialize the oriented edge list ONCE: it is referenced three
+    # times below (e1/e2/e3) and Spark shares no subplans, so without
+    # this the degree join above it ran three times (the round-7 plan
+    # held 249 Exchange nodes / 56 scans).  m rows of 3 ints — cheap to
+    # hold; lineage truncation also keeps the wedge join's plan small.
     oriented = e.select(
         F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
         F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
         F.when(fwd, F.col("dst_d")).otherwise(F.col("src_d")).alias("v_d"),
-    )
+    ).localCheckpoint(eager=True)
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
     e3 = oriented.alias("e3")
@@ -6992,11 +6998,23 @@ def agg_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
     )
+    # ONE exact accumulator and ONE sketch for both quantiles (array
+    # form, the quality_outlier_iqr discipline): the 4-aggregate form
+    # kept two copies of the per-group sorted counts map and two
+    # independent GK sketches — identical answers (the array form
+    # interpolates each p from the same state), half the aggregation
+    # state and merge cost.
     out = cents.groupBy("l_returnflag").agg(
-        F.percentile("c", 0.5).alias("p50_exact"),
-        F.percentile_approx("c", 0.5, 10000).alias("p50_approx"),
-        F.percentile("c", 0.95).alias("p95_exact"),
-        F.percentile_approx("c", 0.95, 10000).alias("p95_approx"),
+        F.percentile("c", F.array(F.lit(0.5), F.lit(0.95))).alias("ex"),
+        F.percentile_approx(
+            "c", F.array(F.lit(0.5), F.lit(0.95)), 10000
+        ).alias("ap"),
+    ).select(
+        "l_returnflag",
+        F.element_at("ex", 1).alias("p50_exact"),
+        F.element_at("ap", 1).alias("p50_approx"),
+        F.element_at("ex", 2).alias("p95_exact"),
+        F.element_at("ap", 2).alias("p95_approx"),
     )
     rel = lambda a, b: F.abs(F.col(a) - F.col(b)) / F.abs(F.col(a))  # noqa: E731
     return out.select(

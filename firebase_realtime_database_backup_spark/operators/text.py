@@ -173,6 +173,30 @@ def ensure_shingle_table(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+#: session-scoped (shingle, sid) dictionary relations, keyed like
+#: _DSHINGLE_CACHE: consumers that need the shingle STRING alongside
+#: its id (text_fingerprint's positioned join) cannot ride the
+#: persisted (doc_id, sid) table, so they share this cached
+#: vocabulary-sized relation instead of re-paying the two-shuffle
+#: dictionary rank per call.
+_SHINGLE_VOCAB_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def ensure_shingle_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shingle, sid) built once per (session, corpus) and cached —
+    the string-keyed face of the shingle dictionary (the persisted
+    table only stores doc-grain ids)."""
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _SHINGLE_VOCAB_CACHE.get(key)
+    if cached is not None:
+        return cached
+    out = shingle_vocab(doc_shingles(spark, sf_dir)).cache()
+    _SHINGLE_VOCAB_CACHE[key] = out
+    return out
+
+
 def doc_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sid) distinct — the set representation used by MinHash /
     SimHash / Jaccard.  Twin of SHINGLE_SQL_CTE's `dshingle`.
@@ -746,7 +770,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     positioned = docs.select(
         "doc_id", F.posexplode(shingle_arr).alias("pos0", "shingle")
     ).withColumn("pos", F.col("pos0") + 1)
-    vocab = shingle_vocab(doc_shingles(spark, sf_dir))
+    vocab = ensure_shingle_vocab(spark, sf_dir)
     joined = positioned.join(F.broadcast(vocab), "shingle")
     return joined.groupBy("doc_id").agg(
         (F.sum(F.col("pos").cast("long") * F.col("sid")) % F.lit(1000000007))
