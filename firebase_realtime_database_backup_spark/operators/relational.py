@@ -2213,14 +2213,18 @@ def sink_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     float columns would need a cents-grain cast first (the oround
     discipline).
 
-    Plan: ONE full-outer sort-merge join co-partitioned on the key,
-    with the fingerprint computed map-side under the scan and the
-    'unchanged' bulk (the overwhelming majority at 100 TB) filtered
-    before anything else sees it.  Both sides shuffle once on the join
-    key; on a bucketed/partitioned table both Exchanges disappear and
-    the diff is a zip of co-located partitions.  The output is the CDC
-    change set sink_merge_upsert applies — the two ops compose into
-    snapshot-replicate."""
+    Plan: a TAGGED UNION + one hash aggregation instead of the
+    full-outer sort-merge join (guide §2.4 — remove shuffles
+    outright): each side projects (key, fp) map-side, the union
+    shuffles ONCE on the key, and a conditional max() pivots the two
+    sides back into (old_fp, new_fp) — legal because a snapshot holds
+    at most one row per key, so the outer join IS a group-by.  Same
+    bytes cross the network as the join's two Exchanges, but in one
+    exchange with NO sort on either side (hash agg, not SMJ), and the
+    'unchanged' bulk (the overwhelming majority at 100 TB) is dropped
+    by the post-agg filter before anything else sees it.  The output
+    is the CDC change set sink_merge_upsert applies — the two ops
+    compose into snapshot-replicate."""
     orders = spread(read_table(spark, sf_dir, "orders"))
     k = F.col("o_orderkey")
 
@@ -2245,8 +2249,19 @@ def sink_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("new_fp"),
     )
+    tagged = old_v.select(
+        "o_orderkey", F.col("old_fp").alias("fp"), F.lit(0).alias("side")
+    ).unionByName(
+        new_v.select(
+            "o_orderkey", F.col("new_fp").alias("fp"), F.lit(1).alias("side")
+        )
+    )
     return (
-        old_v.join(new_v, "o_orderkey", "full_outer")
+        tagged.groupBy("o_orderkey")
+        .agg(
+            F.max(F.when(F.col("side") == 0, F.col("fp"))).alias("old_fp"),
+            F.max(F.when(F.col("side") == 1, F.col("fp"))).alias("new_fp"),
+        )
         .filter(
             F.col("old_fp").isNull()
             | F.col("new_fp").isNull()
@@ -2595,31 +2610,46 @@ def _ensure_sym_edges(spark: SparkSession, sf_dir: str):
 
 def _item_cooccurrence_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
-    items = (
-        ev.select(
-            "user_id",
-            # try_cast: a malformed item id is dropped by the NotNull
-            # filter instead of aborting the job under ANSI
-            F.get_json_object("props", "$.k").try_cast("bigint").alias("item"),
-        )
-        .filter(F.col("item").isNotNull())
-        .distinct()
-    )
+    items = ev.select(
+        "user_id",
+        # try_cast: a malformed item id is dropped by the NotNull
+        # filter instead of aborting the job under ANSI
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("item"),
+    ).filter(F.col("item").isNotNull())
+    # The distinct stays a separate (user, item)-keyed exchange ON
+    # PURPOSE: its partial aggregation dedups map-side, so a bot user
+    # with 10^6 copies of one item ships one row per map partition —
+    # folding the dedup into the window (dense_rank over raw rows)
+    # would ship every duplicate into the user-keyed exchange.  The
+    # window cap then rides WindowGroupLimit map-side, and collect_list
+    # reuses the window's hash partitioning (no third exchange); its
+    # buffer is bounded at COOC_USER_CAP entries because the rank
+    # filter runs first.
     w = Window.partitionBy("user_id").orderBy("item")
-    capped = (
-        items.withColumn("rk", F.row_number().over(w))
+    baskets = (
+        items.distinct()
+        .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= COOC_USER_CAP)
-        .drop("rk")
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("item")).alias("its"))
     )
-    a = capped.alias("a")
-    b = capped.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.item") < F.col("b.item")),
+    # Pair expansion happens MAP-SIDE with array HOFs (guide §2.3/§2.4:
+    # the old capped self-join re-sorted and re-windowed the b side and
+    # paid a broadcast build + join probe for pairs that are a pure
+    # per-row product).  The basket is sorted ascending and duplicate-
+    # free, so nested transform over strict suffixes emits exactly the
+    # item_a < item_b pairs; blowup stays bounded by cap^2 per user,
+    # generated inside the row.
+    pairs = F.explode(
+        F.expr(
+            "flatten(transform(its, (x, i) -> "
+            "transform(slice(its, i + 2, size(its) - i - 1), "
+            "y -> struct(x AS item_a, y AS item_b))))"
         )
-        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+    ).alias("p")
+    return (
+        baskets.select(pairs)
+        .groupBy("p.item_a", "p.item_b")
         .agg(F.count(F.lit(1)).alias("n_users"))
         .filter(F.col("n_users") >= 2)
     )
@@ -3372,21 +3402,45 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosion cap (events_item_cooccurrence's COOC_USER_CAP) and the
     HLL sketch form (agg_hll_union_rollup) are the documented swaps."""
     ev = read_table(spark, sf_dir, "events")
-    tu = ev.select("event_type", "user_id").distinct()
-    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    a = tu.alias("a")
-    b = tu.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
+    # Per-user type set in ONE user-keyed exchange: collect_set's
+    # partial aggregation dedups map-side, so the shuffle carries at
+    # most |types| entries per user per map partition — strictly fewer
+    # bytes than the old DISTINCT's (type, user) rows.  The basket is
+    # bounded by the type universe, so no cap is needed.
+    baskets = (
+        ev.select("user_id", "event_type")
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("ts"))
+    )
+    # Pairs AND per-type size markers emitted map-side from the same
+    # basket (guide §2.3/§2.4 — the old form paid the self-join's
+    # second sort + broadcast build + probe, plus a separate exchange
+    # for the size aggregation): each type x contributes a (x, NULL)
+    # marker counting the user toward |audience(x)|, and each sorted
+    # strict-suffix pair (x, y) counts the intersection.  One pair-
+    # keyed exchange aggregates both; AQE reuses it for the two tiny
+    # broadcast-side branches below.
+    emitted = F.explode(
+        F.expr(
+            "flatten(transform(ts, (x, i) -> concat("
+            "array(struct(x AS type_a, CAST(NULL AS STRING) AS type_b)), "
+            "transform(slice(ts, i + 2, size(ts) - i - 1), "
+            "y -> struct(x AS type_a, y AS type_b)))))"
         )
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_both"))
+    ).alias("p")
+    counts = (
+        baskets.select(emitted)
+        .groupBy("p.type_a", "p.type_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # |types|^2 rows, referenced three times (intersection + both
+        # broadcast size sides) — materialize once
+        .localCheckpoint(eager=True)
+    )
+    inter = counts.filter(F.col("type_b").isNotNull()).select(
+        "type_a", "type_b", F.col("n").alias("n_both")
+    )
+    sizes = counts.filter(F.col("type_b").isNull()).select(
+        F.col("type_a").alias("event_type"), "n"
     )
     return (
         inter.join(

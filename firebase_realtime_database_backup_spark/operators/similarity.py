@@ -641,12 +641,18 @@ def sim_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    # The bucket table is referenced from BOTH join sides (query probe
+    # + corpus index) and Spark shares no subplans: without the eager
+    # materialization each side re-evaluated the 32 literal-plane dot
+    # products per vector (the dominant map-side cost).  Materialized
+    # it is 3 ints x 8 rows per vector — exactly the index table a
+    # production multi-table LSH persists.
     tb = emb.select(
         "vec_id",
         F.posexplode(
             F.array(*[_table_bucket(F.col("emb"), t) for t in range(N_TABLES)])
         ).alias("tab", "bucket"),
-    )
+    ).localCheckpoint(eager=True)
     q = tb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), "tab", "bucket"
     )

@@ -479,11 +479,20 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay bit-identical to the oracle because every step is IEEE
     +,-,*,/ and FLOOR in the same operation order — no libm."""
     docs = read_table(spark, sf_dir, "documents")
+    # scored is referenced by FOUR branches (within-source ranks, the
+    # bucket counts, the global-rank relation, the corpus count) and
+    # Spark shares no subplans — without materialization each branch
+    # re-tokenized and re-scored the whole corpus (the r8 before-plan
+    # ran the split/array_distinct/array_intersect expr 5x; 16.7 s in
+    # the first r8 bench).  One eager localCheckpoint pays the text
+    # pass once and hands every branch a 3-column (id, source, q)
+    # relation — the guide §5 lineage-truncation trade, applied to a
+    # relation ~100x narrower than its input.
     scored = docs.select(
         "doc_id",
         "source",
         quality_expr(F.split(F.col("text"), " ")).alias("q"),
-    )
+    ).localCheckpoint(eager=True)
     src = scored.select(
         "doc_id",
         "source",
@@ -515,6 +524,10 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q").alias("gq"),
             (F.col("off") + F.col("rb")).cast("bigint").alias("gr"),
         )
+        # referenced twice below (the bracketing gk/gk1 joins) — one
+        # materialization instead of re-running the bucket window +
+        # offset join per reference
+        .localCheckpoint(eager=True)
     )
     n_tot = scored.groupBy().agg(F.count(F.lit(1)).alias("n_tot"))
     pos = (
