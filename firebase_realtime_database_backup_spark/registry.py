@@ -276,6 +276,30 @@ ROUND_TOUCHED: dict[str, int] = {
     # by the shingle reroute).
     "graph_connected_components": 8,
     "multimodal_phash_cluster": 8,
+    # round 8 OPTIMIZATION pass — results identical (full 300/300
+    # oracle loop re-run after every batch), plans changed:
+    # shared-subtree materialization (FastSS pair memo, pHash memo,
+    # shingle-vocab cache, oriented-edge checkpoint):
+    "dedup_editdist_neighborhood": 8,
+    "dedup_editdist_sampled": 8,
+    "graph_triangle_count": 8,
+    "graph_degree_distribution": 8,  # rides the rewritten edge build
+    "multimodal_phash_dedup": 8,
+    "multimodal_phash_hamming": 8,
+    "text_fingerprint": 8,
+    # array-form percentile accumulators (one sketch for both p50/p95):
+    "agg_approx_quantile_audit": 8,
+    # self-join -> map-side basket pair expansion:
+    "events_item_cooccurrence": 8,
+    "events_audience_overlap": 8,
+    # full-outer SMJ -> tagged union + hash aggregation:
+    "sink_snapshot_diff": 8,
+    # LSH bucket table materialized once (both join sides):
+    "sim_ann_multitable": 8,
+    # rows-only audit stamps (window ordering never sees these; their
+    # pins are the pytest replays, re-run green after the rewrite):
+    # dedup_semantic_kmeans — in-row argmin assignment, zero-shuffle.
+    "dedup_semantic_kmeans": 8,
 }
 
 
