@@ -946,7 +946,13 @@ def pipeline_prepare_corpus_scaled(spark: SparkSession, sf_dir: str) -> DataFram
         dedup_minhash_xxhash,
     )
 
-    base = pipeline_prepare_corpus(spark, sf_dir)
+    # base is referenced THREE times (two keeper-side semi-join probes
+    # + the final anti-join) and Spark shares no subplans — without the
+    # materialization the whole normalize -> score -> filter -> exact-
+    # dedup -> split pipeline ran once per reference.  Its output is
+    # doc-grain and narrow (6 columns, no text), so one eager
+    # localCheckpoint is cheap to hold.
+    base = pipeline_prepare_corpus(spark, sf_dir).localCheckpoint(eager=True)
     base_ids = base.select("doc_id")
     near = (
         dedup_minhash_xxhash(spark, sf_dir)
