@@ -2213,18 +2213,24 @@ def sink_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     float columns would need a cents-grain cast first (the oround
     discipline).
 
-    Plan: a TAGGED UNION + one hash aggregation instead of the
-    full-outer sort-merge join (guide §2.4 — remove shuffles
-    outright): each side projects (key, fp) map-side, the union
-    shuffles ONCE on the key, and a conditional max() pivots the two
-    sides back into (old_fp, new_fp) — legal because a snapshot holds
-    at most one row per key, so the outer join IS a group-by.  Same
-    bytes cross the network as the join's two Exchanges, but in one
-    exchange with NO sort on either side (hash agg, not SMJ), and the
-    'unchanged' bulk (the overwhelming majority at 100 TB) is dropped
-    by the post-agg filter before anything else sees it.  The output
-    is the CDC change set sink_merge_upsert applies — the two ops
-    compose into snapshot-replicate."""
+    Plan: ONE full-outer sort-merge join co-partitioned on the key,
+    with the fingerprint computed map-side under the scan and the
+    'unchanged' bulk (the overwhelming majority at 100 TB) filtered
+    before anything else sees it.  Both sides shuffle once on the join
+    key; on a bucketed/partitioned table both Exchanges disappear and
+    the diff is a zip of co-located partitions.  The output is the CDC
+    change set sink_merge_upsert applies — the two ops compose into
+    snapshot-replicate.
+
+    Round-8 measured rejection (kept for the record): a tagged-union +
+    one-exchange hash-aggregation diff (pivot the two sides back with
+    conditional max — legal because keys are unique per side) looks
+    cheaper on paper (one Exchange, no sorts) but measured 6.1-11.0 s
+    warm vs 4.0 s for this join at the 100x orders decade: with every
+    key unique there is nothing for partial aggregation to reduce, so
+    the hash aggregate buffers the full key space per partition while
+    the sort-merge join streams it.  OPTIMIZATION_r08.md has the
+    numbers."""
     orders = spread(read_table(spark, sf_dir, "orders"))
     k = F.col("o_orderkey")
 
@@ -2249,19 +2255,8 @@ def sink_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("new_fp"),
     )
-    tagged = old_v.select(
-        "o_orderkey", F.col("old_fp").alias("fp"), F.lit(0).alias("side")
-    ).unionByName(
-        new_v.select(
-            "o_orderkey", F.col("new_fp").alias("fp"), F.lit(1).alias("side")
-        )
-    )
     return (
-        tagged.groupBy("o_orderkey")
-        .agg(
-            F.max(F.when(F.col("side") == 0, F.col("fp"))).alias("old_fp"),
-            F.max(F.when(F.col("side") == 1, F.col("fp"))).alias("new_fp"),
-        )
+        old_v.join(new_v, "o_orderkey", "full_outer")
         .filter(
             F.col("old_fp").isNull()
             | F.col("new_fp").isNull()
@@ -2616,40 +2611,34 @@ def _item_cooccurrence_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         # filter instead of aborting the job under ANSI
         F.get_json_object("props", "$.k").try_cast("bigint").alias("item"),
     ).filter(F.col("item").isNotNull())
-    # The distinct stays a separate (user, item)-keyed exchange ON
-    # PURPOSE: its partial aggregation dedups map-side, so a bot user
-    # with 10^6 copies of one item ships one row per map partition —
-    # folding the dedup into the window (dense_rank over raw rows)
-    # would ship every duplicate into the user-keyed exchange.  The
-    # window cap then rides WindowGroupLimit map-side, and collect_list
-    # reuses the window's hash partitioning (no third exchange); its
-    # buffer is bounded at COOC_USER_CAP entries because the rank
-    # filter runs first.
+    # Round-8 measured rejection (kept for the record): replacing the
+    # capped self-join below with a map-side basket expansion
+    # (collect_list per user after the window cap, then a nested
+    # transform/slice emitting the item_a < item_b pairs in-row)
+    # removes the b-side re-derivation and the broadcast build — but
+    # measured 18.9 s vs 9.5 s for this join at the 100x events decade
+    # (warm page cache, same session shape): per-row construction of
+    # up-to-cap^2 struct arrays costs more than the hash join it
+    # replaces.  The distinct ALSO stays a separate (user, item)-keyed
+    # exchange on purpose — its partial aggregation dedups map-side,
+    # so a bot user with 10^6 copies of one item ships one row per map
+    # partition.  OPTIMIZATION_r08.md has the numbers.
     w = Window.partitionBy("user_id").orderBy("item")
-    baskets = (
+    capped = (
         items.distinct()
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= COOC_USER_CAP)
-        .groupBy("user_id")
-        .agg(F.sort_array(F.collect_list("item")).alias("its"))
+        .drop("rk")
     )
-    # Pair expansion happens MAP-SIDE with array HOFs (guide §2.3/§2.4:
-    # the old capped self-join re-sorted and re-windowed the b side and
-    # paid a broadcast build + join probe for pairs that are a pure
-    # per-row product).  The basket is sorted ascending and duplicate-
-    # free, so nested transform over strict suffixes emits exactly the
-    # item_a < item_b pairs; blowup stays bounded by cap^2 per user,
-    # generated inside the row.
-    pairs = F.explode(
-        F.expr(
-            "flatten(transform(its, (x, i) -> "
-            "transform(slice(its, i + 2, size(its) - i - 1), "
-            "y -> struct(x AS item_a, y AS item_b))))"
-        )
-    ).alias("p")
+    a = capped.alias("a")
+    b = capped.alias("b")
     return (
-        baskets.select(pairs)
-        .groupBy("p.item_a", "p.item_b")
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
         .agg(F.count(F.lit(1)).alias("n_users"))
         .filter(F.col("n_users") >= 2)
     )
