@@ -3050,17 +3050,41 @@ def _er_u_stats(cust: DataFrame) -> DataFrame:
     )
 
 
+#: session-scoped (c_name, nat, seg) attribute relations: every tier of
+#: the entity-resolution cascade (full/sampled scorer, EM, both closure
+#: forms) joins candidates against this name-grain aggregate from TWO
+#: sides — the memo pays the customer groupBy once per (session, corpus)
+#: instead of once per reference.
+_ER_ATTR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _er_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _ER_ATTR_CACHE.get(key)
+    if cached is not None:
+        return cached
+    out = (
+        read_table(spark, sf_dir, "customer")
+        .groupBy("c_name")
+        .agg(
+            F.min("c_nationkey").alias("nat"),
+            F.min("c_mktsegment").alias("seg"),
+        )
+        .cache()
+    )
+    _ER_ATTR_CACHE[key] = out
+    return out
+
+
 def _er_agreements(
     spark: SparkSession, sf_dir: str, cands: DataFrame
 ) -> DataFrame:
     """Per-candidate field-agreement flags: (name_a, name_b,
     agree_nation, agree_segment) — the γ vectors every Fellegi-Sunter
     stage (scoring, EM fitting) consumes."""
-    cust = read_table(spark, sf_dir, "customer")
-    attr = cust.groupBy("c_name").agg(
-        F.min("c_nationkey").alias("nat"),
-        F.min("c_mktsegment").alias("seg"),
-    )
+    attr = _er_attr(spark, sf_dir)
     a = attr.select(
         F.col("c_name").alias("name_a"),
         F.col("nat").alias("nat_a"),
