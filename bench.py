@@ -414,9 +414,22 @@ def main() -> None:
     # per-query map goes to BENCH_DETAIL.json next to this script
     # (detail_path was resolved — and the prior round's map consumed —
     # before the timed loop above).
+    # Persisted-scratch observability (VERDICT r8 item 6): record which
+    # content-keyed tables this run found on disk vs had to build, so a
+    # dictionary consumer's round-over-round delta is attributable to
+    # plan changes vs warm/cold scratch state.  Stdout is unchanged.
+    from firebase_realtime_database_backup_spark import scratch
+
     with open(detail_path, "w") as fh:
         json.dump(
-            {"sf": sf, "n_queries": len(times), "queries": times, "cold": cold},
+            {
+                "sf": sf,
+                "n_queries": len(times),
+                "queries": times,
+                "cold": cold,
+                "scratch_hits": scratch.SCRATCH_HITS,
+                "scratch_builds": scratch.SCRATCH_BUILDS,
+            },
             fh,
             indent=1,
         )

@@ -23,6 +23,7 @@ Layout:
     streaming/     windowed aggregations + applyInPandasWithState
 """
 
+from firebase_realtime_database_backup_spark.memo import clear_caches
 from firebase_realtime_database_backup_spark.session import get_spark
 
 
@@ -35,5 +36,5 @@ def load_registry():
     return build_registry()
 
 
-__all__ = ["get_spark", "load_registry"]
+__all__ = ["clear_caches", "get_spark", "load_registry"]
 __version__ = "0.1.0"

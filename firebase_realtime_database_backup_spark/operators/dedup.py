@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from firebase_realtime_database_backup_spark.catalog import read_table, spread
+from firebase_realtime_database_backup_spark.memo import memo_key, register_cache
 from firebase_realtime_database_backup_spark.functions.hashing import (
     knuth_bucket_sql,
     string_bucket_sql,
@@ -149,7 +150,7 @@ def _band_keys(sig: DataFrame) -> DataFrame:
 #: (corpus, family), and minhash-pair emit / containment / keep-best /
 #: cross-corpus all probe the same cached index (the same reuse
 #: pattern as the shingle-relation caches).
-_BAND_INDEX_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_BAND_INDEX_CACHE: dict[tuple[str, str, str], DataFrame] = register_cache({})
 
 
 def _band_index(spark: SparkSession, sf_dir: str, family: str) -> DataFrame:
@@ -157,7 +158,7 @@ def _band_index(spark: SparkSession, sf_dir: str, family: str) -> DataFrame:
     family's relation is itself a session-cached singleton), so a
     caller cannot pair the wrong relation with a family key and poison
     the session-wide cache."""
-    key = (spark.sparkContext.applicationId, sf_dir, family)
+    key = memo_key(spark, sf_dir, family)
     cached = _BAND_INDEX_CACHE.get(key)
     if cached is not None:
         return cached
@@ -396,8 +397,8 @@ assert PREFIX_T_NUM / PREFIX_T_DEN == JACCARD_THRESHOLD
 #: is referenced from two join sides — Spark shares no subplans, so
 #: without the memo the df-rank window ran once per reference and the
 #: collect_list re-aggregated per side.  Keyed like _DSHINGLE_CACHE.
-_RANKED_TOKENS_CACHE: dict[tuple[str, str], DataFrame] = {}
-_SID_ARRAYS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_RANKED_TOKENS_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+_SID_ARRAYS_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 
 def _df_ordered_tokens(spark: SparkSession, sf_dir: str):
@@ -407,11 +408,9 @@ def _df_ordered_tokens(spark: SparkSession, sf_dir: str):
     below take prefixes under.  Returns (dsh, sizes, ranked) where
     ranked carries (sid, doc_id, sz, rn); ranked is built once per
     (session, corpus) and cached."""
-    import os
-
     dsh = doc_shingle_ids(spark, sf_dir)
     sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = memo_key(spark, sf_dir)
     ranked = _RANKED_TOKENS_CACHE.get(key)
     if ranked is None:
         freq = dsh.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
@@ -436,9 +435,7 @@ def _sid_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     dictionary; see dedup_jaccard_prefix's plan notes).  Built once
     per (session, corpus) and cached — both prefix joins reference it
     from two join sides each."""
-    import os
-
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = memo_key(spark, sf_dir)
     cached = _SID_ARRAYS_CACHE.get(key)
     if cached is not None:
         return cached
@@ -1332,13 +1329,33 @@ def dedup_cross_corpus_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+#: Deterministic per-bucket corpus-candidate cap for the Arrow
+#: cross-corpus twin (round 9, VERDICT r8 item 7).  The 1000x decade
+#: measured 82 s: ALL pair volume, from LSH buckets whose occupancy is
+#: data-correlation-driven (the replica corpus holds ~100-wide near-dup
+#: masses; the hottest bucket held 24k vectors = a 24k-wide matmul
+#: tile), and more planes cannot split identical-content mass.  A
+#: production probe bounds per-bucket work: when a bucket holds more
+#: corpus candidates than the cap, a DETERMINISTIC hash-ordered sample
+#: (splitmix64 of vec_id — the audit-sample discipline, unbiased by id
+#: order/recency) of exactly the cap survives.  Row count is invariant
+#: (a batch vector with bucket-mates keeps >= 1), choices below the
+#: cap are untouched, and the recall floor is pinned in
+#: tests/test_plans.py::test_cross_corpus_cap_determinism.
+CROSS_ARROW_BUCKET_CAP = 1024
+
+
 @REG.query("dedup_cross_corpus_cosine_arrow")  # rows-only: BLAS sum order isn't SQL-portable
 def dedup_cross_corpus_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_cross_corpus_cosine with the two interpreted hot loops
     swapped for Arrow numpy kernels — the production form the teaching
-    twin's docstring promises.  Semantics identical: batch (vec_id%10
-    == 0) probed against the standing corpus's hyperplane buckets,
-    nearest bucket-mate + threshold flag, every emitted cosine exact.
+    twin's docstring promises.  Semantics identical below the candidate
+    cap: batch (vec_id%10 == 0) probed against the standing corpus's
+    hyperplane buckets, nearest bucket-mate + threshold flag, every
+    emitted cosine exact; buckets holding more corpus candidates than
+    CROSS_ARROW_BUCKET_CAP keep a deterministic hash-ordered sample
+    (see the constant's docstring — occupancy skew there is exact-dup
+    mass, where any surviving candidate is an equally-good neighbor).
 
     What changes and why it's the 100 TB shape:
 
@@ -1418,6 +1435,17 @@ def dedup_cross_corpus_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFra
                     "is_dup": pd.Series(dtype="bool"),
                 }
             )
+        if len(corpus_pdf) > CROSS_ARROW_BUCKET_CAP:
+            # deterministic hash-ordered candidate sample: splitmix64
+            # finalizer over vec_id (uint64 wraps are the mix), ties
+            # impossible (vec_ids unique), row order irrelevant
+            ids = corpus_pdf["vec_id"].to_numpy(np.uint64)
+            z = ids + np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z = z ^ (z >> np.uint64(31))
+            keep = np.lexsort((ids, z))[:CROSS_ARROW_BUCKET_CAP]
+            corpus_pdf = corpus_pdf.iloc[keep]
         corpus_pdf = corpus_pdf.sort_values("vec_id")  # argmax tie -> lowest id
         A = np.stack(new_pdf["emb"].values)
         B = np.stack(corpus_pdf["emb"].values)
@@ -1859,7 +1887,7 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: sf_dir) — the dictionary-free twin of text._DSHINGLE_CACHE, shared
 #: by dedup_minhash_xxhash and the production corpus pipeline so the
 #: shingle pass over the corpus runs once per session, not per caller.
-_XXHASH_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_XXHASH_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 
 #: session-scoped SAMPLED shingle relation for the audit's doc-grain
@@ -1867,7 +1895,7 @@ _XXHASH_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
 #: dedup_minhash_audit_sampled in a long-lived session must reuse one
 #: cached relation instead of accumulating a new cached DataFrame per
 #: call (each .cache() on a fresh plan pins fresh partitions forever).
-_SAMPLED_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SAMPLED_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 
 def _sampled_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1878,7 +1906,7 @@ def _sampled_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_shingle_ids,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = memo_key(spark, sf_dir)
     cached = _SAMPLED_SHINGLE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -1891,10 +1919,7 @@ def _sampled_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _xxhash_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from firebase_realtime_database_backup_spark.operators.text import doc_shingles
 
-    # applicationId, not id(spark): a recycled object address after a
-    # session restart must not resurrect DataFrames bound to the dead
-    # session
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = memo_key(spark, sf_dir)
     cached = _XXHASH_SHINGLE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -2782,7 +2807,7 @@ def quality_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: from cold — the dominant stage of all four queries).  At 100 TB the
 #: verified pair table is exactly what a production cascade would
 #: materialize once per corpus and hand to every downstream tier.
-_FASTSS_PAIRS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_FASTSS_PAIRS_CACHE: dict[tuple[str, str, str], DataFrame] = register_cache({})
 
 
 def _fastss_pairs_plan(names: DataFrame) -> DataFrame:
@@ -2833,7 +2858,7 @@ def _ensure_fastss_pairs(
     """Build the verified edit-distance-1 pair relation ONCE per
     (session, corpus, variant) and hand the same cached DataFrame to
     every cascade tier.  variant: 'full' | 'sampled'."""
-    key = (spark.sparkContext.applicationId, sf_dir, variant)
+    key = memo_key(spark, sf_dir, variant)
     cached = _FASTSS_PAIRS_CACHE.get(key)
     if cached is not None:
         return cached
@@ -3055,13 +3080,11 @@ def _er_u_stats(cust: DataFrame) -> DataFrame:
 #: forms) joins candidates against this name-grain aggregate from TWO
 #: sides — the memo pays the customer groupBy once per (session, corpus)
 #: instead of once per reference.
-_ER_ATTR_CACHE: dict[tuple[str, str], DataFrame] = {}
+_ER_ATTR_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 
 def _er_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = memo_key(spark, sf_dir)
     cached = _ER_ATTR_CACHE.get(key)
     if cached is not None:
         return cached

@@ -42,6 +42,7 @@ from pyspark.sql.types import (
 )
 
 from firebase_realtime_database_backup_spark.catalog import read_table, spread
+from firebase_realtime_database_backup_spark.memo import memo_key, register_cache
 from firebase_realtime_database_backup_spark.registry import Registry
 
 REG = Registry()
@@ -96,7 +97,7 @@ PHASH_SQL_CTE = f"""{ASCII_DOCS_CTE},
 #: ArrowEvalPython nodes in phash_cluster's round-7 plan).  Guide §4:
 #: cross the JVM↔Python boundary once; the cached relation is 3 ints
 #: per image.
-_PHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PHASH_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 
 def phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,7 +117,7 @@ def phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     replica corpus genuinely holds ~100-wide near-dup clusters, 61.8M
     pairs — not hashing).  Both paths are bit-identical to the SQL CTE
     oracle."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = memo_key(spark, sf_dir)
     cached = _PHASH_CACHE.get(key)
     if cached is not None:
         return cached

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from firebase_realtime_database_backup_spark.catalog import read_table, spread
+from firebase_realtime_database_backup_spark.memo import memo_key, register_cache
 from firebase_realtime_database_backup_spark.functions.hashing import (
     knuth_bucket,
     knuth_bucket_sql,
@@ -2522,7 +2523,7 @@ def events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: session-scoped item co-occurrence edge lists, keyed by
 #: (applicationId, sf_dir) — same amortization discipline as
 #: ensure_bucketed_facts / ensure_bpe_table / the shared band index.
-_ITEM_EDGES_CACHE: dict = {}
+_ITEM_EDGES_CACHE: dict = register_cache({})
 
 
 def ensure_item_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2541,7 +2542,7 @@ def ensure_item_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Columns: (item_a, item_b, n_users) with item_a < item_b and
     n_users >= 2 — the canonical undirected form; direction-needing
     consumers symmetrize map-side (explode of a 2-struct array)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = memo_key(spark, sf_dir)
     cached = _ITEM_EDGES_CACHE.get(key)
     if cached is not None:
         return cached
@@ -2552,7 +2553,7 @@ def ensure_item_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: session-scoped (sym_edges, out_deg, nodes) triple for the directed
 #: view of the co-click graph, derived from ensure_item_edges.
-_SYM_EDGES_CACHE: dict = {}
+_SYM_EDGES_CACHE: dict = register_cache({})
 
 
 def _ensure_sym_edges(spark: SparkSession, sf_dir: str):
@@ -2562,18 +2563,16 @@ def _ensure_sym_edges(spark: SparkSession, sf_dir: str):
     Symmetrize by exploding each pair into both directions MAP-SIDE (a
     union of pairs with its own mirror computes the co-occurrence
     self-join twice when the cache materializes — measured ~2x the cold
-    build cost of the dominant stage).  rank/degree sides are |items|
-    rows — catalog-sized, orders of magnitude under the edge list — so
-    PageRank broadcasts both and each iteration's only exchange is the
-    dst-key gather.  (On a web-scale graph where ranks outgrow
-    broadcast, drop the hints and co-partition edges and ranks on the
-    item key instead.)  Without the broadcast hints each iteration paid
-    3 shuffle stages of scheduling overhead: measured 19.4 s vs 11 s
-    broadcast at sf0.1; the remaining floor is the per-iteration
-    broadcast-collect + gather jobs, inherent to driver-looped
-    iteration on a tiny graph.  Memoized so repeated PageRank runs in a
-    session don't pin a fresh cached symmetrization each call."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    build cost of the dominant stage).  The degree side is |items| rows
+    — catalog-sized, orders of magnitude under the edge list — so
+    out_deg KEEPS an explicit broadcast hint where PageRank joins it.
+    The rank/contrib relations carry NO hints since round 8 (97d8d0a):
+    forcing them broadcast was a driver-OOM cliff at catalog scale and
+    the idle re-sweep measured AQE's own choices equal-or-better, so
+    each iteration lets AQE pick the strategy for the dst-key gather.
+    Memoized so repeated PageRank runs in a session don't pin a fresh
+    cached symmetrization each call."""
+    key = memo_key(spark, sf_dir)
     cached = _SYM_EDGES_CACHE.get(key)
     if cached is not None:
         return cached
@@ -3409,11 +3408,20 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # strict-suffix pair (x, y) counts the intersection.  One pair-
     # keyed exchange aggregates both; AQE reuses it for the two tiny
     # broadcast-side branches below.
+    #
+    # NULL-user semantics (ADVICE r8): the oracle's DISTINCT relation
+    # keeps (type, NULL) rows — they count toward audience sizes — but
+    # its self-join on a.user_id = b.user_id can never match NULL, so
+    # the merged NULL basket Spark's groupBy builds must emit size
+    # markers ONLY, never intersection pairs.  The pair slice's length
+    # collapses to 0 for the NULL basket (slice keeps the struct array
+    # type, unlike an untyped empty-array CASE branch).
     emitted = F.explode(
         F.expr(
             "flatten(transform(ts, (x, i) -> concat("
             "array(struct(x AS type_a, CAST(NULL AS STRING) AS type_b)), "
-            "transform(slice(ts, i + 2, size(ts) - i - 1), "
+            "transform(slice(ts, i + 2, "
+            "IF(user_id IS NULL, 0, size(ts) - i - 1)), "
             "y -> struct(x AS type_a, y AS type_b)))))"
         )
     ).alias("p")
@@ -3929,6 +3937,61 @@ def _pagerank_oracle(iters: int) -> str:
     return "\n".join(parts).rstrip(",") + "\n" + final
 
 
+#: Same two-regime gate as dedup.MLC_LOCAL_EDGE_CAP (the round-8
+#: single-task union-find fast path): a symmetric edge list this size
+#: is a few MB of ints — one task's memory — while the distributed
+#: fixpoint pays PAGERANK_ITERS x (per-iteration AQE stage jobs) of
+#: pure scheduling regardless of graph size.  Round-9 measurement: the
+#: sf0.1 co-click graph is ~20k edges, yet the driver-looped form
+#: floors at ~5 s = ~20 jobs x ~0.25 s of local[32] scheduling
+#: (VERDICT r8 item 1); the single-task kernel does the identical 8
+#: integer iterations in milliseconds.
+PAGERANK_LOCAL_EDGE_CAP = 1_000_000
+
+
+def _local_pagerank(edges: DataFrame) -> DataFrame:
+    """Single-task exact fixed-point PageRank over a bounded symmetric
+    edge list — the SAME integer arithmetic as the distributed loop
+    (scatter rank // deg, gather int sum, damping
+    (15e12 + 85*in_sum) // 100), vectorized in int64 numpy.
+
+    Exactness, not approximation: every intermediate is bounded inside
+    int64 under the edge cap — total rank mass is <= n*SCALE <= 1e18
+    for n <= 1e6 nodes, so rank, contrib, and in_sum all fit — and the
+    one product that would overflow (85 * in_sum, up to 8.5e19) is
+    decomposed exactly: with in_sum = 100q + r,
+    (15e12 + 85*in_sum) // 100 == 15e10 + 85q + (85r) // 100
+    because 15e12 and 8500q are both multiples of 100.  Output is
+    identical to the distributed fixpoint's by construction (asserted
+    against the arbitrary-precision replay in test_dedup_clusters and
+    the unrolled-CTE DuckDB oracle)."""
+
+    def pr(pdf):
+        import numpy as np
+        import pandas as pd
+
+        src = pdf["src"].to_numpy(np.int64)
+        dst = pdf["dst"].to_numpy(np.int64)
+        # symmetric edges: the src column covers every node
+        items, inv_src = np.unique(src, return_inverse=True)
+        inv_dst = np.searchsorted(items, dst)
+        deg = np.bincount(inv_src, minlength=len(items)).astype(np.int64)
+        rank = np.full(len(items), PAGERANK_SCALE, dtype=np.int64)
+        for _ in range(PAGERANK_ITERS):
+            contrib = rank // deg
+            in_sum = np.zeros(len(items), dtype=np.int64)
+            np.add.at(in_sum, inv_dst, contrib[inv_src])
+            q, r = np.divmod(in_sum, 100)
+            rank = (15 * (PAGERANK_SCALE // 100)) + 85 * q + (85 * r) // 100
+        return pd.DataFrame({"item": items, "rank": rank})
+
+    return (
+        edges.withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandas(pr, "item bigint, rank bigint")
+    )
+
+
 @REG.query("graph_pagerank", oracle=_pagerank_oracle(PAGERANK_ITERS))
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the item co-click graph (edges = items co-clicked
@@ -3936,12 +3999,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     central in the browse graph — the other classic iterative-algorithm
     shape next to dedup_clusters' label propagation.
 
-    Canonical Spark iteration: the driver runs a fixed 8-iteration loop
-    (graph is near-cliquey, spectral gap is large, 8 is plenty); each
-    iteration is contribution-scatter (edge join on src) + gather
-    (groupBy dst sum) — two shuffles on the same item key, so the
-    exchange partitioning is reused.  localCheckpoint per iteration
-    truncates lineage exactly as in dedup_clusters.
+    TWO-REGIME plan (round 9, the min_label_components discipline):
+    when the symmetric edge list fits one task
+    (<= PAGERANK_LOCAL_EDGE_CAP) the fixed 8-iteration loop runs as a
+    SINGLE-TASK int64 kernel (_local_pagerank) — the whole fixpoint is
+    one job instead of ~20 AQE stage jobs of driver-loop scheduling,
+    which dominated the bench row (~5 s for a ~20k-edge graph).  The
+    canonical distributed iteration below remains the large-graph path:
+    contribution-scatter (edge join on src) + gather (groupBy dst sum)
+    — two shuffles on the same item key, so the exchange partitioning
+    is reused; localCheckpoint every 4 iterations truncates lineage
+    exactly as in dedup_clusters.  Both regimes compute the identical
+    integer fixed point (replay-asserted in test_dedup_clusters, both
+    regimes forced in test_pagerank_regimes_agree).
 
     FIXED-POINT semantics (round 6): ranks are integers in units of
     1e-12 (PAGERANK_SCALE); scatter is exact integer rank // deg,
@@ -3956,6 +4026,20 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup_clusters.py.  sum(rank) == n*SCALE now holds only
     to truncation (each div discards remainders)."""
     edges, out_deg, nodes = _ensure_sym_edges(spark, sf_dir)
+    # the count gates the regime AND materializes the edge cache the
+    # loop would have built (the min_label_components idiom)
+    if edges.count() <= PAGERANK_LOCAL_EDGE_CAP:
+        ranks = _local_pagerank(edges)
+        rank_fp = F.col("rank").cast("bigint")
+        rank_micro = F.expr(
+            f"CAST(CAST(rank AS BIGINT) DIV {PAGERANK_SCALE // 10**6}"
+            f" AS BIGINT)"
+        )
+        return ranks.select(
+            "item",
+            rank_fp.alias("rank_fp"),
+            (rank_micro / F.lit(1000000.0)).alias("rank"),
+        ).orderBy(F.col("rank_fp").desc(), "item")
     # nodes/edges caches materialize during the initial eager checkpoint;
     # sum(rank) == |nodes| stays a loop invariant (asserted in tests).
     # Checkpoint every 4 iterations, not every one: each eager

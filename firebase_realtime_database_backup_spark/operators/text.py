@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from firebase_realtime_database_backup_spark.catalog import read_table, spread
+from firebase_realtime_database_backup_spark.memo import memo_key, register_cache
 from firebase_realtime_database_backup_spark.functions.hashing import (
     knuth_bucket,
     knuth_bucket_sql,
@@ -109,11 +110,11 @@ def shingle_vocab(shingles: DataFrame) -> DataFrame:
 #: sf_dir): MinHash, SimHash, Jaccard, and fingerprints all consume the
 #: same (doc_id, sid) set — build + cache it once per session, the
 #: DataFrame analog of a shared materialized view.
-_DSHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_DSHINGLE_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 #: session-scoped persisted (doc_id, sid) parquet tables, keyed like
 #: _DSHINGLE_CACHE; value is the table directory.
-_SHINGLE_TABLES: dict[tuple[str, str], str] = {}
+_SHINGLE_TABLES: dict[tuple[str, str], str] = register_cache({})
 
 
 def ensure_shingle_table(spark: SparkSession, sf_dir: str) -> str:
@@ -149,11 +150,9 @@ def ensure_shingle_table(spark: SparkSession, sf_dir: str) -> str:
     os.rename; the loser discards its copy and reads the winner's
     (no overwrite tear, the property the old per-session key bought
     at the cost of a 780 s rebuild per session at the 1000x decade)."""
-    import os
-
     from ..scratch import is_published, publish_table
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = memo_key(spark, sf_dir)
     hit = _SHINGLE_TABLES.get(key)
     if hit is not None and is_published(hit):
         return hit
@@ -179,16 +178,14 @@ def ensure_shingle_table(spark: SparkSession, sf_dir: str) -> str:
 #: persisted (doc_id, sid) table, so they share this cached
 #: vocabulary-sized relation instead of re-paying the two-shuffle
 #: dictionary rank per call.
-_SHINGLE_VOCAB_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SHINGLE_VOCAB_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 
 def ensure_shingle_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(shingle, sid) built once per (session, corpus) and cached —
     the string-keyed face of the shingle dictionary (the persisted
     table only stores doc-grain ids)."""
-    import os
-
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = memo_key(spark, sf_dir)
     cached = _SHINGLE_VOCAB_CACHE.get(key)
     if cached is not None:
         return cached
@@ -205,14 +202,7 @@ def doc_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     build runs once per (session, corpus); this is a parquet read-back
     wrapped in a .cache() whose eviction fallback is the columnar
     re-read, not a rebuild."""
-    # applicationId, not id(spark): a recycled object address after a
-    # session restart must not resurrect DataFrames bound to the dead
-    # session.  abspath matches _SHINGLE_TABLES' key normalization —
-    # two spellings of one corpus dir must share one cached relation,
-    # not double-pin executor storage (ADVICE r7).
-    import os
-
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = memo_key(spark, sf_dir)
     cached = _DSHINGLE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -1461,7 +1451,7 @@ BUDGET_QBUCKETS = 64
 #: and boundary slice all consume this relation; without the cache
 #: each subtree re-tokenizes the corpus (predicate pushdown splits
 #: any shared Exchange, measured 3x the scan cost at 20x).
-_BUDGET_FEATS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_BUDGET_FEATS_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 
 @REG.query(
@@ -1515,7 +1505,7 @@ def mix_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     both branches consume; the corpus is never shuffled at doc grain,
     and every Window in the plan is qb-keyed (asserted in test_plans),
     i.e. either the ≤65-row bucket relation or the boundary slice."""
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cache_key = memo_key(spark, sf_dir)
     feats = _BUDGET_FEATS_CACHE.get(cache_key)
     if feats is None:
         docs = spread(read_table(spark, sf_dir, "documents"))
@@ -2261,7 +2251,7 @@ def _bpe_loop(spark: SparkSession, sf_dir: str, k_rounds: int):
 
 #: (applicationId, abs sf_dir) -> persisted BPE table dir (see
 #: ensure_bpe_table; same session-memo discipline as the IVF-PQ index).
-_BPE_TABLES: dict = {}
+_BPE_TABLES: dict = register_cache({})
 
 #: Schema of the persisted merge sequence (and of text_bpe_merges).
 _BPE_MERGES_SCHEMA = (
@@ -2294,7 +2284,7 @@ def ensure_bpe_table(spark: SparkSession, sf_dir: str) -> str:
 
     from ..scratch import is_published, publish_table
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = memo_key(spark, sf_dir)
     hit = _BPE_TABLES.get(key)
     if hit is not None and is_published(hit):
         return hit

@@ -57,6 +57,18 @@ from typing import Callable, Sequence
 #: Marker file published inside every content-keyed table directory.
 MARKER = "_FINGERPRINT"
 
+#: Per-process observability (VERDICT r8 item 6): which content-keyed
+#: tables this process found already published (hit) vs had to build.
+#: Cross-run persisted state otherwise changes bench conditions
+#: silently — a dictionary consumer's number depends on what previous
+#: runs left under .scratch/, and round-over-round deltas need that
+#: attributable.  bench.py copies both lists into BENCH_DETAIL.json
+#: (the stdout contract is unchanged).  Entries are "kind:corpus_base"
+#: strings, appended in publish order; a table can appear once per
+#: session thanks to the module-level memos in front of publish_table.
+SCRATCH_HITS: list[str] = []
+SCRATCH_BUILDS: list[str] = []
+
 #: Grace before GC may touch a tmp dir or a stale content-keyed table:
 #: long enough that a live session mid-build / mid-read is never bitten
 #: (builds top out around 15 min at the measured 1000x decade).
@@ -168,8 +180,11 @@ def publish_table(
     if fingerprint is None:
         fingerprint = corpus_fingerprint(sf_dir, tables)
     final = table_path(kind, sf_dir, fingerprint)
+    label = f"{kind}:{os.path.basename(os.path.normpath(sf_dir))}"
     if is_published(final):
+        SCRATCH_HITS.append(label)
         return final
+    SCRATCH_BUILDS.append(label)
     tmp = f"{final}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     build(tmp)
     with open(os.path.join(tmp, MARKER), "w") as fh:

@@ -87,6 +87,21 @@ def test_pagerank_matches_exact_integer_replay(spark):
 import pytest
 
 
+def test_pagerank_regimes_agree(spark, monkeypatch):
+    """Round 9's single-task kernel and the canonical distributed loop
+    must produce bit-identical rows: force the distributed branch by
+    shrinking the edge cap to 0 and compare against the default (fast)
+    path on the same corpus."""
+    from firebase_realtime_database_backup_spark.operators import relational
+
+    sf = "/root/testdata/sf0.01"
+    fast = relational.graph_pagerank(spark, sf).collect()
+    monkeypatch.setattr(relational, "PAGERANK_LOCAL_EDGE_CAP", 0)
+    dist = relational.graph_pagerank(spark, sf).collect()
+    assert fast == dist
+    assert len(fast) > 0
+
+
 @pytest.mark.parametrize("form", ["fixed", "scaled"])
 def test_semantic_kmeans_matches_numpy_replay(spark, form):
     """dedup_semantic_kmeans (+_scaled) is rows-only (parallel float

@@ -720,6 +720,79 @@ def test_text_log_parse_newline_event_type(spark, advice7_dir):
     assert r.ok, r.details
 
 
+@pytest.fixture(scope="module")
+def null_user_dir(tmp_path_factory):
+    """ADVICE r8: no prior corpus has NULL user_ids, so the oracle loop
+    could never catch a NULL-basket divergence in events_audience_overlap
+    — the oracle's DISTINCT relation keeps (type, NULL) rows (they count
+    toward audience sizes) but its self-join on user_id never matches
+    NULL, so NULL users must contribute to n_a/n_b and NEVER to n_both.
+    Three NULL-user events across two types (one type duplicated) pin
+    the merged-NULL-basket path; users 1/2 give every pair real
+    intersections so the NULL contribution is observable."""
+    d = str(tmp_path_factory.mktemp("null_user_corpus"))
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.001"
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet') LIMIT 0)"
+            f" TO '{os.path.join(d, t + '.parquet')}' (FORMAT PARQUET)"
+        )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM (VALUES
+            (1, TIMESTAMP '2024-06-01 00:00:00', 1, 'click', 1.0,
+             CAST(NULL AS VARCHAR)),
+            (2, TIMESTAMP '2024-06-01 00:00:01', 1, 'view', 1.0, NULL),
+            (3, TIMESTAMP '2024-06-01 00:00:02', 2, 'click', 1.0, NULL),
+            (4, TIMESTAMP '2024-06-01 00:00:03', 2, 'view', 1.0, NULL),
+            (5, TIMESTAMP '2024-06-01 00:00:04', 2, 'purchase', 1.0, NULL),
+            (6, TIMESTAMP '2024-06-01 00:00:05', CAST(NULL AS BIGINT),
+             'click', 1.0, NULL),
+            (7, TIMESTAMP '2024-06-01 00:00:06', CAST(NULL AS BIGINT),
+             'purchase', 1.0, NULL),
+            (8, TIMESTAMP '2024-06-01 00:00:07', CAST(NULL AS BIGINT),
+             'purchase', 1.0, NULL)
+          ) t(event_id, ts, user_id, event_type, value, props)
+        ) TO '{os.path.join(d, "events.parquet")}' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    return d
+
+
+def test_audience_overlap_null_users(spark, null_user_dir):
+    """NULL users count toward audience sizes but never intersect: the
+    full oracle comparison plus explicit pins on the counts."""
+    import __spark_entry__ as e
+
+    con = verify.duckdb_connection(null_user_dir)
+    r = verify.compare_query(
+        spark, con, "events_audience_overlap",
+        e.queries()["events_audience_overlap"],
+        e.oracle_sql()["events_audience_overlap"], null_user_dir,
+    )
+    assert r.ok, r.details
+    out = {
+        (row.type_a, row.type_b): row
+        for row in e.queries()["events_audience_overlap"](
+            spark, null_user_dir
+        ).collect()
+    }
+    # click: users 1, 2, NULL -> size 3; purchase: user 2, NULL -> 2
+    # (the duplicate NULL purchase dedups inside the merged basket);
+    # intersections come from real users only: click∩purchase = {2}.
+    row = out[("click", "purchase")]
+    assert (row.n_a, row.n_b, row.n_both) == (3, 2, 1), row
+    # view: users 1, 2 (no NULL view) -> the NULL basket contributed
+    # nothing here; click∩view = {1, 2}.
+    row = out[("click", "view")]
+    assert (row.n_a, row.n_b, row.n_both) == (3, 2, 2), row
+    assert ("purchase", "view") in out and out[("purchase", "view")].n_both == 1
+
+
 def test_pca_degenerate_corpora(spark, advice7_dir, tmp_path):
     """sim_pca_variance_explained on a 1-row corpus (no sample
     covariance) and on an EMPTY embeddings table must return an empty

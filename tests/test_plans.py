@@ -998,6 +998,42 @@ def test_cross_corpus_cosine_arrow_matches_teaching_form(spark, queries):
     assert "Join" not in plan, "pair join leaked into the cogrouped twin"
 
 
+def test_cross_corpus_cap_determinism(spark, queries, monkeypatch):
+    """Round 9's per-bucket candidate cap (CROSS_ARROW_BUCKET_CAP) must
+    be invisible at default size on the test corpus (the pin test above
+    covers that), and when FORCED to bind (cap=3): keep the output key
+    set invariant (a batch vector with bucket-mates keeps >= 1), stay
+    bit-deterministic across runs (hash-ordered sample, no row-order
+    dependence), never report a better cosine than the uncapped search,
+    and never flag a dup the uncapped search would not."""
+    from firebase_realtime_database_backup_spark.operators import dedup as dd
+
+    full = {
+        r.new_vec_id: (r.nn_corpus_id, r.nn_cosine, r.is_dup)
+        for r in queries["dedup_cross_corpus_cosine_arrow"](spark, SF).collect()
+    }
+    monkeypatch.setattr(dd, "CROSS_ARROW_BUCKET_CAP", 3)
+    capped1 = {
+        r.new_vec_id: (r.nn_corpus_id, r.nn_cosine, r.is_dup)
+        for r in queries["dedup_cross_corpus_cosine_arrow"](spark, SF).collect()
+    }
+    capped2 = {
+        r.new_vec_id: (r.nn_corpus_id, r.nn_cosine, r.is_dup)
+        for r in queries["dedup_cross_corpus_cosine_arrow"](spark, SF).collect()
+    }
+    assert capped1 == capped2, "capped candidate sample is not deterministic"
+    assert capped1.keys() == full.keys(), "cap changed the output key set"
+    changed = 0
+    for k, (nn, cos, dup) in capped1.items():
+        assert cos <= full[k][1] + 1e-12, (k, cos, full[k])
+        assert (not dup) or full[k][2], (k, "cap invented a dup flag")
+        changed += nn != full[k][0]
+    # the corpus is small enough that SOME buckets exceed 3 candidates
+    # — the forced cap must actually have engaged for the test to mean
+    # anything (if this fires, shrink the cap, don't delete the assert)
+    assert changed > 0, "cap=3 never engaged on the test corpus"
+
+
 def test_embedding_cosine_arrow_matches_scaled_form(spark, queries):
     """The within-corpus Arrow twin must reproduce the oracle-exact
     scaled form's choices exactly (same nearest bucket-mate + dup flag
