@@ -86,6 +86,15 @@ def get_spark(
         "spark.ui.enabled": os.environ.get("SPARK_GRAFT_UI", "false"),
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     }
+    # Deployment-specific conf without code changes (used by the
+    # round-9 orchestration-tail A/B and by any cluster profile):
+    # SPARK_GRAFT_CONF_JSON='{"spark.sql.adaptive...": "..."}' merges
+    # after the defaults and before call-site extra_conf.
+    env_json = os.environ.get("SPARK_GRAFT_CONF_JSON")
+    if env_json:
+        import json
+
+        conf.update({str(k): str(v) for k, v in json.loads(env_json).items()})
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

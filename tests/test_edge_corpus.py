@@ -392,6 +392,7 @@ def _run_oracle_gate(spark, names, sf_dir):
     return failures
 
 
+@pytest.mark.slow
 def test_r4_surface_on_edge_shapes(spark, r4_edge_dir):
     """Every round-4 query must hash-match its oracle on the boundary
     corpus (single-day calendar, one-version/no-version SCD2 entities,
@@ -440,6 +441,7 @@ def test_bpe_empty_merge_table(spark, r4_edge_dir):
     assert enc == {1: (3, 3), 2: (2, 2), 3: (1, 1)}
 
 
+@pytest.mark.slow
 def test_all_queries_survive_edge_corpus(spark, edge_dir):
     import __spark_entry__ as e
 
@@ -682,6 +684,7 @@ def test_source_overlap_beyond_64_sources(spark, advice7_dir):
     assert row.n_common == 2 and row.containment == 1.0, row
 
 
+@pytest.mark.slow
 def test_markov_stationary_source_only_state(spark, advice7_dir):
     """'entry' precedes other states but nothing ever precedes it: the
     oracle's power-iteration steps must keep it as an explicit mass-0

@@ -28,7 +28,9 @@ def test_memo_key_evicts_stale_application_entries(spark):
         memo.memo_key(spark, "/root/testdata/sf0.001")
         assert d[live_key] == "live"  # same-app entries survive
     finally:
-        memo._REGISTERED.remove(d)
+        # identity removal: list.remove() compares by ==, and an emptied
+        # temp dict equals every other emptied registered cache
+        memo._REGISTERED[:] = [x for x in memo._REGISTERED if x is not d]
 
 
 def test_clear_caches_unpersists_dataframes(spark):
@@ -45,7 +47,7 @@ def test_clear_caches_unpersists_dataframes(spark):
         assert not d
         assert not df.storageLevel.useMemory
     finally:
-        memo._REGISTERED.remove(d)
+        memo._REGISTERED[:] = [x for x in memo._REGISTERED if x is not d]
 
 
 def test_all_operator_caches_registered():

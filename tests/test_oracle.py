@@ -1,9 +1,12 @@
 """Full registry ↔ DuckDB oracle gate at sf0.001 (fast local replica of
 the driver's CORRECTNESS check; the driver runs sf0.01)."""
 
+import pytest
+
 from firebase_realtime_database_backup_spark import verify
 
 
+@pytest.mark.slow
 def test_all_queries_match_oracle(spark):
     results = verify.run_all(spark, "/root/testdata/sf0.001")
     failures = [r for r in results if not r.ok]
@@ -35,6 +38,7 @@ def test_oracle_outputs_canon_safe(spark):
     assert not problems, problems
 
 
+@pytest.mark.slow
 def test_spark_outputs_canon_safe(spark):
     """Registry lint: oracle-backed Spark queries return scalars only."""
     import __spark_entry__ as entrymod

@@ -505,6 +505,7 @@ BNL_ONE_ROW_PROBES = {
 BNL_ALLOWED = BNL_DESIGNED | set(BNL_ONE_ROW_PROBES)
 
 
+@pytest.mark.slow
 def test_registry_wide_plan_lint(spark, queries):
     """Every registered query must (a) pass analysis/optimization at
     sf0.01 and (b) plan without an accidental CartesianProduct or
